@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders and shared derived tables.
+  *
+  * `links` re-creates the reference's compacted-link schema
+  * (reference: pkg/linkdb/models.go:8-24, cmd/importer/main.go:42-59)
+  * deterministically from the TPC-H-ish testdata, so that every operator
+  * over it has a DuckDB-reproducible oracle. At 100 TB the same operators
+  * run over real extracted-link parquet with the identical schema.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Link fact table derived from orders x customer (dim join is a
+    * broadcast at any scale: customer keys are recycled via modulo).
+    * Columns mirror the reference's FileLinkCompacted line format.
+    */
+  def links(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(
+        concat(
+          lit("d"), (col("c_custkey") % 11).cast("string"),
+          when(col("o_orderkey") % 13 === 0, lit(".co.uk")).otherwise(lit(".com"))
+        ).as("link_domain"),
+        when(col("o_orderkey") % 2 === 0, lit("www")).otherwise(lit("")).as("link_subdomain"),
+        concat(lit("/p/"), (col("o_orderkey") % 3).cast("string")).as("link_path"),
+        when(col("o_orderkey") % 5 === 0,
+          concat(lit("id="), (col("o_orderkey") % 4).cast("string"))
+        ).otherwise(lit("")).as("link_rawquery"),
+        when(col("o_orderkey") % 2 === 0, lit("2")).otherwise(lit("1")).as("link_scheme"),
+        concat(lit("h"), (col("c_custkey") % 5).cast("string"), lit(".example.org")).as("page_host"),
+        concat(lit("/a/"), (col("o_orderkey") % 7).cast("string")).as("page_path"),
+        when(col("o_orderkey") % 11 === 0,
+          concat(lit("x="), (col("o_orderkey") % 3).cast("string"))
+        ).otherwise(lit("")).as("page_rawquery"),
+        lit("2").as("page_scheme"),
+        col("o_orderpriority").as("link_text"),
+        when(col("o_orderkey") % 4 === 0, lit(1)).otherwise(lit(0)).as("nofollow"),
+        lit(0).as("noindex"),
+        col("o_orderdate").cast("date").cast("string").as("date_from"),
+        col("o_orderdate").cast("date").cast("string").as("date_to"),
+        concat((col("o_orderkey") % 223).cast("string"), lit("."),
+          (col("c_custkey") % 251).cast("string"), lit(".0.1")).as("ip"),
+        lit(1).as("qty"),
+        col("o_orderkey").as("src_key")
+      )
+  }
+
+  /** DuckDB CTE mirroring [[links]] exactly — prefix for oracle SQL. */
+  val linksCte: String =
+    """WITH links AS (
+      |  SELECT
+      |    'd' || CAST(c_custkey % 11 AS VARCHAR) || (CASE WHEN o_orderkey % 13 = 0 THEN '.co.uk' ELSE '.com' END) AS link_domain,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'www' ELSE '' END AS link_subdomain,
+      |    '/p/' || CAST(o_orderkey % 3 AS VARCHAR) AS link_path,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'id=' || CAST(o_orderkey % 4 AS VARCHAR) ELSE '' END AS link_rawquery,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN '2' ELSE '1' END AS link_scheme,
+      |    'h' || CAST(c_custkey % 5 AS VARCHAR) || '.example.org' AS page_host,
+      |    '/a/' || CAST(o_orderkey % 7 AS VARCHAR) AS page_path,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'x=' || CAST(o_orderkey % 3 AS VARCHAR) ELSE '' END AS page_rawquery,
+      |    '2' AS page_scheme,
+      |    o_orderpriority AS link_text,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS nofollow,
+      |    0 AS noindex,
+      |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_from,
+      |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_to,
+      |    CAST(o_orderkey % 223 AS VARCHAR) || '.' || CAST(c_custkey % 251 AS VARCHAR) || '.0.1' AS ip,
+      |    1 AS qty,
+      |    o_orderkey AS src_key
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |)
+      |""".stripMargin
+
+  /** documents plus injected exact duplicates (doc_id + 1000000): the
+    * deterministic fixture for exact-dedup operators.
+    */
+  def docsWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .unionAll(
+        d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+  }
+
+  val docsExactDupsCte: String =
+    """WITH alldocs AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 25 = 0
+      |)
+      |""".stripMargin
+
+  /** documents plus injected NEAR duplicates (doc_id + 2000000): first
+    * character replaced by 'Z', so 3-gram shingle Jaccard stays ~0.97
+    * while the text hash changes. Length (and n_chars) is preserved so
+    * length-blocked pairing keeps original and copy in one block.
+    */
+  def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("n_chars"))
+      .unionAll(
+        d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2)")).as("text"),
+            col("n_chars")))
+  }
+
+  val docsNearDupsCte: String =
+    """WITH alldocs AS (
+      |  SELECT doc_id, text, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'Z' || substr(text, 2) AS text, n_chars FROM documents WHERE doc_id % 25 = 0
+      |)
+      |""".stripMargin
+}

@@ -1,0 +1,338 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2B — the reference's link-pipeline semantics, Spark-first.
+  *
+  * Reference: kris-dev-hub/globallinks pkg/commoncrawl/wat.go (extract +
+  * quality filters), cmd/importer/main.go:567-609 (aggressive
+  * compaction), pkg/linkdb/controller.go:22-237 (LinkDB query + merge).
+  */
+object LinkOps {
+
+  /** JSON metadata extraction — the WAT-payload read re-expressed as a
+    * codegen'd `get_json_object` over the events table (wat.go:404-431).
+    */
+  val q15_json_extract: GraftQuery = GraftQuery(
+    "q15_json_extract",
+    (s, dir) =>
+      Tables.table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+    Some("""SELECT event_type,
+           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           |  COUNT(*) AS n,
+           |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type""".stripMargin)
+  )
+
+  /** Gap-based sessionization (30-min inactivity) via two windows over
+    * the same (user_id, ts) partitioning — one shuffle total.
+    */
+  val q16_sessionize: GraftQuery = GraftQuery(
+    "q16_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_sessions,
+           |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+           |  MAX(n_events) AS max_session_events
+           |FROM (
+           |  SELECT user_id, sess_id, COUNT(*) AS n_events
+           |  FROM (
+           |    SELECT user_id, event_id,
+           |      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS sess_id
+           |    FROM (
+           |      SELECT user_id, ts, event_id,
+           |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |               OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                    + INTERVAL 30 MINUTE
+           |             THEN 1 ELSE 0 END AS new_sess
+           |      FROM events) a) b
+           |  GROUP BY user_id, sess_id) c
+           |GROUP BY user_id""".stripMargin)
+  )
+
+  // sort key used to pick the "shortest page variant" deterministically:
+  // (len(path), len(query), path, query) encoded as one sortable string.
+  private val variantKey =
+    "concat(lpad(cast(length(page_path) as string), 4, '0'), " +
+      "lpad(cast(length(page_rawquery) as string), 4, '0'), page_path, '|', page_rawquery)"
+  private val variantKeySql =
+    "lpad(CAST(length(page_path) AS VARCHAR), 4, '0') || " +
+      "lpad(CAST(length(page_rawquery) AS VARCHAR), 4, '0') || page_path || '|' || page_rawquery"
+  // "latest record" key: full-line sort order, ip included for determinism
+  private val lineKey =
+    "concat_ws('|', page_path, page_rawquery, link_text, date_from, ip)"
+  private val lineKeySql =
+    "page_path || '|' || page_rawquery || '|' || link_text || '|' || date_from || '|' || ip"
+
+  /** Aggressive compaction (importer/main.go:567-609) as ONE hash
+    * aggregate on the 5-column group key: dofollow wins, min/max date
+    * range, latest-record IP, shortest page variant, merged-row count.
+    * Map-side partial aggregation makes this a single shuffle at any
+    * scale; no window functions needed.
+    */
+  val q17_compact_links: GraftQuery = GraftQuery(
+    "q17_compact_links",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .groupBy(col("link_domain"), col("link_subdomain"), col("link_path"),
+          col("link_rawquery"), col("page_host"))
+        .agg(
+          min(col("link_scheme")).as("link_scheme"),
+          min(col("link_text")).as("link_text"),
+          min(col("nofollow")).as("nofollow"),
+          min(col("date_from")).as("date_from"),
+          max(col("date_to")).as("date_to"),
+          expr(s"max_by(ip, $lineKey)").as("ip"),
+          expr(s"min_by(page_path, $variantKey)").as("best_page_path"),
+          expr(s"min_by(page_rawquery, $variantKey)").as("best_page_rawquery"),
+          count(lit(1)).as("qty")),
+    Some(Tables.linksCte +
+      s"""SELECT link_domain, link_subdomain, link_path, link_rawquery, page_host,
+         |  MIN(link_scheme) AS link_scheme, MIN(link_text) AS link_text,
+         |  MIN(nofollow) AS nofollow, MIN(date_from) AS date_from, MAX(date_to) AS date_to,
+         |  arg_max(ip, $lineKeySql) AS ip,
+         |  arg_min(page_path, $variantKeySql) AS best_page_path,
+         |  arg_min(page_rawquery, $variantKeySql) AS best_page_rawquery,
+         |  COUNT(*) AS qty
+         |FROM links
+         |GROUP BY link_domain, link_subdomain, link_path, link_rawquery, page_host""".stripMargin)
+  )
+
+  private val linkUrlExpr =
+    "concat(case when link_scheme = '1' then 'http' else 'https' end, '://', " +
+      "case when link_subdomain = '' then '' else concat(link_subdomain, '.') end, " +
+      "link_domain, case when link_path = '' then '/' else link_path end, " +
+      "case when link_rawquery = '' then '' else concat('?', link_rawquery) end)"
+  private val linkUrlSql =
+    "(CASE WHEN link_scheme = '1' THEN 'http' ELSE 'https' END) || '://' || " +
+      "(CASE WHEN link_subdomain = '' THEN '' ELSE link_subdomain || '.' END) || " +
+      "link_domain || (CASE WHEN link_path = '' THEN '/' ELSE link_path END) || " +
+      "(CASE WHEN link_rawquery = '' THEN '' ELSE '?' || link_rawquery END)"
+  private val pageUrlExpr =
+    "concat('https://', page_host, page_path, " +
+      "case when page_rawquery = '' then '' else concat('?', page_rawquery) end)"
+  private val pageUrlSql =
+    "'https://' || page_host || page_path || " +
+      "(CASE WHEN page_rawquery = '' THEN '' ELSE '?' || page_rawquery END)"
+
+  /** The LinkDB API query (controller.go:22-237): domain + attribute
+    * filters -> duplicate merge (min/max dates, distinct IPs, Qty sum)
+    * -> deterministic sort -> page 1. Filters evaluate before the
+    * aggregate so they push into the scan.
+    */
+  val q18_linkdb_query: GraftQuery = GraftQuery(
+    "q18_linkdb_query",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .filter(col("link_domain") === "d3.com" && col("nofollow") === 0 &&
+          lower(col("link_text")).contains("urgent"))
+        .select(expr(linkUrlExpr).as("link_url"), expr(pageUrlExpr).as("page_url"),
+          col("link_text"), col("nofollow"), col("date_from"), col("date_to"),
+          col("ip"), col("qty"))
+        .groupBy(col("link_url"), col("page_url"), col("link_text"), col("nofollow"))
+        .agg(
+          min(col("date_from")).as("date_from"),
+          max(col("date_to")).as("date_to"),
+          array_join(sort_array(collect_set(col("ip"))), ",").as("ips"),
+          sum(col("qty")).as("qty"))
+        .orderBy(col("link_url"), col("page_url"), col("link_text"), col("nofollow"))
+        .limit(20),
+    Some(Tables.linksCte +
+      s"""SELECT link_url, page_url, link_text, nofollow,
+         |  MIN(date_from) AS date_from, MAX(date_to) AS date_to,
+         |  array_to_string(list_sort(list(DISTINCT ip)), ',') AS ips,
+         |  CAST(SUM(qty) AS BIGINT) AS qty
+         |FROM (
+         |  SELECT $linkUrlSql AS link_url, $pageUrlSql AS page_url,
+         |         link_text, nofollow, date_from, date_to, ip, qty
+         |  FROM links
+         |  WHERE link_domain = 'd3.com' AND nofollow = 0
+         |    AND lower(link_text) LIKE '%urgent%') t
+         |GROUP BY link_url, page_url, link_text, nofollow
+         |ORDER BY link_url, page_url, link_text, nofollow
+         |LIMIT 20""".stripMargin)
+  )
+
+  /** URL -> (scheme, host, path, query) decomposition (wat.go:623-678)
+    * with plain regexes that stay inside WholeStageCodegen.
+    */
+  val q19_url_parse: GraftQuery = GraftQuery(
+    "q19_url_parse",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .select(expr(linkUrlExpr).as("url"))
+        .distinct()
+        .select(
+          col("url"),
+          regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+          regexp_extract(col("url"), "^[a-z]+://([^/?#]+)", 1).as("host"),
+          regexp_extract(col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1).as("path"),
+          regexp_extract(col("url"), "[?]([^#]*)", 1).as("query")),
+    Some(Tables.linksCte +
+      s"""SELECT url,
+         |  COALESCE(regexp_extract(url, '^([a-z]+)://', 1), '') AS scheme,
+         |  COALESCE(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '') AS host,
+         |  COALESCE(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '') AS path,
+         |  COALESCE(regexp_extract(url, '[?]([^#]*)', 1), '') AS query
+         |FROM (SELECT DISTINCT $linkUrlSql AS url FROM links) u""".stripMargin)
+  )
+
+  /** eTLD+1 / subdomain split (wat.go:660-676, genSubdomain wat.go:953-962)
+    * with a multi-part-TLD special case (.co.uk) standing in for the
+    * public-suffix table; at scale the suffix list is a broadcast join.
+    */
+  val q20_etld_domain: GraftQuery = GraftQuery(
+    "q20_etld_domain",
+    (s, dir) => {
+      val hosts = Tables.links(s, dir)
+        .select(expr(
+          "case when link_subdomain = '' then link_domain " +
+            "else concat(link_subdomain, '.', link_domain) end").as("host"))
+        .union(Tables.links(s, dir).select(col("page_host").as("host")))
+        .distinct()
+      hosts
+        .withColumn("etld1",
+          when(col("host").endsWith(".co.uk"),
+            regexp_extract(col("host"), "([^.]+[.]co[.]uk)$", 1))
+            .otherwise(regexp_extract(col("host"), "([^.]+[.][^.]+)$", 1)))
+        .withColumn("subdomain",
+          when(length(col("host")) > length(col("etld1")),
+            expr("substring(host, 1, length(host) - length(etld1) - 1)"))
+            .otherwise(lit("")))
+    },
+    Some(Tables.linksCte +
+      """SELECT host,
+        |  CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+        |       ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) END AS etld1,
+        |  CASE WHEN length(host) > length(CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+        |                                       ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) END)
+        |       THEN substr(host, 1, length(host) - length(CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+        |                                                       ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) END) - 1)
+        |       ELSE '' END AS subdomain
+        |FROM (
+        |  SELECT DISTINCT host FROM (
+        |    SELECT CASE WHEN link_subdomain = '' THEN link_domain
+        |                ELSE link_subdomain || '.' || link_domain END AS host FROM links
+        |    UNION ALL
+        |    SELECT page_host AS host FROM links) h) hh""".stripMargin)
+  )
+
+  private val ipRegex =
+    "^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])([.](25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){3}$"
+  private val domainRegex =
+    "^([a-z0-9]([a-z0-9-]{0,61}[a-z0-9])?[.])+[a-z]{2,}$"
+
+  /** Host/domain quality gates (wat.go:561-620): no-dot hosts, IP hosts
+    * and malformed domains are classified; invalid rows are injected
+    * deterministically so every verdict class is exercised.
+    */
+  val q21_url_quality: GraftQuery = GraftQuery(
+    "q21_url_quality",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .withColumn("test_host",
+          when(col("src_key") % 17 === 0, lit("badhost"))
+            .when(col("src_key") % 19 === 0, lit("192.168.1.1"))
+            .when(col("src_key") % 23 === 0, lit("bad..host!.com"))
+            .otherwise(col("page_host")))
+        .withColumn("verdict",
+          when(!col("test_host").contains("."), lit("no_dot"))
+            .when(col("test_host").rlike(ipRegex), lit("ip_host"))
+            .when(!lower(col("test_host")).rlike(domainRegex), lit("bad_domain"))
+            .otherwise(lit("ok")))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("test_host")).as("n_hosts")),
+    Some(Tables.linksCte +
+      s"""SELECT verdict, COUNT(*) AS n, COUNT(DISTINCT test_host) AS n_hosts
+         |FROM (
+         |  SELECT test_host,
+         |    CASE WHEN NOT contains(test_host, '.') THEN 'no_dot'
+         |         WHEN regexp_matches(test_host, '$ipRegex') THEN 'ip_host'
+         |         WHEN NOT regexp_matches(lower(test_host), '$domainRegex') THEN 'bad_domain'
+         |         ELSE 'ok' END AS verdict
+         |  FROM (
+         |    SELECT CASE WHEN src_key % 17 = 0 THEN 'badhost'
+         |                WHEN src_key % 19 = 0 THEN '192.168.1.1'
+         |                WHEN src_key % 23 = 0 THEN 'bad..host!.com'
+         |                ELSE page_host END AS test_host
+         |    FROM links) t) v
+         |GROUP BY verdict""".stripMargin)
+  )
+
+  /** Ignore-list semantics (config.go, wat.go:698-733): domain blocklist
+    * as a broadcast anti-join, TLD suffix filter, file-extension filter.
+    */
+  val q22_ignore_lists: GraftQuery = GraftQuery(
+    "q22_ignore_lists",
+    (s, dir) => {
+      import s.implicits._
+      val ignore = Seq("d3.com", "d5.com", "d7.co.uk").toDF("ignored_domain")
+      Tables.links(s, dir)
+        .withColumn("eff_path",
+          when(col("src_key") % 6 === 0, concat(col("link_path"), lit(".jpg")))
+            .otherwise(col("link_path")))
+        .join(broadcast(ignore), col("link_domain") === col("ignored_domain"), "left_anti")
+        .filter(!col("link_domain").endsWith(".cn"))
+        .filter(!col("eff_path").endsWith(".jpg") && !col("eff_path").endsWith(".png"))
+        .groupBy(col("link_domain"))
+        .agg(count(lit(1)).as("n_links"))
+    },
+    Some(Tables.linksCte +
+      """SELECT link_domain, COUNT(*) AS n_links
+        |FROM (SELECT link_domain,
+        |        CASE WHEN src_key % 6 = 0 THEN link_path || '.jpg' ELSE link_path END AS eff_path
+        |      FROM links) t
+        |WHERE link_domain NOT IN ('d3.com', 'd5.com', 'd7.co.uk')
+        |  AND NOT link_domain LIKE '%.cn'
+        |  AND NOT eff_path LIKE '%.jpg' AND NOT eff_path LIKE '%.png'
+        |GROUP BY link_domain""".stripMargin)
+  )
+
+  /** Per-page link tallies (wat.go:480-559 internal/external counters). */
+  val q23_page_stats: GraftQuery = GraftQuery(
+    "q23_page_stats",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .groupBy(col("page_host"))
+        .agg(
+          count(lit(1)).as("n_links"),
+          countDistinct(col("link_domain")).as("n_domains"),
+          sum(col("nofollow")).cast("bigint").as("n_nofollow"),
+          min(col("date_from")).as("first_seen"),
+          max(col("date_to")).as("last_seen")),
+    Some(Tables.linksCte +
+      """SELECT page_host, COUNT(*) AS n_links,
+        |  COUNT(DISTINCT link_domain) AS n_domains,
+        |  CAST(SUM(nofollow) AS BIGINT) AS n_nofollow,
+        |  MIN(date_from) AS first_seen, MAX(date_to) AS last_seen
+        |FROM links GROUP BY page_host""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    q15_json_extract, q16_sessionize, q17_compact_links, q18_linkdb_query,
+    q19_url_parse, q20_etld_domain, q21_url_quality, q22_ignore_lists,
+    q23_page_stats)
+}

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2A — relational core operators.
+  *
+  * Numeric convention shared with the DuckDB oracles: per-row arithmetic
+  * stays in DOUBLE (bit-identical IEEE ops on both engines), each row
+  * value is cast to DECIMAL(25,10) so the group SUM is exact regardless
+  * of aggregation order, and the final result is cast back to DOUBLE.
+  * That makes aggregate hashes reproducible across engines without
+  * rounding fudge.
+  */
+object Relational {
+
+  /** sum an expression exactly: double -> decimal -> sum -> double */
+  private def xsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(25,10))) AS DOUBLE)"
+
+  val q01_agg: GraftQuery = GraftQuery(
+    "q01_agg",
+    (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr(xsum("l_quantity")).as("sum_qty"),
+          expr(xsum("l_extendedprice")).as("sum_base_price"),
+          expr(xsum("l_extendedprice * (1 - l_discount)")).as("sum_disc_price"),
+          expr(xsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).as("sum_charge"),
+          (expr(xsum("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        ),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  ${xsum("l_quantity")} AS sum_qty,
+            |  ${xsum("l_extendedprice")} AS sum_base_price,
+            |  ${xsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+            |  ${xsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+            |  ${xsum("l_quantity")} / COUNT(*) AS avg_qty,
+            |  COUNT(*) AS count_order
+            |FROM lineitem
+            |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  /** Multi-way dim join; nation/region are explicit broadcasts (they are
+    * tiny at every scale), customer joins shuffle-side (large at 100 TB).
+    */
+  val q02_join_dims: GraftQuery = GraftQuery(
+    "q02_join_dims",
+    (s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      val c = Tables.table(s, dir, "customer")
+      val n = Tables.table(s, dir, "nation")
+      val r = Tables.table(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          expr(xsum("l_extendedprice * (1 - l_discount)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""SELECT r_name, n_name,
+            |  ${xsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+            |  COUNT(*) AS n_items
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY r_name, n_name""".stripMargin)
+  )
+
+  /** orderBy + limit lowers to TakeOrderedAndProject: no global sort. */
+  val q03_topk: GraftQuery = GraftQuery(
+    "q03_topk",
+    (s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("order_date"))
+        .agg(expr(xsum("l_extendedprice * (1 - l_discount)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+            |  ${xsum("l_extendedprice * (1 - l_discount)")} AS revenue
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+            |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+  )
+
+  val q04_semijoin: GraftQuery = GraftQuery(
+    "q04_semijoin",
+    (s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      val li = Tables.table(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           |WHERE EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin)
+  )
+
+  val q05_antijoin: GraftQuery = GraftQuery(
+    "q05_antijoin",
+    (s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+  )
+
+  /** TPC-H Q6 shape: tight filter that must reach the parquet scan. */
+  val q06_filter_pushdown: GraftQuery = GraftQuery(
+    "q06_filter_pushdown",
+    (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1995-01-01") &&
+          col("l_shipdate").cast("date") < lit("1996-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          expr(xsum("l_extendedprice * l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows")),
+    Some(s"""SELECT ${xsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+            |FROM lineitem
+            |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+            |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+            |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)
+  )
+
+  val q07_window_rank: GraftQuery = GraftQuery(
+    "q07_window_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.table(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           |  FROM orders) t WHERE rk <= 3""".stripMargin)
+  )
+
+  val q08_distinct: GraftQuery = GraftQuery(
+    "q08_distinct",
+    (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select((col("o_custkey") % 100).as("cust_bucket"), col("o_orderpriority"))
+        .distinct(),
+    Some("SELECT DISTINCT o_custkey % 100 AS cust_bucket, o_orderpriority FROM orders")
+  )
+
+  val q09_rollup: GraftQuery = GraftQuery(
+    "q09_rollup",
+    (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), expr(xsum("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty")),
+    Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+            |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+            |  COUNT(*) AS n, ${xsum("l_quantity")} AS sum_qty
+            |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+  )
+
+  val q10_conditional_agg: GraftQuery = GraftQuery(
+    "q10_conditional_agg",
+    (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+          count(lit(1)).as("n_total")),
+    Some("""SELECT o_orderpriority,
+           |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           |  COUNT(*) AS n_total
+           |FROM orders GROUP BY o_orderpriority""".stripMargin)
+  )
+
+  val q11_having: GraftQuery = GraftQuery(
+    "q11_having",
+    (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), expr(xsum("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") > 12),
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_orders, ${xsum("o_totalprice")} AS total_spent
+            |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12""".stripMargin)
+  )
+
+  val q12_union: GraftQuery = GraftQuery(
+    "q12_union",
+    (s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      o.filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+        .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+        .distinct()
+    },
+    Some("""SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+           |UNION
+           |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+  )
+
+  val q13_string_ops: GraftQuery = GraftQuery(
+    "q13_string_ops",
+    (s, dir) =>
+      Tables.table(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          expr("substring(p_name, 1, 10)").as("name10"),
+          length(col("p_type")).as("type_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_snake")),
+    Some("""SELECT p_partkey, UPPER(p_brand) AS brand_uc, substr(p_name, 1, 10) AS name10,
+           |  LENGTH(p_type) AS type_len, REPLACE(p_type, ' ', '_') AS type_snake
+           |FROM part WHERE p_name LIKE '%a%'""".stripMargin)
+  )
+
+  val q14_date_trunc: GraftQuery = GraftQuery(
+    "q14_date_trunc",
+    (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"), expr(xsum("o_totalprice")).as("month_total")),
+    Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+            |  COUNT(*) AS n_orders, ${xsum("o_totalprice")} AS month_total
+            |FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    q01_agg, q02_join_dims, q03_topk, q04_semijoin, q05_antijoin,
+    q06_filter_pushdown, q07_window_rank, q08_distinct, q09_rollup,
+    q10_conditional_agg, q11_having, q12_union, q13_string_ops, q14_date_trunc)
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2C — text analysis + deduplication for training-data pipelines.
+  * Everything stays in built-in codegen'd expressions (md5, regexp,
+  * higher-order array functions); no UDFs.
+  */
+object TextOps {
+
+  /** Exact dedup: content-hash group, keep lowest doc_id as canonical.
+    * At scale this is one hash aggregate on md5(text) — the standard
+    * exact-dedup shuffle. Duplicate groups are non-empty by construction
+    * (Tables.docsWithExactDups injects copies).
+    */
+  val q24_dedup_exact: GraftQuery = GraftQuery(
+    "q24_dedup_exact",
+    (s, dir) =>
+      Tables.docsWithExactDups(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .filter(col("copies") > 1),
+    Some(Tables.docsExactDupsCte +
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM alldocs GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin)
+  )
+
+  /** Normalized document fingerprint: lowercase, strip non-alnum,
+    * collapse whitespace, hash. Row-local and fully codegen'd.
+    */
+  val q25_fingerprint: GraftQuery = GraftQuery(
+    "q25_fingerprint",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " "))).as("fingerprint")),
+    Some("""SELECT doc_id,
+           |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+           |FROM documents WHERE doc_id < 200""".stripMargin)
+  )
+
+  /** Token counting: whitespace tokens via length arithmetic (identical
+    * on both engines), aggregated per language.
+    */
+  val q26_token_count: GraftQuery = GraftQuery(
+    "q26_token_count",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("lang"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .as("n_tokens"),
+          length(col("text")).as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          (sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"))
+            .as("chars_per_token")),
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS chars_per_token
+           |FROM (SELECT lang,
+           |        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           |        length(text) AS n_chars
+           |      FROM documents) t
+           |GROUP BY lang""".stripMargin)
+  )
+
+  /** Quality scoring: stopword ratio + length bucket per document.
+    * Integer counts divided as doubles (IEEE-identical across engines).
+    */
+  val q27_quality_score: GraftQuery = GraftQuery(
+    "q27_quality_score",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .as("n_tokens"),
+          expr("size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))").as("stop_hits"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality",
+          when(col("stop_ratio") > 0.12, lit("boilerplate"))
+            .when(col("n_tokens") < 30, lit("too_short"))
+            .otherwise(lit("ok"))),
+    Some("""SELECT doc_id, n_tokens, stop_hits,
+           |  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           |  CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.12 THEN 'boilerplate'
+           |       WHEN n_tokens < 30 THEN 'too_short' ELSE 'ok' END AS quality
+           |FROM (SELECT doc_id,
+           |        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           |        CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS INTEGER) AS stop_hits
+           |      FROM documents WHERE doc_id < 300) t""".stripMargin)
+  )
+
+  /** Language-ID heuristic: argmax of marker-token hit counts. The
+    * deterministic stand-in for an n-gram language model: same shape
+    * (per-doc classify, then distribution), oracle-checkable.
+    */
+  val q28_langid: GraftQuery = GraftQuery(
+    "q28_langid",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("lang"),
+          expr("size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))").as("s_en"),
+          expr("size(filter(split(text, ' '), w -> w = 'data' OR w = 'query' OR w = 'table'))").as("s_tech"),
+          expr("size(filter(split(text, ' '), w -> w = 'join' OR w = 'merge' OR w = 'sort'))").as("s_op"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_tech") && col("s_en") >= col("s_op"), lit("en"))
+            .when(col("s_tech") >= col("s_op"), lit("tech"))
+            .otherwise(lit("op")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT lang, predicted, COUNT(*) AS n FROM (
+           |  SELECT lang,
+           |    CASE WHEN s_en >= s_tech AND s_en >= s_op THEN 'en'
+           |         WHEN s_tech >= s_op THEN 'tech' ELSE 'op' END AS predicted
+           |  FROM (SELECT lang,
+           |          len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS s_en,
+           |          len(list_filter(string_split(text, ' '), w -> w = 'data' OR w = 'query' OR w = 'table')) AS s_tech,
+           |          len(list_filter(string_split(text, ' '), w -> w = 'join' OR w = 'merge' OR w = 'sort')) AS s_op
+           |        FROM documents) a) b
+           |GROUP BY lang, predicted""".stripMargin)
+  )
+
+  /** Character 3-gram Jaccard near-dup detection, blocked on exact text
+    * length so candidate pairing is |block|^2 instead of n^2 — the
+    * blocked-pairwise pattern; LSH (q30) is the unblocked scale path.
+    */
+  val q29_ngram_jaccard: GraftQuery = GraftQuery(
+    "q29_ngram_jaccard",
+    (s, dir) => {
+      val docs = Tables.docsWithNearDups(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+            .as("shingles"))
+      val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
+      val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
+      a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+    },
+    Some(Tables.docsNearDupsCte +
+      """, shingled AS (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |                  i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+        |  FROM alldocs)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+        |FROM shingled a JOIN shingled b
+        |  ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
+    q28_langid, q29_ngram_jaccard)
+}
