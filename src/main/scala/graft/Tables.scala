@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS), which vanilla Spark 4
+      // refuses; read nanos as long, convert to a proper timestamp.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(cast(ts / 1000 as bigint))"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Link fact table derived from orders x customer (dim join is a
     * broadcast at any scale: customer keys are recycled via modulo).
@@ -111,6 +117,21 @@ object Tables {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(lit("Z"), expr("substring(text, 2)")).as("text"),
             col("n_chars")))
+  }
+
+  /** embeddings plus injected NEAR-duplicate vectors (vec_id + 1000000):
+    * every 25th vector copied with its first component nudged by +0.001,
+    * so cosine stays ≈ 1.0 — the deterministic fixture for ANN ops.
+    */
+  def embWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionAll(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> if(i = 0, cast(x + 0.001f as float), x))")
+              .as("embedding"),
+            col("label")))
   }
 
   val docsNearDupsCte: String =

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** sum an expression exactly: double -> decimal -> sum -> double */
+  /** Sum an expression exactly: double -> decimal -> sum (exact, order-
+    * independent) -> double, ROUNDed to 6 decimals. The round matters:
+    * DuckDB's DECIMAL->DOUBLE cast is not correctly rounded (off by one
+    * ulp vs Spark's BigDecimal.toDouble); rounding both engines to the
+    * true decimal scale (inputs have <= 6) lands them on the same double.
+    */
   private def xsum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(25,10))) AS DOUBLE)"
+    s"ROUND(CAST(SUM(CAST(($e) AS DECIMAL(25,10))) AS DOUBLE), 6)"
 
   val q01_agg: GraftQuery = GraftQuery(
     "q01_agg",
@@ -112,11 +117,14 @@ object Relational {
     (s, dir) => {
       val c = Tables.table(s, dir, "customer")
       val o = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey
+           |                    AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01')""".stripMargin)
   )
 
   /** TPC-H Q6 shape: tight filter that must reach the parquet scan. */
