@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LinkOps, Relational, TextOps, SimilarityOps}
+import graft.operators.{LinkOps, Relational, SimilarityOps, StreamingBatchOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.operators.{LinkOps, Relational, TextOps, SimilarityOps}
 object SparkEntry {
 
   private def allOps: Seq[GraftQuery] =
-    Relational.all ++ LinkOps.all ++ TextOps.all ++ SimilarityOps.all
+    Relational.all ++ LinkOps.all ++ TextOps.all ++ SimilarityOps.all ++
+      StreamingBatchOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -19,7 +19,10 @@ object Tables {
       // refuses; read nanos as long, convert to a proper timestamp.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(cast(ts / 1000 as bigint))"))
+        // integer `div`, not `/`: epoch-nanos exceed double's exact range,
+        // and `/` is double division. Floor-to-micros matches DuckDB's own
+        // nanos->micros truncation when it reads the same parquet.
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Link fact table derived from orders x customer (dim join is a

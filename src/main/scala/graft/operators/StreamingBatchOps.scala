@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** §2D registered through the driver contract: the SAME transforms
+  * StreamingSpec runs incrementally over MemoryStream are applied here
+  * to the batch events table, so the DuckDB oracle certifies the
+  * streaming logic's semantics.
+  */
+object StreamingBatchOps {
+
+  val s01_stream_window: GraftQuery = GraftQuery(
+    "s01_stream_window",
+    (s, dir) => StreamOps.windowedCounts(Tables.table(s, dir, "events"), watermark = false),
+    Some("""SELECT CAST(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+           |  event_type, COUNT(*) AS n_events,
+           |  ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6) AS sum_value
+           |FROM events
+           |GROUP BY 1, 2""".stripMargin)
+  )
+
+  val s02_stream_session: GraftQuery = GraftQuery(
+    "s02_stream_session",
+    (s, dir) => {
+      import s.implicits._
+      val evs = Tables.table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[StreamOps.EvIn]
+      StreamOps.sessionize(evs, emitTrailing = true).toDF()
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+           |m AS (
+           |  SELECT user_id, us, event_id,
+           |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+           |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM e),
+           |s AS (
+           |  SELECT user_id, us,
+           |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                     ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM m)
+           |SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+           |  COUNT(*) AS n_events
+           |FROM s GROUP BY user_id, sid""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(s01_stream_window, s02_stream_session)
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2D — Structured Streaming operators.
+  *
+  * Both transforms are input-agnostic: applied to a `readStream` source
+  * they run incrementally (watermark/state), applied to a batch
+  * DataFrame they produce the identical result, which is what the
+  * DuckDB oracle checks (SparkEntry registers the batch form as
+  * s01/s02). StreamingSpec drives the streaming form via MemoryStream.
+  */
+object StreamOps {
+
+  /** Event for the typed sessionization path; `us` = event-time in
+    * epoch micros (integer — see Tables.table for why not double math).
+    */
+  final case class EvIn(user_id: Long, us: Long, event_id: Long)
+
+  final case class SessionRow(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  final case class SessState(pending: List[(Long, Long)])
+
+  /** s01: watermarked tumbling-window counts per event type. On a
+    * streaming input the watermark bounds state; on batch it is a no-op.
+    * One shuffle (window, event_type); map-side partial agg applies.
+    */
+  def windowedCounts(events: DataFrame, watermark: Boolean): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6)").as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  private val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Split events (sorted by (us, event_id)) into gap-delimited sessions. */
+  private def splitSessions(evs: List[(Long, Long)]): List[List[(Long, Long)]] =
+    evs.foldLeft(List.empty[List[(Long, Long)]]) {
+      case (acc, e) if acc.nonEmpty && e._1 - acc.head.head._1 <= GapUs =>
+        (e :: acc.head) :: acc.tail // sessions kept newest-first
+      case (acc, e) => List(e) :: acc
+    }.map(_.reverse).reverse
+
+  /** s02: gap-based (30 min) sessionization via flatMapGroupsWithState.
+    *
+    * Streaming: closed sessions (a newer event proves the gap) emit as
+    * soon as they close; the trailing open session stays in state.
+    * Batch (`emitTrailing = true`): everything emits, matching the SQL
+    * gap-sessionization oracle exactly.
+    */
+  def sessionize(events: Dataset[EvIn], emitTrailing: Boolean): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvIn], state: GroupState[SessState]) =>
+          val prior = if (state.exists) state.get.pending else Nil
+          val evs = (prior ++ it.map(e => (e.us, e.event_id)))
+            .sortBy(identity)
+          val sessions = splitSessions(evs)
+          val (emit, keep) =
+            if (emitTrailing || sessions.isEmpty) (sessions, Nil)
+            else (sessions.init, sessions.last)
+          if (emitTrailing || keep.isEmpty) state.remove()
+          else state.update(SessState(keep))
+          emit.iterator.map { sess =>
+            SessionRow(uid, sess.head._1, sess.last._1, sess.size.toLong)
+          }
+      }
+  }
+}

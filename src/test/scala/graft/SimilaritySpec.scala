@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def injectedDocPairs: Set[(Long, Long)] =
+    Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 25 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 2000000L)).toSet
+
+  test("q24 exact dedup finds exactly the injected duplicate groups") {
+    val dups = TextOps.q24_dedup_exact.run(spark, sfDir).collect()
+    val injected = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(dups.length == injected)
+    assert(dups.forall(_.getAs[Long]("copies") == 2L))
+  }
+
+  test("q30 MinHash-LSH recovers every injected near-dup pair") {
+    val found = SimilarityOps.q30_minhash_lsh.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val want = injectedDocPairs
+    assert(want.nonEmpty)
+    assert(want.subsetOf(found),
+      s"missing ${want -- found} of ${want.size} injected pairs")
+  }
+
+  test("q30 agrees with q29 blocked exact Jaccard at the same threshold") {
+    val lsh = SimilarityOps.q30_minhash_lsh.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val exact = TextOps.q29_ngram_jaccard.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // q29 blocks on equal n_chars (injected dups preserve length), so its
+    // pairs are a subset of the unblocked LSH candidates
+    assert(exact.subsetOf(lsh), s"q29 pairs missing from LSH: ${exact -- lsh}")
+  }
+
+  test("q31 SimHash finds exactly the pairs within hamming 3 (pigeonhole)") {
+    val out = SimilarityOps.q31_simhash.run(spark, sfDir).collect()
+    assert(out.forall(_.getAs[Int]("hamming") <= 3))
+    assert(out.nonEmpty, "injected near-dups should yield at least one pair")
+  }
+
+  test("q32 brute-force cosine top-1 matches a driver-side recompute") {
+    val e = Tables.table(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = SimilarityOps.q32_cosine_topk.run(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    for ((q, got) <- top1) {
+      val expect = e.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(e(q), v)) }
+        .maxBy { case (id, c) => (c, -id) }._1
+      assert(got == expect, s"query $q: top1 $got != recomputed $expect")
+    }
+  }
+
+  test("q33 embed stats reconcile with a driver-side recompute") {
+    val stats = SimilarityOps.q33_embed_stats.run(spark, sfDir).collect()
+    val total = stats.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.table(spark, sfDir, "embeddings").count())
+    stats.foreach { r =>
+      assert(r.getAs[Double]("max_norm") >= r.getAs[Double]("min_norm"))
+      assert(r.getAs[Double]("sum_norm") > 0)
+    }
+  }
+
+  test("q34 LSH cosine recovers the injected near-identical vectors") {
+    val found = SimilarityOps.q34_lsh_cosine.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val want = Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 25 === 0).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(want.nonEmpty)
+    assert(want.subsetOf(found), s"missing ${want -- found}")
+  }
+
+  test("q35 multimodal rollup covers every source with sane metadata") {
+    val rows = SimilarityOps.q35_multimodal.run(spark, sfDir).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_images")).sum
+    assert(nDocs == Tables.table(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_bytes") > 0)
+      assert(r.getAs[Long]("sum_width") >= 16 * r.getAs[Long]("n_images"))
+    }
+  }
+}

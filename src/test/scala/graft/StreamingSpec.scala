@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.EvIn
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("s01 windowed counts over a MemoryStream match the batch transform") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, watermark = false)
+      .writeStream.format("memory").queryName("s01_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(
+        (ts(1), "click", 1.5), (ts(4), "click", 2.0),
+        (ts(7), "view", 1.0), (ts(13), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("s01_out").collect()
+        .map(r => (r.getAs[String]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.5),
+        ("2024-01-01 10:00:00", "view", 1L, 1.0),
+        ("2024-01-01 10:10:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("s02 stateful sessionization closes sessions across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EvIn]
+    val q = StreamOps.sessionize(mem.toDS(), emitTrailing = false)
+      .writeStream.format("memory").queryName("s02_out")
+      .outputMode(OutputMode.Append).start()
+    def us(minute: Int): Long = ts(minute).getTime * 1000L
+    try {
+      mem.addData(EvIn(7L, us(0), 1L), EvIn(7L, us(10), 2L))
+      q.processAllAvailable()
+      assert(spark.table("s02_out").count() == 0, "open session must stay in state")
+      // 100 min later: the 30-min gap closes the first session
+      mem.addData(EvIn(7L, us(100) + 60L * 1000000 * 40, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("s02_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 7L)
+      assert(r.getAs[Long]("session_start_us") == us(0))
+      assert(r.getAs[Long]("session_end_us") == us(10))
+      assert(r.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
+  test("s02 batch form equals the window-function sessionization") {
+    import spark.implicits._
+    val evs = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[EvIn]
+    val typed = StreamOps.sessionize(evs, emitTrailing = true)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val viaWindows = graft.operators.LinkOps.q16_sessionize.run(spark, sfDir)
+      .select(col("user_id"), col("n_sessions").as("expect"))
+    val joined = typed.join(viaWindows, "user_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_sessions") =!= col("expect")).count() == 0)
+  }
+}

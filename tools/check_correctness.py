@@ -37,7 +37,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 n_pass = n_fail = 0
-for d in sorted(glob.glob(f"{out_dir}/q*")):
+for d in sorted(p for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)):
     name = os.path.basename(d)
     spark_df = pd.concat(
         [pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
