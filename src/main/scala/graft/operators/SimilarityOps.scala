@@ -1,19 +1,26 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** §2C (continued) — near-duplicate detection and similarity search at
   * scale: MinHash+LSH, SimHash, brute-force + LSH-bucketed cosine ANN,
   * embedding aggregates, multimodal binary-column plumbing.
   *
-  * Scale design: every candidate-generation step is a `groupBy(bucket)`
-  * (one shuffle, map-side partial agg) followed by WITHIN-bucket pair
-  * expansion from a sorted id array — never an O(n²) self-join. Buckets
-  * are capped (`MaxBucket`) so a degenerate hot bucket cannot produce
-  * quadratic pairs; exact verification only runs on candidate pairs.
-  * All per-row math is built-in higher-order array functions
-  * (codegen-friendly, no UDFs).
+  * Scale design:
+  *   - Candidate generation is always a `groupBy(bucket)` (one shuffle,
+  *     map-side partial agg) followed by WITHIN-bucket pair expansion
+  *     from a sorted id array — never an O(n²) self-join. Buckets are
+  *     capped (`MaxBucket`) so a degenerate hot bucket cannot emit
+  *     quadratic pairs; exact verification runs only on candidates.
+  *   - Signatures (minhash/simhash votes) are computed as CODEGEN'D
+  *     hash aggregates over exploded token/shingle rows, not as
+  *     higher-order-function lambdas (Spark evaluates HOF lambdas
+  *     interpreted, row by row — 10-50× slower in the hot path).
+  *     Each shingle is hashed once; the k hash functions are derived
+  *     arithmetically (Carter-Wegman `(a*x+b) mod p` over the low 32
+  *     bits, which stays overflow-free under ANSI mode).
   */
 object SimilarityOps {
 
@@ -28,13 +35,43 @@ object SimilarityOps {
     "flatten(transform(ids, (a, i) -> " +
       "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a_id', a, 'b_id', b))))"
 
-  private val MinhashHashes = 32
-  private val MinhashBands = 8
+  /** splitmix64 — deterministic pseudo-random constants for the hash
+    * families (fixed seed; no runtime randomness so plans replay).
+    */
+  private def splitmix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // b=6 bands × r=8 rows: P(candidate | jaccard j) = 1-(1-j^8)^6 —
+  // ≈1.0 at j=0.97 (the injected dups), 0.52 at j=0.8, 0.10 at j=0.6.
+  // The sharp knee matters: real corpora (and this synthetic one) carry
+  // a deep reservoir of 0.4-0.6-similar pairs; a lazier curve (b=8,r=4)
+  // admits the whole reservoir as candidates and verification goes
+  // quadratic. Tuning (b,r) IS the scale lever for MinHash-LSH.
+  private val MinhashHashes = 48
+  private val MinhashBands = 6
   private val MinhashRows = MinhashHashes / MinhashBands
+  private val P32 = 4294967291L // largest prime < 2^32
+  // multipliers < 2^31 keep (h & 0xffffffff) * a + b below 2^63: no
+  // overflow, so the expression is safe under spark.sql.ansi.enabled.
+  private val mhA = (0 until MinhashHashes).map(i => ((splitmix(2 * i) & Long.MaxValue) % (Int.MaxValue - 1L)) + 1L)
+  private val mhB = (0 until MinhashHashes).map(i => (splitmix(2 * i + 1) & Long.MaxValue) % P32)
+
+  /** Distinct 3-gram shingle hashes of `text` — used only on candidate
+    * pairs for exact-Jaccard verification.
+    */
+  private def shingleHashes(text: String): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($text) - 2, 1)), i -> xxhash64(substring($text, i, 3)))"))
 
   /** MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
     *
-    * shingle(3-gram) → 32 minhashes → 8 bands × 4 rows → band-bucket
+    * shingle(3-gram) → xxhash64 once per shingle (exploded rows) →
+    * 32 minhashes as ONE codegen'd hash aggregate (min((a_i*h+b_i) mod p))
+    * → 8 bands × 4 rows hashed via multi-arg xxhash64 → band-bucket
     * groupBy → within-bucket candidate pairs → exact Jaccard on the
     * candidates only. With b=8,r=4 the LSH S-curve crosses ~0.6, so
     * 0.8-similar docs are caught with prob ≈ 1-(1-0.8⁴)⁸ ≈ 0.986.
@@ -44,19 +81,23 @@ object SimilarityOps {
   val q30_minhash_lsh: GraftQuery = GraftQuery(
     "q30_minhash_lsh",
     (s, dir) => {
-      val docs = Tables.docsWithNearDups(s, dir)
+      val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+      // one xxhash64 per shingle; minhash family is arithmetic on it
+      val shingleRows = base
         .select(col("doc_id"),
-          array_distinct(expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-            .as("shingles"))
-      val sig = docs.withColumn("sig",
-        expr(s"transform(sequence(0, ${MinhashHashes - 1}), " +
-          "h -> array_min(transform(shingles, sh -> xxhash64(concat(cast(h as string), ':', sh)))))"))
-      val bands = sig.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${MinhashBands - 1}), " +
-            s"b -> xxhash64(concat_ws(',', transform(slice(sig, b * $MinhashRows + 1, $MinhashRows), " +
-            "x -> cast(x as string)))))")).as(Seq("band_id", "band_hash")))
+          explode(expr("sequence(1, greatest(length(text) - 2, 1))")).as("pos"),
+          col("text"))
+        .select(col("doc_id"), expr("xxhash64(substring(text, pos, 3)) & 4294967295").as("h"))
+      val sigs = shingleRows.groupBy("doc_id").agg(
+        expr(s"min(pmod(h * ${mhA(0)}L + ${mhB(0)}L, ${P32}L))").as("m0"),
+        (1 until MinhashHashes).map(i =>
+          expr(s"min(pmod(h * ${mhA(i)}L + ${mhB(i)}L, ${P32}L))").as(s"m$i")): _*)
+      val bandStructs = (0 until MinhashBands).map { b =>
+        val ms = (0 until MinhashRows).map(r => s"m${b * MinhashRows + r}").mkString(", ")
+        s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
+      }.mkString(", ")
+      val bands = sigs.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
       val pairs = bands
         .groupBy(col("band_id"), col("band_hash"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -64,9 +105,12 @@ object SimilarityOps {
         .select(explode(expr(pairExpr)).as("p"))
         .select(col("p.a_id"), col("p.b_id"))
         .distinct()
-      val a = docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-      val b = docs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-      pairs.join(a, "a_id").join(b, "b_id")
+      // exact verify on candidates only, against shingle sets computed
+      // ONCE per doc (not per pair — a doc can appear in many pairs)
+      val sh = base.select(col("doc_id"), shingleHashes("text").as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
         .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
         .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
@@ -77,22 +121,28 @@ object SimilarityOps {
   )
 
   /** 64-bit SimHash near-dup: per-token 64-bit hashes vote per bit
-    * position; sign → signature bit. Near-dups = hamming ≤ 3, found by
-    * the 4-chunk pigeonhole (two docs within hamming 3 share at least
-    * one exact 16-bit chunk), so candidates come from a chunk-bucket
-    * groupBy instead of all-pairs.
+    * position; sign → signature bit. The 64 per-bit vote sums are one
+    * codegen'd hash aggregate over exploded tokens (map-side combine
+    * collapses each doc locally — the shuffle carries 64 ints per doc).
+    * Near-dups = hamming ≤ 3, found via the 4-chunk pigeonhole (two
+    * docs within hamming 3 share at least one exact 16-bit chunk), so
+    * candidates come from a chunk-bucket groupBy instead of all-pairs.
     */
   val q31_simhash: GraftQuery = GraftQuery(
     "q31_simhash",
     (s, dir) => {
-      val docs = Tables.docsWithNearDups(s, dir)
-        .select(col("doc_id"),
-          expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
-        .withColumn("sig", expr(
-          "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> " +
-            "acc | if(aggregate(hs, 0, (v, h) -> v + cast((shiftright(h, b) & 1) * 2 - 1 as int)) > 0, " +
-            "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"))
-      val sigs = docs.select(col("doc_id"), col("sig"))
+      val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+      val toks = base
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val votes = toks.groupBy("doc_id").agg(
+        expr("sum(cast((shiftright(h, 0) & 1) * 2 - 1 as int))").as("v0"),
+        (1 until 64).map(b =>
+          expr(s"sum(cast((shiftright(h, $b) & 1) * 2 - 1 as int))").as(s"v$b")): _*)
+      val assemble = (0 until 64)
+        .map(b => s"if(v$b > 0, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))")
+        .mkString(" | ")
+      val sigs = votes.select(col("doc_id"), expr(assemble).as("sig"))
       val chunks = sigs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), i -> shiftright(sig, i * 16) & 65535)"))
@@ -125,7 +175,7 @@ object SimilarityOps {
     * path (q34) approximates. Queries are broadcast, candidates stream;
     * per-query top-k via rank window partitioned on the (small) query
     * side. At 100 TB the candidate scan is embarrassingly parallel and
-    * never shuffles — only the k results per query move.
+    * never shuffles — only the scored rows move to rank.
     */
   val q32_cosine_topk: GraftQuery = GraftQuery(
     "q32_cosine_topk",
@@ -179,21 +229,33 @@ object SimilarityOps {
   private val LshPlanes = 8
   private val LshBandsCos = 2
 
+  /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
+    * of the dot product matters). Components in [-0.5, 0.5).
+    */
+  private def hyperplanes(dim: Int): Seq[Seq[Double]] =
+    (0 until LshPlanes * LshBandsCos).map { p =>
+      (0 until dim).map { j =>
+        ((splitmix(p * 131071L + j) & Long.MaxValue) % 100000L) / 100000.0 - 0.5
+      }
+    }
+
   /** Random-hyperplane LSH cosine ANN — the scale path for q32.
-    * 16 deterministic pseudo-random hyperplanes (components derived from
-    * xxhash64(plane:dim)) → sign bits → 2 bands of 8 bits → bucket
-    * groupBy → within-bucket pairs → exact cosine verify ≥ 0.99.
-    * Candidate generation is one shuffle on (band, bucket).
+    * 16 deterministic hyperplanes → sign bits → 2 bands of 8 bits →
+    * bucket groupBy → within-bucket pairs → exact cosine verify ≥ 0.99.
+    * Candidate generation is one shuffle on (band, bucket). The plane
+    * matrix is a plan-time literal (broadcast with the plan, no join).
     */
   val q34_lsh_cosine: GraftQuery = GraftQuery(
     "q34_lsh_cosine",
     (s, dir) => {
       val e = Tables.embWithNearDups(s, dir)
-      val bits = e.withColumn("bits", expr(
-        s"""transform(sequence(0, ${LshPlanes * LshBandsCos - 1}, 1), p ->
-           |  if(aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, j) ->
-           |       cast(x as double) * ((pmod(xxhash64(concat(cast(p as string), ':', cast(j as string))), 2001) - 1000) / 1000.0)),
-           |     cast(0 as double), (acc, v) -> acc + v) > 0, 1, 0))""".stripMargin))
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val planes = typedLit(hyperplanes(dim))
+      val bits = e.withColumn("bits",
+        transform(planes, pl =>
+          when(aggregate(
+            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) > 0, 1).otherwise(0)))
       val bands = bits.select(col("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${LshBandsCos - 1}), b -> " +
@@ -214,15 +276,16 @@ object SimilarityOps {
         .filter(col("cosine") >= 0.99)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
     },
-    None // LSH bucketing not SQL-expressible; recall vs q32 covered by SimilaritySpec
+    None // LSH bucketing not SQL-expressible; recall vs injected dups in SimilaritySpec
   )
 
   /** Multimodal column plumbing: documents carry an opaque `binary`
     * payload (here: utf-8 bytes standing in for image bytes) plus typed
     * metadata. The "decode" is a DETERMINISTIC FAKE (crc32/xxhash64 of
     * the payload → width/height/features) — the real decoder is the
-    * swap-in point at the marked expression — but the Spark-side shape
-    * is real: binary column, per-row feature vector, per-source rollup.
+    * swap-in point at the marked block — but the Spark-side shape is
+    * real: binary column, per-row feature vector, per-source rollup.
+    * The payload is hashed ONCE; features derive arithmetically.
     */
   val q35_multimodal: GraftQuery = GraftQuery(
     "q35_multimodal",
@@ -232,11 +295,11 @@ object SimilarityOps {
           col("text").cast("binary").as("payload"))
         // --- fake decode starts here: replace with a real image decoder ---
         .withColumn("n_bytes", expr("octet_length(payload)"))
+        .withColumn("seed", expr("xxhash64(payload) & 4294967295"))
         .withColumn("width", (crc32(col("payload")) % 640 + 16).cast("int"))
-        .withColumn("height", (abs(xxhash64(col("payload"))) % 480 + 16).cast("int"))
-        .withColumn("features", expr(
-          "transform(sequence(0, 7), i -> " +
-            "pmod(xxhash64(concat(cast(payload as string), ':', cast(i as string))), 1000))"))
+        .withColumn("height", (expr("pmod(seed, 480)") + 16).cast("int"))
+        .withColumn("features",
+          expr("transform(sequence(0, 7), i -> pmod(seed * (2 * i + 61) + i, 1000))"))
         // --- fake decode ends ---
         .groupBy(col("source"))
         .agg(
