@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable Column combinators for URL decomposition and host
+  * validation — the Spark-first re-expression of the reference's
+  * imperative parser (kris-dev-hub/globallinks pkg/commoncrawl/
+  * wat.go:623-678 buildURLRecord, :561-620 verifyRecordQuality,
+  * :953-962 genSubdomain). Everything is built from codegen'd
+  * built-ins (regexp_extract / rlike / substr): no UDFs, so the
+  * expressions inline into WholeStageCodegen and push into scans
+  * where Catalyst allows.
+  */
+object UrlFns {
+
+  /** Protocol-relative `//host/path` links resolve as https (the
+    * reference normalizes them before parsing, wat.go:509-512).
+    */
+  def normalizeUrl(u: Column): Column =
+    when(u.startsWith("//"), concat(lit("https:"), u)).otherwise(u)
+
+  def urlScheme(u: Column): Column =
+    regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1)
+
+  def urlHost(u: Column): Column =
+    lower(regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+
+  def urlRawQuery(u: Column): Column =
+    regexp_extract(u, "[?]([^#]*)", 1)
+
+  /** Scheme stored as the reference's compact code: http→1, https→2
+    * (cmd/importer FileLink format).
+    */
+  def schemeCode(scheme: Column): Column =
+    when(scheme === "http", lit("1")).otherwise(lit("2"))
+
+  /** Multi-part public suffixes recognized by the eTLD+1 split. A
+    * stand-in for the full publicsuffix table (which at cluster scale
+    * would be a broadcast map); covers the common two-level suffixes.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.sg", "com.tr")
+
+  /** eTLD+1 of a host: `a.b.example.co.uk` → `example.co.uk`. */
+  def etld1(h: Column): Column =
+    MultiPartSuffixes.foldRight(
+      regexp_extract(h, "([^.]+[.][^.]+)$", 1): Column) { (suf, els) =>
+      val esc = suf.replace(".", "[.]")
+      when(h.rlike(s"[.]$esc$$"), regexp_extract(h, s"([^.]+[.]$esc)$$", 1))
+        .otherwise(els)
+    }
+
+  /** Subdomain = host minus ".eTLD+1" (reference genSubdomain). */
+  def subdomainOf(h: Column, e: Column): Column =
+    when(length(h) > length(e), h.substr(lit(1), length(h) - length(e) - 1))
+      .otherwise(lit(""))
+
+  /** Scala-side eTLD+1 split, for driver-side request parsing (the
+    * LinkDb API receives one domain string per request).
+    */
+  def splitDomain(host: String): (String, String) = {
+    val h = host.toLowerCase
+    val parts = h.split('.')
+    val suffixLen = MultiPartSuffixes.find(s => h.endsWith("." + s) || h == s) match {
+      case Some(s) => s.count(_ == '.') + 1
+      case None => 1
+    }
+    val keep = suffixLen + 1
+    if (parts.length <= keep) (h, "")
+    else (parts.takeRight(keep).mkString("."), parts.dropRight(keep).mkString("."))
+  }
+
+  val IpRegex: String =
+    "^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])([.](25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){3}$"
+  val DomainRegex: String =
+    "^([a-z0-9]([a-z0-9-]{0,61}[a-z0-9])?[.])+[a-z]{2,}$"
+
+  def isIpHost(h: Column): Column = h.rlike(IpRegex)
+
+  /** Host quality gate (wat.go:561-620): has a dot, is not a bare IP,
+    * matches the hostname grammar.
+    */
+  def isValidHost(h: Column): Column =
+    h.contains(".") && !isIpHost(h) && lower(h).rlike(DomainRegex)
+
+  /** File extensions the importer drops links to (config.go ignore list
+    * — assets, not documents).
+    */
+  val IgnoredExtensions: Seq[String] = Seq(
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".ico", ".css",
+    ".js", ".pdf", ".zip", ".gz", ".mp3", ".mp4", ".avi", ".woff",
+    ".woff2", ".ttf", ".xml", ".rss")
+
+  def hasIgnoredExtension(path: Column): Column =
+    IgnoredExtensions
+      .map(e => lower(path).endsWith(e): Column)
+      .reduce(_ || _)
+}

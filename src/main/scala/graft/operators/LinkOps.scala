@@ -73,50 +73,30 @@ object LinkOps {
            |GROUP BY user_id""".stripMargin)
   )
 
-  // sort key used to pick the "shortest page variant" deterministically:
-  // (len(path), len(query), path, query) encoded as one sortable string.
-  private val variantKey =
-    "concat(lpad(cast(length(page_path) as string), 4, '0'), " +
-      "lpad(cast(length(page_rawquery) as string), 4, '0'), page_path, '|', page_rawquery)"
+  // DuckDB-side mirrors of LinkCompaction.variantKey / lineKey
   private val variantKeySql =
     "lpad(CAST(length(page_path) AS VARCHAR), 4, '0') || " +
       "lpad(CAST(length(page_rawquery) AS VARCHAR), 4, '0') || page_path || '|' || page_rawquery"
-  // "latest record" key: full-line sort order, ip included for determinism
-  private val lineKey =
-    "concat_ws('|', page_path, page_rawquery, link_text, date_from, ip)"
   private val lineKeySql =
     "page_path || '|' || page_rawquery || '|' || link_text || '|' || date_from || '|' || ip"
 
-  /** Aggressive compaction (importer/main.go:567-609) as ONE hash
-    * aggregate on the 5-column group key: dofollow wins, min/max date
-    * range, latest-record IP, shortest page variant, merged-row count.
-    * Map-side partial aggregation makes this a single shuffle at any
-    * scale; no window functions needed.
+  /** Aggressive compaction (importer/main.go:567-609): see
+    * [[LinkCompaction.compact]] — one hash aggregate, map-side partial
+    * agg, single shuffle at any scale; no window functions needed.
     */
   val q17_compact_links: GraftQuery = GraftQuery(
     "q17_compact_links",
-    (s, dir) =>
-      Tables.links(s, dir)
-        .groupBy(col("link_domain"), col("link_subdomain"), col("link_path"),
-          col("link_rawquery"), col("page_host"))
-        .agg(
-          min(col("link_scheme")).as("link_scheme"),
-          min(col("link_text")).as("link_text"),
-          min(col("nofollow")).as("nofollow"),
-          min(col("date_from")).as("date_from"),
-          max(col("date_to")).as("date_to"),
-          expr(s"max_by(ip, $lineKey)").as("ip"),
-          expr(s"min_by(page_path, $variantKey)").as("best_page_path"),
-          expr(s"min_by(page_rawquery, $variantKey)").as("best_page_rawquery"),
-          count(lit(1)).as("qty")),
+    (s, dir) => LinkCompaction.compact(Tables.links(s, dir)),
     Some(Tables.linksCte +
       s"""SELECT link_domain, link_subdomain, link_path, link_rawquery, page_host,
          |  MIN(link_scheme) AS link_scheme, MIN(link_text) AS link_text,
-         |  MIN(nofollow) AS nofollow, MIN(date_from) AS date_from, MAX(date_to) AS date_to,
+         |  MIN(nofollow) AS nofollow, MIN(noindex) AS noindex,
+         |  MIN(date_from) AS date_from, MAX(date_to) AS date_to,
          |  arg_max(ip, $lineKeySql) AS ip,
-         |  arg_min(page_path, $variantKeySql) AS best_page_path,
-         |  arg_min(page_rawquery, $variantKeySql) AS best_page_rawquery,
-         |  COUNT(*) AS qty
+         |  arg_min(page_path, $variantKeySql) AS page_path,
+         |  arg_min(page_rawquery, $variantKeySql) AS page_rawquery,
+         |  arg_min(page_scheme, $variantKeySql) AS page_scheme,
+         |  CAST(SUM(qty) AS BIGINT) AS qty
          |FROM links
          |GROUP BY link_domain, link_subdomain, link_path, link_rawquery, page_host""".stripMargin)
   )

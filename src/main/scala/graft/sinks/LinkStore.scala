@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet store for compacted links — the Spark analogue
+  * of the reference's domain-keyed linkdb (cmd/storelinks/main.go loads
+  * rows into a domain-indexed collection; queries always filter by one
+  * domain, controller.go:134).
+  *
+  * Layout: parquet partitioned by `domain_bucket` =
+  * xxhash64(link_domain) mod NumBuckets. A per-domain directory would
+  * create tens of millions of tiny partitions at 100 TB; hash-bucketing
+  * caps the directory count while still letting every domain-filtered
+  * read prune to 1/NumBuckets of the data via partition pruning (the
+  * bucket predicate is computable driver-side from the queried domain).
+  * Within a bucket, rows are sorted by link_domain so parquet row-group
+  * min/max statistics prune the remainder of the scan.
+  */
+object LinkStore {
+
+  val NumBuckets = 256
+
+  private def bucketOf(domain: Column): Column =
+    pmod(xxhash64(domain), lit(NumBuckets.toLong)).cast("int")
+
+  /** Scala-side mirror of [[bucketOf]] for driver-side pruning. Spark's
+    * xxhash64 is XXH64 with seed 42 over the UTF-8 bytes — recomputed
+    * here so reads can build the partition predicate without a join.
+    */
+  def bucketOfDomain(spark: SparkSession, domain: String): Int = {
+    import spark.implicits._
+    // one-row local computation keeps the two definitions provably equal
+    Seq(domain).toDF("d").select(bucketOf(col("d"))).head().getInt(0)
+  }
+
+  /** Write compacted links bucketed by domain hash. `repartition` on the
+    * partition column first: without it every task writes into every
+    * bucket directory (tasks × buckets small files — the classic
+    * partitionBy mistake); with it each bucket is written by one task.
+    * `sortWithinPartitions(link_domain)` orders row groups for min/max
+    * pruning on the in-bucket domain filter.
+    */
+  def write(links: DataFrame, path: String): Unit =
+    links
+      .withColumn("domain_bucket", bucketOf(col("link_domain")))
+      .repartition(col("domain_bucket"))
+      .sortWithinPartitions(col("domain_bucket"), col("link_domain"))
+      .write
+      .partitionBy("domain_bucket")
+      .mode("overwrite")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Domain-filtered read: the bucket predicate prunes partitions (only
+    * 1/NumBuckets of files are listed/read), the domain predicate
+    * prunes row groups and rows.
+    */
+  def readDomain(spark: SparkSession, path: String, domain: String): DataFrame =
+    read(spark, path)
+      .filter(col("domain_bucket") === bucketOfDomain(spark, domain))
+      .filter(col("link_domain") === domain)
+}

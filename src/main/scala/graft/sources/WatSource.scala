@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.functions.UrlFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Common Crawl WAT ingestion, Spark-first.
+  *
+  * The reference streams gzipped WAT files line-by-line in Go
+  * (pkg/commoncrawl/wat.go): detects JSON metadata lines, gjson-reads
+  * the envelope fields, then imperatively filters/derives link rows.
+  * Here the same extraction is ONE declarative plan: `spark.read.text`
+  * (gzip is transparent, and on a cluster each WAT file is a split) →
+  * `from_json` with an explicit schema of exactly the fields used →
+  * `explode(links)` → vectorized filter/derive columns. Catalyst prunes
+  * the JSON parse to the schema subset; every record-level rule from
+  * wat.go:480-559 (A@/href only, http(s)/protocol-relative only,
+  * rel=nofollow, same-host/same-domain skip, quality + ignore lists)
+  * is a Column predicate.
+  */
+object WatSource {
+
+  private val metasType = ArrayType(StructType(Seq(
+    StructField("name", StringType),
+    StructField("content", StringType),
+    StructField("property", StringType))))
+
+  private val linksType = ArrayType(StructType(Seq(
+    StructField("path", StringType),
+    StructField("url", StringType),
+    StructField("text", StringType),
+    StructField("rel", StringType))))
+
+  private val headType = StructType(Seq(
+    StructField("Title", StringType),
+    StructField("Metas", metasType)))
+  private val htmlMetaType = StructType(Seq(
+    StructField("Head", headType),
+    StructField("Links", linksType)))
+  private val payloadMetaType = StructType(Seq(
+    StructField("HTTP-Response-Metadata", StructType(Seq(
+      StructField("HTML-Metadata", htmlMetaType))))))
+  private val warcHeaderType = StructType(Seq(
+    StructField("WARC-Target-URI", StringType),
+    StructField("WARC-IP-Address", StringType),
+    StructField("WARC-Date", StringType)))
+
+  /** Only the envelope fields wat.go reads (wat.go:404-431). */
+  val watSchema: StructType = StructType(Seq(
+    StructField("Envelope", StructType(Seq(
+      StructField("WARC-Header-Metadata", warcHeaderType),
+      StructField("Payload-Metadata", payloadMetaType))))))
+
+  /** One row per crawled page: URI/IP/date/title, robots flags, links. */
+  def pages(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .filter(col("line").startsWith("{"))
+      .select(from_json(col("line"), watSchema).as("w"))
+      .select(
+        col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").as("page_url"),
+        col("w.Envelope.`WARC-Header-Metadata`.`WARC-IP-Address`").as("ip"),
+        substring(col("w.Envelope.`WARC-Header-Metadata`.`WARC-Date`"), 1, 10).as("crawl_date"),
+        col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Title").as("title"),
+        col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Metas").as("metas"),
+        col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links").as("links"))
+      .filter(col("page_url").isNotNull && col("page_url").startsWith("http"))
+      // robots meta flags (wat.go getNoFollowNoIndex)
+      .withColumn("noindex",
+        when(exists(col("metas"), m =>
+          m.getField("name") === "robots" && m.getField("content").contains("noindex")), 1)
+          .otherwise(0))
+      .withColumn("page_nofollow",
+        when(exists(col("metas"), m =>
+          m.getField("name") === "robots" && m.getField("content").contains("nofollow")), 1)
+          .otherwise(0))
+      .withColumn("page_host", urlHost(col("page_url")))
+      .withColumn("page_domain", etld1(col("page_host")))
+      .withColumn("page_path", urlPath(col("page_url")))
+      .withColumn("page_rawquery", urlRawQuery(col("page_url")))
+      .withColumn("page_scheme", schemeCode(urlScheme(col("page_url"))))
+      .filter(isValidHost(col("page_host")))
+
+  /** One row per kept outbound link, in the compacted-link input schema
+    * (ready for LinkCompaction). `ignoreDomains` mirrors the
+    * config.go blocklist; it arrives as a broadcastable local Seq.
+    */
+  def links(spark: SparkSession, path: String,
+      ignoreDomains: Seq[String] = Nil): DataFrame = {
+    val p = pages(spark, path)
+    val exploded = p.select(
+      col("page_host"), col("page_domain"), col("page_path"),
+      col("page_rawquery"), col("page_scheme"), col("ip"),
+      col("crawl_date"), col("noindex"), col("page_nofollow"),
+      explode(col("links")).as("l"))
+    val withUrl = exploded
+      .filter(col("l.path") === "A@/href") // anchors only (wat.go:505)
+      .filter(col("l.url").startsWith("http") || col("l.url").startsWith("//"))
+      .withColumn("u", normalizeUrl(col("l.url")))
+      .withColumn("link_host", urlHost(col("u")))
+      .withColumn("link_domain", etld1(col("link_host")))
+    val ignored =
+      if (ignoreDomains.isEmpty) lit(false)
+      else col("link_domain").isInCollection(ignoreDomains)
+    withUrl
+      .filter(col("link_host") =!= col("page_host")) // internal link
+      .filter(col("link_domain") =!= col("page_domain")) // same site
+      .filter(isValidHost(col("link_host")))
+      .withColumn("link_path", urlPath(col("u")))
+      .filter(!hasIgnoredExtension(col("link_path")))
+      .filter(!ignored)
+      .select(
+        col("link_domain"),
+        subdomainOf(col("link_host"), col("link_domain")).as("link_subdomain"),
+        col("link_path"),
+        urlRawQuery(col("u")).as("link_rawquery"),
+        schemeCode(urlScheme(col("u"))).as("link_scheme"),
+        col("page_host"), col("page_path"), col("page_rawquery"), col("page_scheme"),
+        coalesce(col("l.text"), lit("")).as("link_text"),
+        when(col("page_nofollow") === 1 || col("l.rel").startsWith("nofollow"), 1)
+          .otherwise(0).as("nofollow"),
+        col("noindex"),
+        col("crawl_date").as("date_from"),
+        col("crawl_date").as("date_to"),
+        coalesce(col("ip"), lit("")).as("ip"),
+        lit(1L).as("qty"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.WatSource
+import org.apache.spark.sql.functions._
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+class WatSourceSpec extends SparkSpec {
+
+  private def watLine(uri: String, ip: String, date: String,
+      robots: Option[String], links: Seq[(String, String, String, String)]): String = {
+    val metas = robots.map(r =>
+      s"""{"name":"robots","content":"$r"}""").getOrElse("""{"name":"viewport","content":"x"}""")
+    val linksJson = links.map { case (path, url, text, rel) =>
+      s"""{"path":"$path","url":"$url","text":"$text","rel":"$rel"}"""
+    }.mkString("[", ",", "]")
+    s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-IP-Address":"$ip","WARC-Date":"$date"},""" +
+      s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[$metas]},"Links":$linksJson}}}}}"""
+  }
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("wat").toFile
+    val f = new java.io.File(dir, "test.wat.gz")
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(f)), "UTF-8"))
+    w.write("WARC/1.0\n") // header noise the parser must skip
+    w.write("WARC-Type: metadata\n")
+    w.write(watLine("http://www.sitea.com/index.html", "1.2.3.4", "2024-05-01T12:00:00Z",
+      Some("noindex, nofollow"), Seq(
+        ("A@/href", "http://ext1.com/page", "hello", ""),
+        ("A@/href", "http://www.sitea.com/self", "self", ""), // same host -> dropped
+        ("A@/href", "https://sub.ext2.co.uk/x?q=1", "deep", "nofollow me"),
+        ("IMG@/src", "http://img.ext3.com/a.gif", "", ""), // non-anchor -> dropped
+        ("A@/href", "/relative/only", "rel", ""))) + "\n") // no scheme -> dropped
+    w.write(watLine("https://b.org/p", "5.6.7.8", "2024-06-02T01:00:00Z",
+      None, Seq(
+        ("A@/href", "//proto.rel.net/path", "pr", ""),
+        ("A@/href", "http://assets.net/logo.png", "img", ""), // ignored ext
+        ("A@/href", "http://192.168.0.1/x", "ip", ""))) + "\n") // ip host -> dropped
+    w.write("{ this is not valid json\n")
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("pages parses envelope fields and robots metas") {
+    val p = WatSource.pages(spark, fixture).collect()
+    assert(p.length == 2)
+    val a = p.find(_.getAs[String]("page_host") == "www.sitea.com").get
+    assert(a.getAs[Int]("noindex") == 1 && a.getAs[Int]("page_nofollow") == 1)
+    assert(a.getAs[String]("page_domain") == "sitea.com")
+    assert(a.getAs[String]("crawl_date") == "2024-05-01")
+    val b = p.find(_.getAs[String]("page_host") == "b.org").get
+    assert(b.getAs[Int]("noindex") == 0 && b.getAs[Int]("page_nofollow") == 0)
+  }
+
+  test("links keeps anchors to external valid hosts only") {
+    val l = WatSource.links(spark, fixture).collect()
+    val byDomain = l.map(r => r.getAs[String]("link_domain") -> r).toMap
+    // page A: ext1.com kept; sub.ext2.co.uk kept with eTLD+1 split;
+    // self/same-host, IMG, relative all dropped.
+    // page B: proto.rel.net kept via protocol-relative; .png and IP dropped.
+    assert(byDomain.keySet == Set("ext1.com", "ext2.co.uk", "rel.net"))
+    val e2 = byDomain("ext2.co.uk")
+    assert(e2.getAs[String]("link_subdomain") == "sub")
+    assert(e2.getAs[String]("link_rawquery") == "q=1")
+    assert(e2.getAs[String]("link_scheme") == "2")
+    assert(e2.getAs[Int]("nofollow") == 1) // page-level robots nofollow
+    val pr = byDomain("rel.net")
+    assert(pr.getAs[String]("link_scheme") == "2") // // resolves as https
+    assert(pr.getAs[Int]("nofollow") == 0)
+    assert(byDomain("ext1.com").getAs[Int]("nofollow") == 1) // page-level
+  }
+
+  test("ignoreDomains drops blocklisted link domains") {
+    val l = WatSource.links(spark, fixture, ignoreDomains = Seq("ext1.com")).collect()
+    assert(!l.exists(_.getAs[String]("link_domain") == "ext1.com"))
+    assert(l.exists(_.getAs[String]("link_domain") == "rel.net"))
+  }
+
+  test("wat links flow into compaction") {
+    val compacted = graft.operators.LinkCompaction.compact(WatSource.links(spark, fixture))
+    assert(compacted.count() == 3)
+    assert(compacted.agg(sum("qty")).head.getLong(0) == 3)
+  }
+}
