@@ -1,0 +1,51 @@
+package graft
+
+import graft.plans.{MinHashSig, SimHashSig}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the custom expressions. Load at session build time:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * or imperatively on an existing session (`GraftExtensions.register`),
+  * after which `SELECT minhash_sig(text), simhash_sig(text) FROM docs`
+  * works from plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def minhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => MinHashSig(c)
+    case Seq(c, Literal(k: Int, _)) => MinHashSig(c, k)
+    case _ => throw new IllegalArgumentException(
+      "minhash_sig(text[, numHashes literal]) expects 1 or 2 arguments")
+  }
+
+  private def simhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => SimHashSig(c)
+    case _ => throw new IllegalArgumentException("simhash_sig(text) expects 1 argument")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      minhashBuilder _),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      simhashBuilder _))
+
+  /** Imperative registration for sessions built without the extension. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

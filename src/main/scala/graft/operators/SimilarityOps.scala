@@ -54,11 +54,6 @@ object SimilarityOps {
   private val MinhashHashes = 48
   private val MinhashBands = 6
   private val MinhashRows = MinhashHashes / MinhashBands
-  private val P32 = 4294967291L // largest prime < 2^32
-  // multipliers < 2^31 keep (h & 0xffffffff) * a + b below 2^63: no
-  // overflow, so the expression is safe under spark.sql.ansi.enabled.
-  private val mhA = (0 until MinhashHashes).map(i => ((splitmix(2 * i) & Long.MaxValue) % (Int.MaxValue - 1L)) + 1L)
-  private val mhB = (0 until MinhashHashes).map(i => (splitmix(2 * i + 1) & Long.MaxValue) % P32)
 
   /** Distinct 3-gram shingle hashes of `text` — used only on candidate
     * pairs for exact-Jaccard verification.
@@ -82,18 +77,14 @@ object SimilarityOps {
     "q30_minhash_lsh",
     (s, dir) => {
       val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
-      // one xxhash64 per shingle; minhash family is arithmetic on it
-      val shingleRows = base
-        .select(col("doc_id"),
-          explode(expr("sequence(1, greatest(length(text) - 2, 1))")).as("pos"),
-          col("text"))
-        .select(col("doc_id"), expr("xxhash64(substring(text, pos, 3)) & 4294967295").as("h"))
-      val sigs = shingleRows.groupBy("doc_id").agg(
-        expr(s"min(pmod(h * ${mhA(0)}L + ${mhB(0)}L, ${P32}L))").as("m0"),
-        (1 until MinhashHashes).map(i =>
-          expr(s"min(pmod(h * ${mhA(i)}L + ${mhB(i)}L, ${P32}L))").as(s"m$i")): _*)
+      // signature is ROW-LOCAL via the codegen'd MinHashSig expression:
+      // no shingle explode, no signature shuffle — only (doc_id, band)
+      // rows ever reach an exchange (see graft.plans.Signatures)
+      val sigs = base.select(col("doc_id"),
+        graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"))
       val bandStructs = (0 until MinhashBands).map { b =>
-        val ms = (0 until MinhashRows).map(r => s"m${b * MinhashRows + r}").mkString(", ")
+        val ms = (0 until MinhashRows)
+          .map(r => s"element_at(sig, ${b * MinhashRows + r + 1})").mkString(", ")
         s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
       }.mkString(", ")
       val bands = sigs.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
@@ -132,17 +123,9 @@ object SimilarityOps {
     "q31_simhash",
     (s, dir) => {
       val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
-      val toks = base
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val votes = toks.groupBy("doc_id").agg(
-        expr("sum(cast((shiftright(h, 0) & 1) * 2 - 1 as int))").as("v0"),
-        (1 until 64).map(b =>
-          expr(s"sum(cast((shiftright(h, $b) & 1) * 2 - 1 as int))").as(s"v$b")): _*)
-      val assemble = (0 until 64)
-        .map(b => s"if(v$b > 0, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))")
-        .mkString(" | ")
-      val sigs = votes.select(col("doc_id"), expr(assemble).as("sig"))
+      // row-local codegen'd signature — no token explode, no vote shuffle
+      val sigs = base.select(col("doc_id"),
+        graft.plans.SimHashSig.of(col("text")).as("sig"))
       val chunks = sigs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), i -> shiftright(sig, i * 16) & 65535)"))

@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{GraftColumnBridge => CB}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for near-dup signatures.
+  *
+  * Why expressions and not the explode+groupBy formulation: computing a
+  * MinHash/SimHash signature is a ROW-LOCAL reduction over a document's
+  * shingles/tokens. Expressing it relationally (explode shingles →
+  * shuffle → 48 min() aggregates) works, but ships one row per shingle
+  * into an exchange — at 100 TB that shuffle dwarfs everything else in
+  * the dedup pipeline. These expressions compute the whole signature
+  * inside the scan stage (single pass over the string bytes, no
+  * intermediate rows, no shuffle), so the only data that ever moves is
+  * (doc_id, band_hash).
+  *
+  * Both implement `doGenCode` by delegating to a static `compute`
+  * method — the generated code stays a single call, lives inside
+  * WholeStageCodegen, and avoids the interpreted-eval fallback that
+  * makes higher-order-function lambdas slow.
+  *
+  * Reference analogue: the per-file link hash dedup
+  * (kris-dev-hub/globallinks cmd/importer/main.go:237-247) generalized
+  * to near-duplicate signatures.
+  */
+object Signatures {
+
+  private[plans] def splitmix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Carter-Wegman parameters; same family as the SQL formulation. */
+  private val P32 = 4294967291L
+  private[plans] def hashParams(k: Int): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(k)(i => ((splitmix(2 * i) & Long.MaxValue) % (Int.MaxValue - 1L)) + 1L)
+    val b = Array.tabulate(k)(i => (splitmix(2 * i + 1) & Long.MaxValue) % P32)
+    (a, b)
+  }
+
+  /** Single pass over the UTF-8 bytes: for each 3-byte shingle, one
+    * XXH64, then k running minima of (a_i*h32+b_i) mod p. O(len*k) with
+    * zero allocation beyond the signature array.
+    */
+  def minhash(s: UTF8String, k: Int): ArrayData = {
+    val (as, bs) = MinHashSig.params(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    val last = math.max(n - 3, 0)
+    var i = 0
+    while (i <= last) {
+      val len = math.min(3, n - i)
+      if (len > 0) {
+        val h = XXH64.hashUnsafeBytes(base, off + i, len, 42L) & 4294967295L
+        var j = 0
+        while (j < k) {
+          val v = (h * as(j) + bs(j)) % P32
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: one pass, per-token XXH64,
+    * per-bit vote counters, sign → bit.
+    */
+  def simhash(s: UTF8String, seed: Long): Long = {
+    val votes = new Array[Int](64)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val atEnd = i == n
+      val isSpace = !atEnd && org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte
+      if (atEnd || isSpace) {
+        if (i >= start) { // empty tokens vote too (split(' ') semantics)
+          val h = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+          var b = 0
+          while (b < 64) {
+            votes(b) += (((h >>> b) & 1L) * 2 - 1).toInt
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `minhash_sig(text)` → array<bigint> of k minhashes. */
+case class MinHashSig(child: Expression, numHashes: Int = 48)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.minhash(input.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Signatures.minhash($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  // cache per-k parameters; k is a plan-time constant
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def params(k: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(k, Signatures.hashParams)
+
+  def of(c: Column, k: Int = 48): Column =
+    CB.column(MinHashSig(CB.expression(c), k))
+}
+
+/** `simhash_sig(text)` → bigint 64-bit SimHash. */
+case class SimHashSig(child: Expression, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.simhash(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Signatures.simhash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  def of(c: Column): Column =
+    CB.column(SimHashSig(CB.expression(c)))
+}

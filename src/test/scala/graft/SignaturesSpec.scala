@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.{MinHashSig, Signatures, SimHashSig}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class SignaturesSpec extends SparkSpec {
+
+  test("simhash expression equals the direct computation and is stable") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "the quick brown fox", "a b c", "one")
+    val got = texts.toDF("text")
+      .select(SimHashSig.of(col("text")).as("sig"))
+      .collect().map(_.getLong(0))
+    val want = texts.map(t => Signatures.simhash(UTF8String.fromString(t), 42L))
+    assert(got.toSeq == want)
+    assert(got(0) == got(1), "identical text => identical signature")
+    assert(got(0) != got(2))
+  }
+
+  test("minhash expression: near-identical texts share most of the signature") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog many many times today"
+    val b = "Zhe quick brown fox jumps over the lazy dog many many times today"
+    val sigs = Seq(a, b).toDF("text")
+      .select(MinHashSig.of(col("text"), 48).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val same = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    assert(same >= 40, s"expected near-dup texts to agree on most minhashes, got $same/48")
+    assert(sigs(0).length == 48 && sigs(0).distinct.length > 20)
+  }
+
+  test("expressions are registered for SQL and codegen'd (no fallback)") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT simhash_sig('a b c') AS s, minhash_sig('abcdef', 8) AS m")
+      .collect().head
+    assert(viaSql.getLong(0) == Signatures.simhash(UTF8String.fromString("a b c"), 42L))
+    assert(viaSql.getSeq[Long](1).length == 8)
+    // the generated Java must call straight into the static helpers —
+    // proof the expression codegens instead of interpreted fallback
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      Tables.table(spark, sfDir, "documents")
+        .select(SimHashSig.of(col("text")), MinHashSig.of(col("text")))
+        .queryExecution.executedPlan)
+    assert(code.contains("Signatures.simhash"), "simhash not in generated code")
+    assert(code.contains("Signatures.minhash"), "minhash not in generated code")
+  }
+
+  test("null and empty inputs are safe") {
+    import spark.implicits._
+    val rows = Seq(Some("abc"), Some(""), None).toDF("text")
+      .select(SimHashSig.of(col("text")).as("s"), MinHashSig.of(col("text"), 4).as("m"))
+      .collect()
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    assert(!rows(1).isNullAt(0))
+  }
+}
