@@ -46,6 +46,10 @@ object TextOps {
   /** Token counting: whitespace tokens via length arithmetic (identical
     * on both engines), aggregated per language.
     */
+  /** Two tokenizations per doc: whitespace tokens and a BPE-ish
+    * word/number/punct-run regex (the usual pre-tokenizer shape),
+    * aggregated per language.
+    */
   val q26_token_count: GraftQuery = GraftQuery(
     "q26_token_count",
     (s, dir) =>
@@ -53,20 +57,25 @@ object TextOps {
         .select(col("lang"),
           (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
             .as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+            .as("n_bpe_tokens"),
           length(col("text")).as("n_chars"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          sum(col("n_bpe_tokens")).cast("bigint").as("total_bpe_tokens"),
           sum(col("n_chars")).cast("bigint").as("total_chars"),
           (sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"))
             .as("chars_per_token")),
     Some("""SELECT lang, COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS chars_per_token
            |FROM (SELECT lang,
            |        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           |        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
            |        length(text) AS n_chars
            |      FROM documents) t
            |GROUP BY lang""".stripMargin)
@@ -168,7 +177,65 @@ object TextOps {
         |      CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8""".stripMargin)
   )
 
+  /** Near-dup CLUSTERING: connected components over the q29 pair graph
+    * via iterative min-label propagation — each iteration is one
+    * join + aggregate, with `localCheckpoint` truncating lineage so the
+    * plan doesn't grow with iterations (the standard DataFrame-native
+    * iterative-graph pattern; components here are tiny so it converges
+    * in 2-3 rounds, and the loop exits on a fixpoint count). The oracle
+    * is a DuckDB recursive CTE computing min-reachable-id per node —
+    * an independent formulation of the same components.
+    */
+  val q36_dup_clusters: GraftQuery = GraftQuery(
+    "q36_dup_clusters",
+    (s, dir) => {
+      val pairs = q29_ngram_jaccard.run(s, dir).select(col("a_id"), col("b_id"))
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    },
+    Some("WITH RECURSIVE " + Tables.docsNearDupsCte.stripPrefix("WITH ") +
+      """, shingled AS (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |                  i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+        |  FROM alldocs),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM shingled a JOIN shingled b
+        |    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM pairs),
+        |reach(src, lbl) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
+        |SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
-    q28_langid, q29_ngram_jaccard)
+    q28_langid, q29_ngram_jaccard, q36_dup_clusters)
 }
