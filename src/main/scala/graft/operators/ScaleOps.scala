@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: explicit skew mitigation and sketch
+  * aggregates. These exist to keep the 100 TB posture honest — the
+  * techniques are exercised (and oracle-checked where exact) at test
+  * scale so they're ready when a key is hot or an exact distinct is
+  * unaffordable.
+  */
+object ScaleOps {
+
+  private val SaltBuckets = 16
+
+  /** Salted shuffle join for skewed keys. `link_domain` is Zipfian (a
+    * few domains dominate); a plain shuffle join puts each hot key in
+    * ONE reducer task. Salting fans the fact side into `SaltBuckets`
+    * sub-keys and replicates the dim side across them, so a hot key
+    * occupies 16 tasks instead of 1. AQE's skew-join split handles
+    * mid-size skew automatically; explicit salting is the deterministic
+    * fallback for pathological keys (and composes with any join type).
+    * The shuffle_hash hint forces the exchange so the pattern is
+    * actually exercised (Catalyst would otherwise broadcast this tiny
+    * dim — at 100 TB a per-domain dim may be far beyond broadcast
+    * range).
+    *
+    * The oracle is the UNSALTED join: salting must be semantically
+    * invisible, and the hash-exact compare proves it.
+    */
+  val q37_salted_join: GraftQuery = GraftQuery(
+    "q37_salted_join",
+    (s, dir) => {
+      val links = Tables.links(s, dir)
+      val dim = links.select(col("link_domain")).distinct()
+        .withColumn("domain_weight", length(col("link_domain")).cast("bigint"))
+      val saltedFact = links.withColumn("salt", pmod(col("src_key"), lit(SaltBuckets)))
+      val saltedDim = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(SaltBuckets - 1)))) // replicate dim per salt
+      saltedFact
+        .join(saltedDim.hint("shuffle_hash"), Seq("link_domain", "salt"))
+        .groupBy(col("link_domain"))
+        .agg(
+          sum(col("qty") * col("domain_weight")).cast("bigint").as("weighted_qty"),
+          count(lit(1)).as("n_links"))
+    },
+    Some(Tables.linksCte +
+      """SELECT l.link_domain,
+        |  CAST(SUM(l.qty * length(l.link_domain)) AS BIGINT) AS weighted_qty,
+        |  COUNT(*) AS n_links
+        |FROM links l
+        |GROUP BY l.link_domain""".stripMargin)
+  )
+
+  /** Sketch aggregates for 100 TB cardinality/quantile questions:
+    * HyperLogLog++ distinct counts and an approximate percentile, next
+    * to their exact counterparts. Sketch outputs are engine-specific
+    * (no DuckDB parity); ScaleOpsSpec bounds the relative error
+    * against the exact columns instead.
+    */
+  val q38_approx_stats: GraftQuery = GraftQuery(
+    "q38_approx_stats",
+    (s, dir) =>
+      Tables.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          expr("approx_percentile(value, 0.5)").as("p50_value"),
+          expr("approx_percentile(value, 0.95)").as("p95_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n_events")),
+    None // sketches are engine-specific; error-bounded in ScaleOpsSpec
+  )
+
+  val all: Seq[GraftQuery] = Seq(q37_salted_join, q38_approx_stats)
+}
