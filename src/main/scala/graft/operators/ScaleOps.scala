@@ -74,5 +74,27 @@ object ScaleOps {
     None // sketches are engine-specific; error-bounded in ScaleOpsSpec
   )
 
-  val all: Seq[GraftQuery] = Seq(q37_salted_join, q38_approx_stats)
+  /** Top-k per group through the CUSTOM physical operator
+    * (graft.plans.TopKPerGroup: bounded heaps + partial/final split)
+    * instead of a window sort — the oracle is the row_number
+    * formulation, so the hash-exact compare proves the operator
+    * implements identical semantics with a fraction of the shuffle.
+    */
+  val q39_topk_per_group: GraftQuery = GraftQuery(
+    "q39_topk_per_group",
+    (s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopKPerGroup(o,
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           |  FROM orders) t WHERE rk <= 3""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(q37_salted_join, q38_approx_stats, q39_topk_per_group)
 }

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{GraftColumnBridge => CB, GraftDatasetBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+import scala.collection.mutable
+
+/** Top-k rows per group as a FIRST-CLASS operator: logical plan +
+  * planner strategy + physical exec, registered via
+  * `SparkSessionExtensions` (or `spark.experimental.extraStrategies`).
+  *
+  * Why not `row_number().over(window) <= k`: the window formulation
+  * SORTS every group in full — O(n log n) per group, all rows shuffled.
+  * This operator keeps a bounded heap of k rows per group — O(n log k)
+  * — and plans as TWO physical stages like an aggregate:
+  *
+  *   partial TopKPerGroupExec   (per input partition, no distribution
+  *                               requirement — runs in the scan stage)
+  *      → Exchange(group)       (shuffles at most k rows per group per
+  *                               input partition, not the whole table)
+  *   final TopKPerGroupExec     (exact top-k per group)
+  *
+  * At 100 TB the difference is the shuffle: the window plan moves every
+  * row; this moves ≤ k·partitions rows per group.
+  *
+  * Reference analogue: the LinkDB API's sort+limit page serving
+  * (controller.go:46-95), generalized to per-key top-k.
+  */
+case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap top-k per group. `partial = true` instances accept any
+  * child distribution (map-side); the final instance requires
+  * clustering on the group key, which makes Catalyst insert the
+  * exchange between the two.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
+    val childOutput = child.output
+    val groupExprsB = groupExprs
+    val orderB = order
+    val kB = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(groupExprsB, childOutput)
+      val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderB, childOutput)
+      // max-heap: worst row on top, evicted when a better one arrives
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kB) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      numGroups += heaps.size
+      heaps.valuesIterator.flatMap { h =>
+        val rows = h.dequeueAll.reverse // ascending by ord — deterministic
+        numOutputRows += rows.size
+        rows.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** `topKPerGroup(df, Seq($"cust"), Seq($"price".desc, $"id"), 3)` —
+    * exact top-k rows per group under a total order (include a
+    * tiebreak column for row_number-identical semantics).
+    */
+  def apply(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val order = orderCols.map(c => CB.expressionEager(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    val plan = TopKPerGroupPlan(
+      groupCols.map(CB.expressionEager), order, k, df.queryExecution.analyzed)
+    GraftDatasetBridge.ofRows(spark, plan)
+  }
+}
