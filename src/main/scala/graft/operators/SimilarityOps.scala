@@ -295,7 +295,57 @@ object SimilarityOps {
     None // crc32/xxhash64 fake-decode has no DuckDB equivalent; covered by SimilaritySpec
   )
 
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  /** IVF (inverted-file) cosine ANN — the centroid-bucketed alternative
+    * to q34's hyperplane LSH. Deterministic "training": every 31st
+    * vector is a centroid (at scale: a kmeans fit on a sample, still a
+    * driver-side broadcastable artifact). Index = each vector assigned
+    * to its nearest centroid (one broadcast-join scan, `max_by`
+    * assignment — no shuffle of the embedding column beyond the cell
+    * regroup). Search probes only the top-`IvfProbes` cells per query,
+    * scanning IvfProbes/IvfCells of the data instead of all of it.
+    */
+  val q40_ivf_cosine: GraftQuery = GraftQuery(
+    "q40_ivf_cosine",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.table(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .limit(IvfCells)
+      def cos(a: String, b: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)") /
+          (expr(normExpr(a)) * expr(normExpr(b)))
+      // index: nearest centroid per vector (broadcast scan + max_by)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cos("embedding", "c_emb"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(c_id, struct(c_cos, -c_id))").as("cell"),
+          first(col("embedding")).as("embedding"))
+      // search: probe the IvfProbes nearest cells per query
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val probes = qs.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cos("q_emb", "c_emb"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= IvfProbes)
+        .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+      probes.join(assigned.withColumnRenamed("vec_id", "n_id")
+          .withColumnRenamed("embedding", "n_emb"), "cell")
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cosine", cos("q_emb", "n_emb"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
+    },
+    None // ANN recall measured against q32's exact top-k in SimilaritySpec
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q31_simhash, q32_cosine_topk, q33_embed_stats,
-    q34_lsh_cosine, q35_multimodal)
+    q34_lsh_cosine, q35_multimodal, q40_ivf_cosine)
 }

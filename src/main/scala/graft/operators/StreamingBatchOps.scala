@@ -48,5 +48,23 @@ object StreamingBatchOps {
            |FROM s GROUP BY user_id, sid""".stripMargin)
   )
 
-  val all: Seq[GraftQuery] = Seq(s01_stream_window, s02_stream_session)
+  /** Batch form of the streaming dedup, over a stream with injected
+    * exact duplicates (events ∪ events).
+    */
+  val s03_stream_dedup: GraftQuery = GraftQuery(
+    "s03_stream_dedup",
+    (s, dir) => {
+      val e = Tables.table(s, dir, "events")
+      StreamOps.dedupEvents(e.unionAll(e), streaming = false)
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_unique_events
+           |FROM (
+           |  SELECT DISTINCT event_id, event_type FROM (
+           |    SELECT event_id, event_type FROM events
+           |    UNION ALL
+           |    SELECT event_id, event_type FROM events) u) d
+           |GROUP BY event_type""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(s01_stream_window, s02_stream_session, s03_stream_dedup)
 }

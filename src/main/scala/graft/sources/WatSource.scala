@@ -32,9 +32,15 @@ object WatSource {
     StructField("text", StringType),
     StructField("rel", StringType))))
 
+  private val headLinksType = ArrayType(StructType(Seq(
+    StructField("path", StringType),
+    StructField("url", StringType),
+    StructField("rel", StringType))))
+
   private val headType = StructType(Seq(
     StructField("Title", StringType),
-    StructField("Metas", metasType)))
+    StructField("Metas", metasType),
+    StructField("Link", headLinksType)))
   private val htmlMetaType = StructType(Seq(
     StructField("Head", headType),
     StructField("Links", linksType)))
@@ -63,6 +69,7 @@ object WatSource {
         substring(col("w.Envelope.`WARC-Header-Metadata`.`WARC-Date`"), 1, 10).as("crawl_date"),
         col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Title").as("title"),
         col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Metas").as("metas"),
+        col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Link").as("head_links"),
         col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links").as("links"))
       .filter(col("page_url").isNotNull && col("page_url").startsWith("http"))
       // robots meta flags (wat.go getNoFollowNoIndex)
@@ -80,6 +87,24 @@ object WatSource {
       .withColumn("page_rawquery", urlRawQuery(col("page_url")))
       .withColumn("page_scheme", schemeCode(urlScheme(col("page_url"))))
       .filter(isValidHost(col("page_host")))
+      // canonical-link gate (wat.go:758-815): a page whose
+      // rel=canonical points at another host or path — or that carries
+      // a query while declaring a canonical — is a duplicate-content
+      // page and is dropped
+      .withColumn("canon", try_element_at( // ANSI-safe on empty arrays
+        filter(coalesce(col("head_links"), array()), l =>
+          l.getField("rel") === "canonical" &&
+            l.getField("url").isNotNull && l.getField("url") =!= ""), lit(1)))
+      .withColumn("canon_url", normalizeUrl(col("canon.url")))
+      .withColumn("canon_abs", col("canon_url").startsWith("http"))
+      .withColumn("canon_path",
+        when(col("canon_abs"), urlPath(col("canon_url"))).otherwise(col("canon_url")))
+      .filter(col("canon").isNull || (
+        (!col("canon_abs") || urlHost(col("canon_url")) === col("page_host")) &&
+          (when(col("canon_path") === "", "/").otherwise(col("canon_path")) ===
+            when(col("page_path") === "", "/").otherwise(col("page_path"))) &&
+          col("page_rawquery") === ""))
+      .drop("canon", "canon_url", "canon_abs", "canon_path")
 
   /** One row per kept outbound link, in the compacted-link input schema
     * (ready for LinkCompaction). `ignoreDomains` mirrors the

@@ -39,6 +39,21 @@ object StreamOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** s03: streaming exact dedup. On a stream, state is bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`: a duplicate arriving
+    * within the watermark horizon is dropped, state beyond it expires —
+    * THE way to dedup an unbounded stream with finite memory); on
+    * batch, plain dropDuplicates gives the identical result set.
+    */
+  def dedupEvents(events: DataFrame, streaming: Boolean): DataFrame = {
+    val deduped =
+      if (streaming)
+        events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    deduped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_events"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Split events (sorted by (us, event_id)) into gap-delimited sessions. */

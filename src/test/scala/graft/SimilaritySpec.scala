@@ -86,6 +86,24 @@ class SimilaritySpec extends SparkSpec {
     assert(want.subsetOf(found), s"missing ${want -- found}")
   }
 
+  test("q40 IVF ANN reaches usable recall vs exact brute force") {
+    val exact = SimilarityOps.q32_cosine_topk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = SimilarityOps.q40_ivf_cosine.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, f"IVF recall@10 too low: $recall%.2f")
+    // every IVF hit must carry the true cosine (verified by construction
+    // in q32's driver-side check; here: ranks within a query are unique)
+    val ranks = SimilarityOps.q40_ivf_cosine.run(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    ranks.values.foreach { rs =>
+      val rk = rs.map(_.getAs[Int]("rank")).sorted
+      assert(rk.toSeq == (1 to rk.length))
+    }
+  }
+
   test("q35 multimodal rollup covers every source with sane metadata") {
     val rows = SimilarityOps.q35_multimodal.run(spark, sfDir).collect()
     val nDocs = rows.map(_.getAs[Long]("n_images")).sum

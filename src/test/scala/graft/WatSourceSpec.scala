@@ -9,14 +9,18 @@ import java.util.zip.GZIPOutputStream
 class WatSourceSpec extends SparkSpec {
 
   private def watLine(uri: String, ip: String, date: String,
-      robots: Option[String], links: Seq[(String, String, String, String)]): String = {
+      robots: Option[String], links: Seq[(String, String, String, String)],
+      canonical: Option[String] = None): String = {
     val metas = robots.map(r =>
       s"""{"name":"robots","content":"$r"}""").getOrElse("""{"name":"viewport","content":"x"}""")
+    val headLinks = canonical
+      .map(c => s"""[{"path":"LINK@/href","url":"$c","rel":"canonical"}]""")
+      .getOrElse("[]")
     val linksJson = links.map { case (path, url, text, rel) =>
       s"""{"path":"$path","url":"$url","text":"$text","rel":"$rel"}"""
     }.mkString("[", ",", "]")
     s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-IP-Address":"$ip","WARC-Date":"$date"},""" +
-      s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[$metas]},"Links":$linksJson}}}}}"""
+      s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[$metas],"Link":$headLinks},"Links":$linksJson}}}}}"""
   }
 
   private lazy val fixture: String = {
@@ -38,14 +42,32 @@ class WatSourceSpec extends SparkSpec {
         ("A@/href", "//proto.rel.net/path", "pr", ""),
         ("A@/href", "http://assets.net/logo.png", "img", ""), // ignored ext
         ("A@/href", "http://192.168.0.1/x", "ip", ""))) + "\n") // ip host -> dropped
+    // canonical points at another path -> the whole page is dropped
+    w.write(watLine("https://dup.example.com/copy", "9.9.9.9", "2024-07-01T00:00:00Z",
+      None, Seq(("A@/href", "http://kept-anyway.com/x", "t", "")),
+      canonical = Some("/original")) + "\n")
+    // canonical agrees with the page -> kept
+    w.write(watLine("https://canon.example.com/self", "8.8.8.8", "2024-07-02T00:00:00Z",
+      None, Seq(("A@/href", "http://fromcanon.org/y", "t", "")),
+      canonical = Some("https://canon.example.com/self")) + "\n")
     w.write("{ this is not valid json\n")
     w.close()
     f.getAbsolutePath
   }
 
+  test("canonical-link gate drops mismatched pages, keeps agreeing ones") {
+    val hosts = WatSource.pages(spark, fixture).collect()
+      .map(_.getAs[String]("page_host")).toSet
+    assert(!hosts.contains("dup.example.com"), "mismatched canonical must drop the page")
+    assert(hosts.contains("canon.example.com"), "matching canonical must keep the page")
+    val l = WatSource.links(spark, fixture).collect()
+    assert(!l.exists(_.getAs[String]("link_domain") == "kept-anyway.com"))
+    assert(l.exists(_.getAs[String]("link_domain") == "fromcanon.org"))
+  }
+
   test("pages parses envelope fields and robots metas") {
     val p = WatSource.pages(spark, fixture).collect()
-    assert(p.length == 2)
+    assert(p.length == 3) // sitea, b.org, canon.example.com (dup dropped)
     val a = p.find(_.getAs[String]("page_host") == "www.sitea.com").get
     assert(a.getAs[Int]("noindex") == 1 && a.getAs[Int]("page_nofollow") == 1)
     assert(a.getAs[String]("page_domain") == "sitea.com")
@@ -60,7 +82,8 @@ class WatSourceSpec extends SparkSpec {
     // page A: ext1.com kept; sub.ext2.co.uk kept with eTLD+1 split;
     // self/same-host, IMG, relative all dropped.
     // page B: proto.rel.net kept via protocol-relative; .png and IP dropped.
-    assert(byDomain.keySet == Set("ext1.com", "ext2.co.uk", "rel.net"))
+    // canonical page contributes fromcanon.org.
+    assert(byDomain.keySet == Set("ext1.com", "ext2.co.uk", "rel.net", "fromcanon.org"))
     val e2 = byDomain("ext2.co.uk")
     assert(e2.getAs[String]("link_subdomain") == "sub")
     assert(e2.getAs[String]("link_rawquery") == "q=1")
@@ -80,7 +103,7 @@ class WatSourceSpec extends SparkSpec {
 
   test("wat links flow into compaction") {
     val compacted = graft.operators.LinkCompaction.compact(WatSource.links(spark, fixture))
-    assert(compacted.count() == 3)
-    assert(compacted.agg(sum("qty")).head.getLong(0) == 3)
+    assert(compacted.count() == 4)
+    assert(compacted.agg(sum("qty")).head.getLong(0) == 4)
   }
 }
