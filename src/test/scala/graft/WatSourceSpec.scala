@@ -23,7 +23,7 @@ class WatSourceSpec extends SparkSpec {
       s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[$metas],"Link":$headLinks},"Links":$linksJson}}}}}"""
   }
 
-  private lazy val fixture: String = {
+  lazy val fixturePath: String = {
     val dir = Files.createTempDirectory("wat").toFile
     val f = new java.io.File(dir, "test.wat.gz")
     val w = new BufferedWriter(new OutputStreamWriter(
@@ -56,17 +56,17 @@ class WatSourceSpec extends SparkSpec {
   }
 
   test("canonical-link gate drops mismatched pages, keeps agreeing ones") {
-    val hosts = WatSource.pages(spark, fixture).collect()
+    val hosts = WatSource.pages(spark, fixturePath).collect()
       .map(_.getAs[String]("page_host")).toSet
     assert(!hosts.contains("dup.example.com"), "mismatched canonical must drop the page")
     assert(hosts.contains("canon.example.com"), "matching canonical must keep the page")
-    val l = WatSource.links(spark, fixture).collect()
+    val l = WatSource.links(spark, fixturePath).collect()
     assert(!l.exists(_.getAs[String]("link_domain") == "kept-anyway.com"))
     assert(l.exists(_.getAs[String]("link_domain") == "fromcanon.org"))
   }
 
   test("pages parses envelope fields and robots metas") {
-    val p = WatSource.pages(spark, fixture).collect()
+    val p = WatSource.pages(spark, fixturePath).collect()
     assert(p.length == 3) // sitea, b.org, canon.example.com (dup dropped)
     val a = p.find(_.getAs[String]("page_host") == "www.sitea.com").get
     assert(a.getAs[Int]("noindex") == 1 && a.getAs[Int]("page_nofollow") == 1)
@@ -77,7 +77,7 @@ class WatSourceSpec extends SparkSpec {
   }
 
   test("links keeps anchors to external valid hosts only") {
-    val l = WatSource.links(spark, fixture).collect()
+    val l = WatSource.links(spark, fixturePath).collect()
     val byDomain = l.map(r => r.getAs[String]("link_domain") -> r).toMap
     // page A: ext1.com kept; sub.ext2.co.uk kept with eTLD+1 split;
     // self/same-host, IMG, relative all dropped.
@@ -96,13 +96,13 @@ class WatSourceSpec extends SparkSpec {
   }
 
   test("ignoreDomains drops blocklisted link domains") {
-    val l = WatSource.links(spark, fixture, ignoreDomains = Seq("ext1.com")).collect()
+    val l = WatSource.links(spark, fixturePath, ignoreDomains = Seq("ext1.com")).collect()
     assert(!l.exists(_.getAs[String]("link_domain") == "ext1.com"))
     assert(l.exists(_.getAs[String]("link_domain") == "rel.net"))
   }
 
   test("wat links flow into compaction") {
-    val compacted = graft.operators.LinkCompaction.compact(WatSource.links(spark, fixture))
+    val compacted = graft.operators.LinkCompaction.compact(WatSource.links(spark, fixturePath))
     assert(compacted.count() == 4)
     assert(compacted.agg(sum("qty")).head.getLong(0) == 4)
   }
