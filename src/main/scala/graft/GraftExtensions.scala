@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{MinHashSig, SimHashSig}
+import graft.plans.{MinHashAgg, MinHashSig, SimHashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,13 +38,23 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("simhash_sig(text) expects 1 argument")
   }
 
+  private def minhashAggBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => MinHashAgg(c)
+    case Seq(c, Literal(k: Int, _)) => MinHashAgg(c, k)
+    case _ => throw new IllegalArgumentException(
+      "minhash_agg(text[, numHashes literal]) expects 1 or 2 arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       minhashBuilder _),
     (FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      simhashBuilder _))
+      simhashBuilder _),
+    (FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      minhashAggBuilder _))
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit =

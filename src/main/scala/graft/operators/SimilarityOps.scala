@@ -345,7 +345,32 @@ object SimilarityOps {
     None // ANN recall measured against q32's exact top-k in SimilaritySpec
   )
 
+  /** Per-GROUP MinHash union sketches via the custom MinHashAgg
+    * aggregate: each domain's link-text profile compresses to 48 longs
+    * (one map-side-combined shuffle), and domain-pair similarity is
+    * estimated from sketch position agreement without ever comparing
+    * texts. At real scale the pair step would itself be LSH-banded
+    * (as in q30) — here the domain count is tiny, so the sketch join
+    * is the demonstration.
+    */
+  val q41_domain_sketch: GraftQuery = GraftQuery(
+    "q41_domain_sketch",
+    (s, dir) => {
+      val sketches = Tables.links(s, dir)
+        .groupBy(col("link_domain"))
+        .agg(graft.plans.MinHashAgg.of(col("link_text"), 48).as("sketch"))
+      val a = sketches.select(col("link_domain").as("a_domain"), col("sketch").as("a_sk"))
+      val b = sketches.select(col("link_domain").as("b_domain"), col("sketch").as("b_sk"))
+      a.join(b, col("a_domain") < col("b_domain"))
+        .withColumn("est_jaccard",
+          expr("size(filter(zip_with(a_sk, b_sk, (x, y) -> x = y), v -> v)) / cast(48 as double)"))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("a_domain"), col("b_domain"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    },
+    None // sketch positions are engine-specific; algebra verified in SignaturesSpec
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q31_simhash, q32_cosine_topk, q33_embed_stats,
-    q34_lsh_cosine, q35_multimodal, q40_ivf_cosine)
+    q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch)
 }

@@ -50,7 +50,10 @@ object Signatures {
     * XXH64, then k running minima of (a_i*h32+b_i) mod p. O(len*k) with
     * zero allocation beyond the signature array.
     */
-  def minhash(s: UTF8String, k: Int): ArrayData = {
+  def minhash(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(minhashArray(s, k))
+
+  def minhashArray(s: UTF8String, k: Int): Array[Long] = {
     val (as, bs) = MinHashSig.params(k)
     val sig = Array.fill(k)(Long.MaxValue)
     val base = s.getBaseObject
@@ -71,7 +74,7 @@ object Signatures {
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    sig
   }
 
   /** 64-bit SimHash over whitespace tokens: one pass, per-token XXH64,

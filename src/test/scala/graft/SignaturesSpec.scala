@@ -46,6 +46,35 @@ class SignaturesSpec extends SparkSpec {
     assert(code.contains("Signatures.minhash"), "minhash not in generated code")
   }
 
+  test("minhash_agg is a mergeable union sketch (associativity + identity)") {
+    import spark.implicits._
+    import graft.plans.MinHashAgg
+    val docs = Seq((0, "aaa bbb ccc"), (0, "ddd eee fff"), (1, "aaa bbb ccc")).toDF("g", "t")
+    // group 1's single-text sketch == the row-local signature
+    val g1 = docs.filter(col("g") === 1)
+      .agg(MinHashAgg.of(col("t"), 16)).collect().head.getSeq[Long](0)
+    val direct = docs.filter(col("g") === 1)
+      .select(MinHashSig.of(col("t"), 16)).collect().head.getSeq[Long](0)
+    assert(g1 == direct)
+    // group 0's union sketch == elementwise min of the row signatures
+    val rows = docs.filter(col("g") === 0)
+      .select(MinHashSig.of(col("t"), 16)).collect().map(_.getSeq[Long](0))
+    val expectedUnion = rows(0).zip(rows(1)).map { case (a, b) => math.min(a, b) }
+    val g0 = docs.filter(col("g") === 0)
+      .agg(MinHashAgg.of(col("t"), 16)).collect().head.getSeq[Long](0)
+    assert(g0 == expectedUnion.toSeq)
+    // and over a repartitioned input (forces partial/merge path)
+    val g0r = docs.filter(col("g") === 0).repartition(4)
+      .agg(MinHashAgg.of(col("t"), 16)).collect().head.getSeq[Long](0)
+    assert(g0r == expectedUnion.toSeq)
+    // SQL registration
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql("SELECT minhash_agg(t, 16) FROM mh_docs WHERE g = 0")
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == expectedUnion.toSeq)
+  }
+
   test("null and empty inputs are safe") {
     import spark.implicits._
     val rows = Seq(Some("abc"), Some(""), None).toDF("text")
