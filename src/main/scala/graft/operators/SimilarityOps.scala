@@ -97,8 +97,10 @@ object SimilarityOps {
         .select(col("p.a_id"), col("p.b_id"))
         .distinct()
       // exact verify on candidates only, against shingle sets computed
-      // ONCE per doc (not per pair — a doc can appear in many pairs)
+      // ONCE per doc (not per pair — a doc can appear in many pairs;
+      // localCheckpoint keeps the a/b join sides from re-deriving them)
       val sh = base.select(col("doc_id"), shingleHashes("text").as("sh"))
+        .localCheckpoint()
       pairs
         .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

@@ -153,6 +153,9 @@ object TextOps {
           array_distinct(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> xxhash64(substring(text, i, 3)))"))
             .as("shingles"))
+        // both sides of the self-join read the shingle arrays; compute
+        // them once instead of once per side
+        .localCheckpoint()
       val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
       val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
       a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
