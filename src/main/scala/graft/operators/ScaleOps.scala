@@ -96,5 +96,55 @@ object ScaleOps {
            |  FROM orders) t WHERE rk <= 3""".stripMargin)
   )
 
-  val all: Seq[GraftQuery] = Seq(q37_salted_join, q38_approx_stats, q39_topk_per_group)
+  /** As-of join — Spark has no native operator for "each left row picks
+    * the latest right row at or before its time". The naive inequality
+    * join is a quadratic range join; the scalable formulation is the
+    * union + running-window trick: tag both sides, sort each key's
+    * timeline once (orders before events at equal dates so same-day
+    * orders apply), and carry the latest order date forward with a
+    * running max — ONE shuffle on the join key, linear work.
+    * Oracle: DuckDB's NATIVE `ASOF LEFT JOIN`, so the hash-exact
+    * compare certifies the rewrite against an independent
+    * first-class implementation. Output aggregates at date
+    * granularity (tie-ambiguous row identity never surfaces).
+    */
+  val q42_asof_join: GraftQuery = GraftQuery(
+    "q42_asof_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(1500)).as("cust"),
+          to_date(col("ts")).as("d"), lit(1).as("kind"), col("event_type"))
+      val ord = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderdate").cast("date").as("d"),
+          lit(0).as("kind"), lit(null).cast("string").as("event_type"))
+      val w = Window.partitionBy(col("cust"))
+        .orderBy(col("d").asc, col("kind").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.unionAll(ev)
+        .withColumn("last_order_d", max(when(col("kind") === 0, col("d"))).over(w))
+        .filter(col("kind") === 1)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("last_order_d")).as("n_matched"),
+          sum(datediff(col("d"), col("last_order_d"))).cast("bigint").as("total_gap_days"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type, user_id % 1500 AS cust,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS edate
+           |  FROM events),
+           |o AS (SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS odate FROM orders),
+           |j AS (
+           |  SELECT e.event_type, e.edate, o.odate
+           |  FROM e ASOF LEFT JOIN o
+           |    ON e.cust = o.cust AND e.edate >= o.odate)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |  COUNT(odate) AS n_matched,
+           |  CAST(SUM(datediff('day', odate, edate)) AS BIGINT) AS total_gap_days
+           |FROM j GROUP BY event_type""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    q37_salted_join, q38_approx_stats, q39_topk_per_group, q42_asof_join)
 }

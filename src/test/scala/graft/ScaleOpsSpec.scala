@@ -23,6 +23,28 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected a shuffle join in:\n$plan")
   }
 
+  test("q42 as-of join matches a naive (quadratic) range-join recompute") {
+    val got = ScaleOps.q42_asof_join.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_matched"), r.getAs[Long]("total_gap_days")))).toMap
+    // independent naive formulation: inequality join + max(order date)
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(pmod(col("user_id"), lit(1500)).as("cust"), to_date(col("ts")).as("edate"),
+        col("event_type"), col("event_id"))
+    val ord = Tables.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("ocust"), col("o_orderdate").cast("date").as("odate"))
+    val naive = ev.join(ord, col("cust") === col("ocust") && col("edate") >= col("odate"), "left")
+      .groupBy(col("event_id"), col("event_type"), col("edate"))
+      .agg(max(col("odate")).as("last_order_d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("last_order_d")).as("n_matched"),
+        sum(datediff(col("edate"), col("last_order_d"))).cast("bigint").as("g"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_matched"), r.getAs[Long]("g")))).toMap
+    assert(got == naive)
+  }
+
   test("q38 sketch estimates stay within tolerance of exact values") {
     val rows = ScaleOps.q38_approx_stats.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
