@@ -145,6 +145,56 @@ object ScaleOps {
            |FROM j GROUP BY event_type""".stripMargin)
   )
 
+  /** Range (interval) join via bucketing. Joining events into order
+    * validity windows with a raw `BETWEEN` predicate gives Spark a
+    * BroadcastNestedLoop/cartesian plan — quadratic at scale. The
+    * scalable shape: explode each 30-day interval into the ~5 weekly
+    * buckets it covers, map each event to its week, equi-join on
+    * (cust, week) — shuffle-hash-joinable, linear in matches — then
+    * apply the exact BETWEEN as a post-filter. The oracle is the naive
+    * inequality join in DuckDB, so the hash-exact compare proves the
+    * bucketing is lossless. Event dates derive deterministically from
+    * event_id so both engines see the same 1995-era timeline.
+    */
+  val q43_range_join: GraftQuery = GraftQuery(
+    "q43_range_join",
+    (s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(1500)).as("cust"), col("event_type"),
+          col("event_id"),
+          pmod(col("event_id"), lit(1000)).cast("int").as("eday"))
+        .withColumn("ewk", (col("eday") / 7).cast("int"))
+      val ord = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("sday"))
+        .withColumn("eday_end", col("sday") + 29)
+        .withColumn("wk", explode(expr(
+          "sequence(cast(floor(sday / 7) as int), cast(floor((sday + 29) / 7) as int))")))
+      ev.join(ord.withColumnRenamed("wk", "ewk"), Seq("cust", "ewk"))
+        .filter(col("eday").between(col("sday"), col("eday_end")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_events_matched"),
+          sum(col("eday") - col("sday")).cast("bigint").as("total_offset_days"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id % 1500 AS cust, event_type, event_id,
+           |         CAST(event_id % 1000 AS INTEGER) AS eday
+           |  FROM events),
+           |o AS (
+           |  SELECT o_custkey AS cust, o_orderkey,
+           |         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS sday
+           |  FROM orders)
+           |SELECT event_type, COUNT(*) AS n_pairs,
+           |  COUNT(DISTINCT event_id) AS n_events_matched,
+           |  CAST(SUM(eday - sday) AS BIGINT) AS total_offset_days
+           |FROM e JOIN o
+           |  ON e.cust = o.cust AND e.eday BETWEEN o.sday AND o.sday + 29
+           |GROUP BY event_type""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    q37_salted_join, q38_approx_stats, q39_topk_per_group, q42_asof_join)
+    q37_salted_join, q38_approx_stats, q39_topk_per_group, q42_asof_join,
+    q43_range_join)
 }

@@ -60,6 +60,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s01 watermark finalizes windows and discards late events (append mode)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, watermark = true)
+      .writeStream.format("memory").queryName("s01_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(5), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("s01_late").count() == 0, "open window must not emit in append mode")
+      // event at 10:30 -> watermark 10:20 -> the 10:00 window finalizes
+      mem.addData((ts(30), "click", 9.0))
+      q.processAllAvailable()
+      val emitted = spark.table("s01_late").collect()
+        .map(r => (r.getAs[String]("window_start"), r.getAs[Long]("n_events"))).toSet
+      assert(emitted == Set(("2024-01-01 10:00:00", 2L)))
+      // a straggler for the finalized window arrives beyond the watermark
+      mem.addData((ts(2), "click", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("s01_late").count() == 1, "late event must be dropped, not re-emitted")
+    } finally q.stop()
+  }
+
   test("s02 batch form equals the window-function sessionization") {
     import spark.implicits._
     val evs = Tables.table(spark, sfDir, "events")
