@@ -36,9 +36,8 @@ object Pipeline {
       ignoreDomains: Seq[String] = Nil,
       stats: Boolean = true): ImportStats = {
     require(watPaths.nonEmpty, "no WAT segments given")
-    val path = watPaths.mkString(",")
-    val pages = WatSource.pages(spark, path)
-    val links = WatSource.links(spark, path, ignoreDomains)
+    val pages = WatSource.pages(spark, watPaths)
+    val links = WatSource.links(spark, watPaths, ignoreDomains)
     val compacted = LinkCompaction.compact(links)
     LinkStore.write(compacted, s"$outDir/links")
     pages
@@ -47,20 +46,32 @@ object Pipeline {
         col("noindex"), col("page_nofollow"))
       .write.mode("overwrite").parquet(s"$outDir/pages")
     if (stats) {
+      // all counts come from the MATERIALIZED stores: compaction sums
+      // qty, so sum(qty) over the store IS the raw link count — no
+      // third pass over the WAT files just for monitoring numbers
       val stored = LinkStore.read(spark, s"$outDir/links")
+      val (nCompacted, nLinks, nDomains) = {
+        val r = stored.agg(count(lit(1)), sum(col("qty")),
+          countDistinct(col("link_domain"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
+      }
       ImportStats(
         pages = spark.read.parquet(s"$outDir/pages").count(),
-        links = links.count(),
-        compacted = stored.count(),
-        domains = stored.select(col("link_domain")).distinct().count())
+        links = nLinks,
+        compacted = nCompacted,
+        domains = nDomains)
     } else ImportStats(-1, -1, -1, -1)
   }
 
   /** Query surface over an imported store — the LinkDB API bound to a
-    * domain-pruned read.
+    * domain-pruned read. The store keys `link_domain` by eTLD+1, so the
+    * pruning predicate uses the request's registrable domain; the
+    * subdomain part of the request is applied by LinkDb.query itself.
     */
-  def linkDb(spark: SparkSession, outDir: String, domain: String): api.LinkDb =
-    new api.LinkDb(LinkStore.readDomain(spark, s"$outDir/links", domain))
+  def linkDb(spark: SparkSession, outDir: String, domain: String): api.LinkDb = {
+    val (etld1, _) = graft.functions.UrlFns.splitDomain(domain)
+    new api.LinkDb(LinkStore.readDomain(spark, s"$outDir/links", etld1))
+  }
 
   /** Full store scan (for analytics over all domains). */
   def links(spark: SparkSession, outDir: String): DataFrame =

@@ -50,9 +50,13 @@ final case class LinkOut(
   */
 final class LinkDb(links: DataFrame) {
 
+  // includes link_subdomain: the compacted store's unique key is
+  // (domain, subdomain, path, rawquery, page_host), so without it two
+  // distinct rows could tie on the whole sort key and pagination would
+  // be engine-arbitrary at the boundary
   private val defaultSortCols = Seq(
-    "link_domain", "link_path", "link_rawquery", "page_host",
-    "page_path", "page_rawquery", "date_from", "date_to")
+    "link_domain", "link_subdomain", "link_path", "link_rawquery",
+    "page_host", "page_path", "page_rawquery", "date_from", "date_to")
 
   private def sortColumns(req: LinkDbRequest): Seq[Column] = {
     val names = req.sort match {

@@ -29,8 +29,13 @@ object UrlFns {
   def urlPath(u: Column): Column =
     regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
 
+  /** Query = text between the FIRST '?' and the fragment. `[^#?]*`
+    * before the '?' keeps a '?' that appears inside the fragment
+    * (e.g. `/page#sec?x=1`) from inventing a query (RFC 3986: the
+    * fragment starts at the first '#').
+    */
   def urlRawQuery(u: Column): Column =
-    regexp_extract(u, "[?]([^#]*)", 1)
+    regexp_extract(u, "^[^#?]*[?]([^#]*)", 1)
 
   /** Scheme stored as the reference's compact code: http→1, https→2
     * (cmd/importer FileLink format).

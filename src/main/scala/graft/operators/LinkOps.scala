@@ -170,13 +170,13 @@ object LinkOps {
           regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
           regexp_extract(col("url"), "^[a-z]+://([^/?#]+)", 1).as("host"),
           regexp_extract(col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1).as("path"),
-          regexp_extract(col("url"), "[?]([^#]*)", 1).as("query")),
+          regexp_extract(col("url"), "^[^#?]*[?]([^#]*)", 1).as("query")),
     Some(Tables.linksCte +
       s"""SELECT url,
          |  COALESCE(regexp_extract(url, '^([a-z]+)://', 1), '') AS scheme,
          |  COALESCE(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '') AS host,
          |  COALESCE(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '') AS path,
-         |  COALESCE(regexp_extract(url, '[?]([^#]*)', 1), '') AS query
+         |  COALESCE(regexp_extract(url, '^[^#?]*[?]([^#]*)', 1), '') AS query
          |FROM (SELECT DISTINCT $linkUrlSql AS url FROM links) u""".stripMargin)
   )
 

@@ -35,15 +35,10 @@ object SimilarityOps {
     "flatten(transform(ids, (a, i) -> " +
       "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a_id', a, 'b_id', b))))"
 
-  /** splitmix64 — deterministic pseudo-random constants for the hash
-    * families (fixed seed; no runtime randomness so plans replay).
+  /** Deterministic pseudo-random constants come from the shared
+    * splitmix64 mixer (one definition — see graft.plans.Signatures).
     */
-  private def splitmix(i: Long): Long = {
-    var z = i + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def splitmix(i: Long): Long = graft.plans.Signatures.splitmix(i)
 
   // b=6 bands × r=8 rows: P(candidate | jaccard j) = 1-(1-j^8)^6 —
   // ≈1.0 at j=0.97 (the injected dups), 0.52 at j=0.8, 0.10 at j=0.6.
@@ -64,14 +59,13 @@ object SimilarityOps {
 
   /** MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
     *
-    * shingle(3-gram) → xxhash64 once per shingle (exploded rows) →
-    * 32 minhashes as ONE codegen'd hash aggregate (min((a_i*h+b_i) mod p))
-    * → 8 bands × 4 rows hashed via multi-arg xxhash64 → band-bucket
-    * groupBy → within-bucket candidate pairs → exact Jaccard on the
-    * candidates only. With b=8,r=4 the LSH S-curve crosses ~0.6, so
-    * 0.8-similar docs are caught with prob ≈ 1-(1-0.8⁴)⁸ ≈ 0.986.
-    * Reference analogue: dedup-by-hash in importer (main.go:237-247),
-    * generalized to near-dup.
+    * 48 minhashes per doc (row-local MinHashSig expression) → 6 bands
+    * × 8 rows hashed via multi-arg xxhash64 → band-bucket groupBy →
+    * within-bucket candidate pairs → exact Jaccard on the candidates
+    * only. With b=6,r=8: P(candidate | j) = 1-(1-j⁸)⁶ ≈ 1.0 at j=0.97
+    * (the injected dups), 0.52 at 0.8, 0.10 at 0.6 — see the (b,r)
+    * tuning note above. Reference analogue: dedup-by-hash in importer
+    * (main.go:237-247), generalized to near-dup.
     */
   val q30_minhash_lsh: GraftQuery = GraftQuery(
     "q30_minhash_lsh",

@@ -201,7 +201,8 @@ object TextOps {
         .localCheckpoint()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      val maxIters = 64 // diameter bound; near-dup components are shallow
+      while (changed > 0 && iter < maxIters) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
         val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
@@ -213,6 +214,10 @@ object TextOps {
         labels = next
         iter += 1
       }
+      // fail LOUDLY on non-convergence — a silent partial result would
+      // emit multiple cluster ids for one component
+      require(changed == 0,
+        s"label propagation did not converge within $maxIters iterations")
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
     Some("WITH RECURSIVE " + Tables.docsNearDupsCte.stripPrefix("WITH ") +

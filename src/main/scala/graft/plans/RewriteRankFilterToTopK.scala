@@ -41,7 +41,10 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
         Filter(cond, w @ Window(
           Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
           partitionSpec, orderSpec, child, _)))
-        if spec.orderSpec.nonEmpty &&
+        if partitionSpec.nonEmpty && // global top-k would need
+          // ClusteredDistribution(Nil), which Spark rejects — and it
+          // already plans well as TakeOrderedAndProject
+          spec.orderSpec.nonEmpty &&
           // the rank column must not survive the projection
           !p.references.contains(alias.toAttribute) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) &&

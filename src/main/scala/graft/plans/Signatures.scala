@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Signatures {
 
-  private[plans] def splitmix(i: Long): Long = {
+  private[graft] def splitmix(i: Long): Long = {
     var z = i + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -123,6 +123,8 @@ object TopKPerGroup {
     */
   def apply(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (global top-k: use orderBy().limit(k))")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy

@@ -60,7 +60,14 @@ object WatSource {
 
   /** One row per crawled page: URI/IP/date/title, robots flags, links. */
   def pages(spark: SparkSession, path: String): DataFrame =
-    spark.read.textFile(path).toDF("line")
+    pages(spark, Seq(path))
+
+  /** Multi-segment variant: `textFile` treats a comma-joined string as
+    * ONE path (it does not split), so multiple segments must go through
+    * the varargs overload.
+    */
+  def pages(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.textFile(paths: _*).toDF("line")
       .filter(col("line").startsWith("{"))
       .select(from_json(col("line"), watSchema).as("w"))
       .select(
@@ -111,8 +118,15 @@ object WatSource {
     * config.go blocklist; it arrives as a broadcastable local Seq.
     */
   def links(spark: SparkSession, path: String,
+      ignoreDomains: Seq[String]): DataFrame =
+    links(spark, Seq(path), ignoreDomains)
+
+  def links(spark: SparkSession, path: String): DataFrame =
+    links(spark, Seq(path), Nil)
+
+  def links(spark: SparkSession, paths: Seq[String],
       ignoreDomains: Seq[String] = Nil): DataFrame = {
-    val p = pages(spark, path)
+    val p = pages(spark, paths)
     val exploded = p.select(
       col("page_host"), col("page_domain"), col("page_path"),
       col("page_rawquery"), col("page_scheme"), col("ip"),

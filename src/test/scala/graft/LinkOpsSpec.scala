@@ -37,6 +37,18 @@ class LinkOpsSpec extends SparkSpec {
     }
   }
 
+  test("url query extraction ignores '?' inside fragments (RFC 3986)") {
+    import spark.implicits._
+    import graft.functions.UrlFns
+    val rows = Seq(
+      "http://e.com/page#sec?x=1", // '?' only inside fragment -> no query
+      "http://e.com/p?a=1#frag?b=2", // query ends at '#'
+      "http://e.com/p?a=1",
+      "http://e.com/plain").toDF("u")
+      .select(UrlFns.urlRawQuery(col("u"))).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("", "a=1", "a=1", ""))
+  }
+
   test("q20 eTLD+1 honors multi-part suffixes") {
     val rows = LinkOps.q20_etld_domain.run(spark, sfDir).collect()
     val couk = rows.filter(_.getAs[String]("host").endsWith(".co.uk"))

@@ -27,4 +27,27 @@ class PipelineSpec extends SparkSpec {
     val stats2 = Pipeline.importSegments(spark, Seq(fixture), out)
     assert(stats2.compacted == stats.compacted)
   }
+
+  test("multi-segment import reads every WAT file") {
+    val fixture = new WatSourceSpec {}.fixturePath
+    // second segment = a copy of the first under a different name
+    val seg2 = java.nio.file.Files.createTempDirectory("wat2")
+      .resolve("seg2.wat.gz")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), seg2)
+    val out = Files.createTempDirectory("graftstore2").toString
+    val stats = Pipeline.importSegments(spark, Seq(fixture, seg2.toString), out)
+    assert(stats.pages == 6, "both segments' pages must load")
+    assert(stats.links == 8, "raw link count doubles with the duplicated segment")
+    assert(stats.compacted == 4, "compaction merges the duplicate segment's rows")
+  }
+
+  test("linkDb prunes the store by eTLD+1 so subdomain requests work") {
+    val fixture = new WatSourceSpec {}.fixturePath
+    val out = Files.createTempDirectory("graftstore3").toString
+    Pipeline.importSegments(spark, Seq(fixture), out)
+    val viaSub = Pipeline.linkDb(spark, out, "sub.ext2.co.uk")
+      .query(LinkDbRequest("sub.ext2.co.uk"))
+    assert(viaSub.length == 1, "subdomain-qualified request must hit the eTLD+1 partition")
+    assert(viaSub.head.linkUrl == "https://sub.ext2.co.uk/x?q=1")
+  }
 }

@@ -53,6 +53,17 @@ class RewriteRuleSpec extends SparkSpec {
     }
   }
 
+  test("rewrite declines GLOBAL top-k (empty partition spec)") {
+    withRule {
+      val wGlobal = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = orders.withColumn("rk", row_number().over(wGlobal))
+        .filter(col("rk") <= 5).drop("rk")
+      // must neither crash (ClusteredDistribution(Nil)) nor rewrite
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      assert(df.count() == 5)
+    }
+  }
+
   test("rewrite leaves rank()/dense_rank() alone (tie semantics differ)") {
     withRule {
       val df = orders.withColumn("rk", rank().over(w)).filter(col("rk") <= 3).drop("rk")
