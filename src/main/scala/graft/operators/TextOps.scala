@@ -243,7 +243,45 @@ object TextOps {
         |SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src""".stripMargin)
   )
 
+  /** Winnowing document fingerprints (the MOSS scheme): 4-gram hashes →
+    * sliding windows of 5 → per-window minimum → distinct selected
+    * hashes are the doc's fingerprints. Guarantees any match of length
+    * ≥ w+k-1 shares a fingerprint, with ~2/(w+1) selection density —
+    * the local-minima variant of q25's whole-doc hash. Hashes derive
+    * from md5 hex (conv(…,16,10) here, '0x…'::BIGINT in DuckDB) so the
+    * oracle reproduces them bit-for-bit; all row-local, codegen'd
+    * except the small per-doc window transform.
+    */
+  val q44_winnow_fingerprint: GraftQuery = GraftQuery(
+    "q44_winnow_fingerprint",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .withColumn("hs", expr(
+          "transform(sequence(1, greatest(length(text) - 3, 1)), " +
+            "i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))"))
+        .withColumn("fps", array_distinct(expr(
+          "transform(sequence(1, greatest(size(hs) - 4, 1)), j -> array_min(slice(hs, j, 5)))")))
+        .select(col("doc_id"),
+          size(col("fps")).as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"),
+          expr("aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)").as("sum_fp")),
+    Some("""SELECT doc_id, len(fps) AS n_fingerprints,
+           |  list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+           |  CAST(list_sum(fps) AS BIGINT) AS sum_fp
+           |FROM (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, greatest(len(hs) - 4, 1) + 1),
+           |    j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 4 AS INTEGER)]))) AS fps
+           |  FROM (
+           |    SELECT doc_id, list_transform(
+           |      range(1, greatest(length(text) - 3, 1) + 1),
+           |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 4)), 1, 8)) AS BIGINT)) AS hs
+           |    FROM documents WHERE doc_id < 200) h) f""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
-    q28_langid, q29_ngram_jaccard, q36_dup_clusters)
+    q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint)
 }

@@ -28,6 +28,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q44 winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    import spark.implicits._
+    val shared = "the winnowing guarantee substring here"
+    val docs = Seq(
+      (1L, s"prefix one $shared and a tail"),
+      (2L, s"totally different beginning $shared other ending"),
+      (3L, "no overlap with the others at all in this text")).toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(length(text) - 3, 1)), " +
+          "i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))"))
+      .withColumn("fps", array_distinct(expr(
+        "transform(sequence(1, greatest(size(hs) - 4, 1)), j -> array_min(slice(hs, j, 5)))")))
+      .select(col("doc_id"), col("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val m = fps(docs)
+    assert((m(1L) intersect m(2L)).nonEmpty,
+      "a shared substring of length >= w+k-1 must yield a shared fingerprint")
+    assert((m(1L) intersect m(3L)).size < m(1L).size / 2,
+      "unrelated docs should share few fingerprints")
+  }
+
   test("q36 labels are component minima (idempotent under re-propagation)") {
     val df = TextOps.q36_dup_clusters.run(spark, sfDir)
     // every cluster_id must itself be a member of the cluster
