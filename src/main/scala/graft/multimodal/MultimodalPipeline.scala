@@ -59,11 +59,15 @@ object MultimodalPipeline {
   }
 
   /** Build media records from the documents table (text bytes stand in
-    * for image bytes; kind derived from the source).
+    * for image bytes; kind cycles by doc_id so all three kinds appear).
+    * Null-text rows are dropped — a null payload would NPE inside the
+    * decoder, and a media record without bytes has nothing to decode.
     */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(
+    docs
+      .filter(col("text").isNotNull)
+      .select(
       col("doc_id").as("media_id"),
       col("source"),
       when(col("doc_id") % 3 === 0, "image")

@@ -116,6 +116,11 @@ object ScaleOps {
         .select(pmod(col("user_id"), lit(1500)).as("cust"),
           to_date(col("ts")).as("d"), lit(1).as("kind"), col("event_type"))
       val ord = Tables.table(s, dir, "orders")
+        // drop null-key orders: SQL join equality (the oracle's ASOF ON)
+        // never matches NULL, but Window.partitionBy groups NULLs
+        // together — a null-cust order would wrongly "match" null-cust
+        // events. Null-cust EVENTS stay and correctly carry no order.
+        .filter(col("o_custkey").isNotNull)
         .select(col("o_custkey").as("cust"), col("o_orderdate").cast("date").as("d"),
           lit(0).as("kind"), lit(null).cast("string").as("event_type"))
       val w = Window.partitionBy(col("cust"))

@@ -252,16 +252,25 @@ object TextOps {
     * oracle reproduces them bit-for-bit; all row-local, codegen'd
     * except the small per-doc window transform.
     */
+  /** 4-gram md5-derived hash array of `text` (shared with the
+    * winnowing-property spec so the tested expression IS the shipped
+    * one).
+    */
+  private[graft] val winnowHashExpr =
+    "transform(sequence(1, greatest(length(text) - 3, 1)), " +
+      "i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))"
+
+  /** Window-of-5 minima over `hs` → the selected fingerprints. */
+  private[graft] val winnowFpExpr =
+    "transform(sequence(1, greatest(size(hs) - 4, 1)), j -> array_min(slice(hs, j, 5)))"
+
   val q44_winnow_fingerprint: GraftQuery = GraftQuery(
     "q44_winnow_fingerprint",
     (s, dir) =>
       Tables.table(s, dir, "documents")
         .filter(col("doc_id") < 200)
-        .withColumn("hs", expr(
-          "transform(sequence(1, greatest(length(text) - 3, 1)), " +
-            "i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))"))
-        .withColumn("fps", array_distinct(expr(
-          "transform(sequence(1, greatest(size(hs) - 4, 1)), j -> array_min(slice(hs, j, 5)))")))
+        .withColumn("hs", expr(winnowHashExpr))
+        .withColumn("fps", array_distinct(expr(winnowFpExpr)))
         .select(col("doc_id"),
           size(col("fps")).as("n_fingerprints"),
           array_min(col("fps")).as("min_fp"),

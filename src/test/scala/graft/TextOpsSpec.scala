@@ -35,12 +35,10 @@ class TextOpsSpec extends SparkSpec {
       (1L, s"prefix one $shared and a tail"),
       (2L, s"totally different beginning $shared other ending"),
       (3L, "no overlap with the others at all in this text")).toDF("doc_id", "text")
+    // the SHIPPED expressions, not a copy — edits to q44 are re-tested here
     def fps(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("hs", expr(
-        "transform(sequence(1, greatest(length(text) - 3, 1)), " +
-          "i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))"))
-      .withColumn("fps", array_distinct(expr(
-        "transform(sequence(1, greatest(size(hs) - 4, 1)), j -> array_min(slice(hs, j, 5)))")))
+      .withColumn("hs", expr(TextOps.winnowHashExpr))
+      .withColumn("fps", array_distinct(expr(TextOps.winnowFpExpr)))
       .select(col("doc_id"), col("fps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val m = fps(docs)
