@@ -37,11 +37,35 @@ object UrlFns {
   def urlRawQuery(u: Column): Column =
     regexp_extract(u, "^[^#?]*[?]([^#]*)", 1)
 
-  /** Scheme stored as the reference's compact code: http→1, https→2
-    * (cmd/importer FileLink format).
+  /** Scheme stored as the reference's compact code: http→"1",
+    * https→"2", anything else→"0" (wat.go setScheme; TestSetScheme).
     */
   def schemeCode(scheme: Column): Column =
-    when(scheme === "http", lit("1")).otherwise(lit("2"))
+    when(scheme === "http", lit("1"))
+      .when(scheme === "https", lit("2"))
+      .otherwise(lit("0"))
+
+  /** URLs with control characters are invalid (Go url.Parse rejects
+    * them; TestBuildURLRecord "Contains New Line").
+    */
+  def isParseableUrl(u: Column): Column = !u.rlike("[\\n\\r\\t]")
+
+  def urlFragment(u: Column): Column = regexp_extract(u, "#(.*)$", 1)
+
+  /** Blocked TLD suffixes (config.go IgnoreTLD). */
+  val IgnoreTld: Seq[String] = Seq(".cn", ".blogspot.com")
+
+  def hasIgnoredTld(domain: Column): Column =
+    IgnoreTld.map(t => lower(domain).endsWith(t): Column).reduce(_ || _)
+
+  /** Tracking-ish query prefixes are cleared to "" rather than the
+    * link dropped (wat.go:653-655; config.go IgnoreQuery).
+    */
+  val IgnoreQueryPrefixes: Seq[String] = Seq("lang", "utm_", "ref")
+
+  def cleanQuery(q: Column): Column =
+    when(IgnoreQueryPrefixes.map(p => q.startsWith(p): Column).reduce(_ || _), lit(""))
+      .otherwise(q)
 
   /** Multi-part public suffixes recognized by the eTLD+1 split. A
     * stand-in for the full publicsuffix table (which at cluster scale

@@ -91,7 +91,7 @@ object WatSource {
       .withColumn("page_host", urlHost(col("page_url")))
       .withColumn("page_domain", etld1(col("page_host")))
       .withColumn("page_path", urlPath(col("page_url")))
-      .withColumn("page_rawquery", urlRawQuery(col("page_url")))
+      .withColumn("page_rawquery", cleanQuery(urlRawQuery(col("page_url"))))
       .withColumn("page_scheme", schemeCode(urlScheme(col("page_url"))))
       .filter(isValidHost(col("page_host")))
       // canonical-link gate (wat.go:758-815): a page whose
@@ -142,17 +142,24 @@ object WatSource {
       if (ignoreDomains.isEmpty) lit(false)
       else col("link_domain").isInCollection(ignoreDomains)
     withUrl
+      .filter(isParseableUrl(col("u"))) // control chars = unparseable
       .filter(col("link_host") =!= col("page_host")) // internal link
       .filter(col("link_domain") =!= col("page_domain")) // same site
       .filter(isValidHost(col("link_host")))
+      .filter(col("link_domain") =!= "" && !hasIgnoredTld(col("link_domain")))
       .withColumn("link_path", urlPath(col("u")))
       .filter(!hasIgnoredExtension(col("link_path")))
       .filter(!ignored)
+      // tracking-prefixed queries clear to ""; garbage queries (>200
+      // chars or pipe chars) drop the record (verifyRecordQuality)
+      .withColumn("link_rawquery", cleanQuery(urlRawQuery(col("u"))))
+      .filter(length(col("link_rawquery")) <= 200 &&
+        !col("link_rawquery").contains("|"))
       .select(
         col("link_domain"),
         subdomainOf(col("link_host"), col("link_domain")).as("link_subdomain"),
         col("link_path"),
-        urlRawQuery(col("u")).as("link_rawquery"),
+        col("link_rawquery"),
         schemeCode(urlScheme(col("u"))).as("link_scheme"),
         col("page_host"), col("page_path"), col("page_rawquery"), col("page_scheme"),
         coalesce(col("l.text"), lit("")).as("link_text"),

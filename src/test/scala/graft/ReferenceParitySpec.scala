@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.UrlFns
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's OWN unit-test vectors
+  * (kris-dev-hub/globallinks pkg/commoncrawl/wat_test.go), replayed
+  * against our Column functions — the direct "matches the reference's
+  * results on its own test queries" check.
+  */
+class ReferenceParitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def eval1[T](in: Seq[String], f: Column => Column): Seq[T] =
+    in.toDF("v").select(f(col("v"))).collect().toSeq.map(_.get(0).asInstanceOf[T])
+
+  test("TestValidateHost vectors (wat_test.go:14-35)") {
+    val got = eval1[Boolean](
+      Seq("example.com", "localhost", "192.168.0.1", "example.com%"),
+      UrlFns.isValidHost)
+    assert(got == Seq(true, false, false, false))
+  }
+
+  test("TestGenSubdomain vector (wat_test.go:215-224)") {
+    val sub = Seq(("www.test.com", "test.com")).toDF("h", "d")
+      .select(UrlFns.subdomainOf(col("h"), col("d"))).head().getString(0)
+    assert(sub == "www")
+    assert(UrlFns.splitDomain("www.test.com") == (("test.com", "www")))
+  }
+
+  test("TestSetScheme vectors (wat_test.go:288-308)") {
+    val got = eval1[String](Seq("https", "http", "ftp", ""), UrlFns.schemeCode)
+    assert(got == Seq("2", "1", "0", "0"))
+  }
+
+  test("TestBuildURLRecord vectors (wat_test.go:478-521)") {
+    val u = "http://example.com/path?query=1#fragment"
+    val row = Seq(u).toDF("u").select(
+      UrlFns.schemeCode(UrlFns.urlScheme(col("u"))),
+      UrlFns.urlHost(col("u")),
+      UrlFns.urlPath(col("u")),
+      UrlFns.urlRawQuery(col("u")),
+      UrlFns.urlFragment(col("u")),
+      UrlFns.etld1(UrlFns.urlHost(col("u"))),
+      UrlFns.subdomainOf(UrlFns.urlHost(col("u")), UrlFns.etld1(UrlFns.urlHost(col("u"))))
+    ).head()
+    assert(row.toSeq == Seq("1", "example.com", "/path", "query=1", "fragment",
+      "example.com", ""))
+    // "Invalid URL - Contains New Line"
+    val bad = eval1[Boolean](Seq("http://example.com/path\n?query=1#fragment", u),
+      UrlFns.isParseableUrl)
+    assert(bad == Seq(false, true))
+  }
+
+  test("TestVerifyRecordQuality vectors (wat_test.go:522-573)") {
+    // cn TLD rejected
+    assert(eval1[Boolean](Seq("example.cn", "example.com"), UrlFns.hasIgnoredTld)
+      == Seq(true, false))
+    // query over 200 chars rejected, pipe char rejected (checked as the
+    // same predicates WatSource.links applies)
+    val longQ = "query=value&a=" + "s" * 200
+    val verdicts = Seq("query=value", longQ, "a|b").toDF("q")
+      .select((length(col("q")) <= 200 && !col("q").contains("|")).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(verdicts == Seq(true, false, false))
+    // broken host
+    assert(eval1[Boolean](Seq("www.examp[le.com"), UrlFns.isValidHost) == Seq(false))
+  }
+
+  test("TestIgnoreQuery vectors (wat_test.go:388-409)") {
+    val got = eval1[String](
+      Seq("lang=en", "utm_source=google", "ref=123", "page=1", "category=books"),
+      UrlFns.cleanQuery)
+    assert(got == Seq("", "", "", "page=1", "category=books"))
+  }
+
+  test("TestIgnoreTLD vectors (wat_test.go:410-431)") {
+    val got = eval1[Boolean](
+      Seq("example.cn", "website.com", "info.co.uk", "site.cn", "domain.com.cn"),
+      UrlFns.hasIgnoredTld)
+    assert(got == Seq(true, false, false, true, true))
+  }
+
+  test("TestIsIgnoredExtension vectors (wat_test.go:432-455)") {
+    val got = eval1[Boolean](
+      Seq("/image.jpg", "/document.pdf", "/script.php", "/photo.jpeg", "/test", "/picture.JPG"),
+      UrlFns.hasIgnoredExtension)
+    assert(got == Seq(true, true, false, true, false, true))
+  }
+
+  test("TestGetNoFollowNoIndex vectors (wat_test.go:620-669)") {
+    // replay through the same exists() predicate WatSource.pages uses
+    def flags(metas: Seq[(String, String)]): (Int, Int) = {
+      val df = Seq(metas).toDF("metas")
+      val r = df.select(
+        when(exists(col("metas"), m =>
+          m.getField("_1") === "robots" && m.getField("_2").contains("noindex")), 1)
+          .otherwise(0),
+        when(exists(col("metas"), m =>
+          m.getField("_1") === "robots" && m.getField("_2").contains("nofollow")), 1)
+          .otherwise(0)).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    assert(flags(Seq(("robots", "noindex, nofollow"))) == ((1, 1)))
+    assert(flags(Seq(("robots", "noindex"))) == ((1, 0)))
+    assert(flags(Seq(("robots", "nofollow"))) == ((0, 1)))
+    assert(flags(Seq(("robots", "index, follow"))) == ((0, 0)))
+    assert(flags(Seq(("viewport", "width=device-width"))) == ((0, 0)))
+  }
+}
