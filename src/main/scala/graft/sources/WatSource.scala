@@ -58,6 +58,13 @@ object WatSource {
       StructField("WARC-Header-Metadata", warcHeaderType),
       StructField("Payload-Metadata", payloadMetaType))))))
 
+  /** Segment file number from a WAT filename (wat.go
+    * ExtractWatFileNumber): `example-123.warc.wat.gz` → "123"; no
+    * match → "" (the Go version errors; a Column has no error channel).
+    */
+  def watFileNumber(filename: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(filename, "-([0-9]+)\\.warc\\.wat\\.gz$", 1)
+
   /** One row per crawled page: URI/IP/date/title, robots flags, links. */
   def pages(spark: SparkSession, path: String): DataFrame =
     pages(spark, Seq(path))

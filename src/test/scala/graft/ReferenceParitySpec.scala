@@ -90,6 +90,25 @@ class ReferenceParitySpec extends SparkSpec {
     assert(got == Seq(true, true, false, true, false, true))
   }
 
+  test("TestExtractWatFileNumber vectors (wat_test.go:261-287)") {
+    val got = eval1[String](
+      Seq("example-123.warc.wat.gz", "test-456.warc.wat.gz",
+        "invalidfile.txt", "no-number.warc.wat.gz"),
+      graft.sources.WatSource.watFileNumber)
+    assert(got == Seq("123", "456", "", ""))
+  }
+
+  test("TestSortFileLink order (wat_test.go:225-260): domain, subdomain, path") {
+    val rows = Seq(
+      ("a", "example.org", "www", "/path1"),
+      ("b", "example.org", "app", "/path2"),
+      ("c", "example.com", "www", "/path3"))
+      .toDF("key", "link_domain", "link_subdomain", "link_path")
+      .orderBy(col("link_domain"), col("link_subdomain"), col("link_path"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("c", "b", "a"))
+  }
+
   test("TestGetNoFollowNoIndex vectors (wat_test.go:620-669)") {
     // replay through the same exists() predicate WatSource.pages uses
     def flags(metas: Seq[(String, String)]): (Int, Int) = {
