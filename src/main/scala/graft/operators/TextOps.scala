@@ -290,7 +290,61 @@ object TextOps {
            |    FROM documents WHERE doc_id < 200) h) f""".stripMargin)
   )
 
+  /** Stratified sampling: exactly k docs per language, selected by a
+    * deterministic pseudo-random order (md5 of the id — reproducible
+    * across engines and runs, unlike rand()). Runs through the custom
+    * TopKPerGroup operator, so sampling a 100 TB corpus shuffles at
+    * most k rows per stratum per partition; the oracle is the
+    * row_number formulation.
+    */
+  val q45_stratified_sample: GraftQuery = GraftQuery(
+    "q45_stratified_sample",
+    (s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("rnd"))
+      graft.plans.TopKPerGroup(d, Seq(col("lang")), Seq(col("rnd").asc), 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    },
+    Some("""SELECT lang, doc_id, n_chars FROM (
+           |  SELECT lang, doc_id, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+           |  FROM documents) t WHERE rk <= 20""".stripMargin)
+  )
+
+  /** Dataset profiling — the "analyze" pass every training-data
+    * pipeline runs before ingestion: per-column null rates, distinct
+    * counts, and value ranges in ONE scan (all profile cells are
+    * aggregates of the same pass; no per-column jobs).
+    */
+  val q46_profile: GraftQuery = GraftQuery(
+    "q46_profile",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          countDistinct(col("lang")).as("distinct_lang"),
+          countDistinct(col("source")).as("distinct_source"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)")
+            .as("avg_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id")),
+    Some("""SELECT COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+           |  COUNT(DISTINCT lang) AS distinct_lang,
+           |  COUNT(DISTINCT source) AS distinct_source,
+           |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           |  ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+           |FROM documents""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
-    q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint)
+    q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
+    q45_stratified_sample, q46_profile)
 }
