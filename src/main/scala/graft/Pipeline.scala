@@ -63,6 +63,35 @@ object Pipeline {
     } else ImportStats(-1, -1, -1, -1)
   }
 
+  /** Continuous ingestion: watch a directory for new WAT files and
+    * micro-batch them through the SAME extraction + compaction into an
+    * append-mode store. Each micro-batch compacts within itself and
+    * appends; LinkDb queries merge residual cross-batch duplicates (the
+    * same adjacent-merge the reference applies at read time), and a
+    * periodic [[importSegments]] run re-compacts the store fully. Uses
+    * foreachBatch because full-history compaction as a streaming
+    * aggregate would hold unbounded state.
+    */
+  def streamImport(
+      spark: SparkSession,
+      watchDir: String,
+      outDir: String,
+      checkpoint: String,
+      ignoreDomains: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 8)
+      .text(watchDir)
+      .toDF("line")
+    WatSource.linksFromLines(lines, ignoreDomains)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        LinkCompaction.compact(batch)
+          .write.mode("append").parquet(s"$outDir/links_stream")
+      }
+      .start()
+  }
+
   /** Query surface over an imported store — the LinkDB API bound to a
     * domain-pruned read. The store keys `link_domain` by eTLD+1, so the
     * pruning predicate uses the request's registrable domain; the

@@ -74,7 +74,14 @@ object WatSource {
     * the varargs overload.
     */
   def pages(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.textFile(paths: _*).toDF("line")
+    pagesFromLines(spark.read.textFile(paths: _*).toDF("line"))
+
+  /** Core extraction over a `line` column — input-agnostic, so the SAME
+    * plan serves batch reads and `readStream.text` (Pipeline
+    * .streamImport).
+    */
+  def pagesFromLines(lines: DataFrame): DataFrame =
+    lines
       .filter(col("line").startsWith("{"))
       .select(from_json(col("line"), watSchema).as("w"))
       .select(
@@ -132,8 +139,14 @@ object WatSource {
     links(spark, Seq(path), Nil)
 
   def links(spark: SparkSession, paths: Seq[String],
-      ignoreDomains: Seq[String] = Nil): DataFrame = {
-    val p = pages(spark, paths)
+      ignoreDomains: Seq[String] = Nil): DataFrame =
+    linksFromPages(pages(spark, paths), ignoreDomains)
+
+  /** Streaming-compatible link extraction from raw WAT lines. */
+  def linksFromLines(lines: DataFrame, ignoreDomains: Seq[String] = Nil): DataFrame =
+    linksFromPages(pagesFromLines(lines), ignoreDomains)
+
+  private def linksFromPages(p: DataFrame, ignoreDomains: Seq[String]): DataFrame = {
     val exploded = p.select(
       col("page_host"), col("page_domain"), col("page_path"),
       col("page_rawquery"), col("page_scheme"), col("ip"),

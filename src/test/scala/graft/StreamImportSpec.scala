@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamImportSpec extends SparkSpec {
+
+  test("streamImport ingests WAT files appearing in a watched directory") {
+    val fixture = new WatSourceSpec {}.fixturePath
+    val watch = Files.createTempDirectory("watwatch")
+    val out = Files.createTempDirectory("streamstore").toString
+    val ckpt = Files.createTempDirectory("streamckpt").toString
+    val q = Pipeline.streamImport(spark, watch.toString, out, ckpt)
+    try {
+      // drop a segment into the watched dir — note: a gz fixture works
+      // because the file-stream text source decompresses by extension
+      Files.copy(Paths.get(fixture), watch.resolve("seg-001.warc.wat.gz"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$out/links_stream")
+      assert(stored.count() == 4, "first segment's compacted links must land")
+      // second segment (same content, new name) streams in as a new batch
+      Files.copy(Paths.get(fixture), watch.resolve("seg-002.warc.wat.gz"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val after = spark.read.parquet(s"$out/links_stream")
+      assert(after.count() == 8, "append mode: per-batch compaction, cross-batch dups kept")
+      // the LinkDb read-time merge collapses the cross-batch duplicates
+      val db = new api.LinkDb(after)
+      val res = db.query(api.LinkDbRequest("ext2.co.uk"))
+      assert(res.length == 1 && res.head.qty == 2,
+        "read-time merge must sum the duplicate batches' qty")
+    } finally q.stop()
+  }
+}
