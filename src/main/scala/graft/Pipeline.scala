@@ -64,13 +64,18 @@ object Pipeline {
   }
 
   /** Continuous ingestion: watch a directory for new WAT files and
-    * micro-batch them through the SAME extraction + compaction into an
-    * append-mode store. Each micro-batch compacts within itself and
-    * appends; LinkDb queries merge residual cross-batch duplicates (the
-    * same adjacent-merge the reference applies at read time), and a
-    * periodic [[importSegments]] run re-compacts the store fully. Uses
-    * foreachBatch because full-history compaction as a streaming
-    * aggregate would hold unbounded state.
+    * micro-batch them through the SAME extraction + compaction plan as
+    * batch import. Each micro-batch compacts within itself and writes
+    * an OVERWRITE into its own `batch=<id>` partition — so an
+    * at-least-once replay after a crash rewrites the same partition
+    * instead of double-counting (foreachBatch is at-least-once; the
+    * batchId is the idempotency key). Uses foreachBatch because
+    * full-history compaction as a streaming aggregate would hold
+    * unbounded state.
+    *
+    * Read the result with [[streamedLinks]] (cross-batch duplicates
+    * merge at query time, as the reference's API does) or fold it into
+    * the main bucketed store with [[compactStream]].
     */
   def streamImport(
       spark: SparkSession,
@@ -85,11 +90,34 @@ object Pipeline {
     WatSource.linksFromLines(lines, ignoreDomains)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         LinkCompaction.compact(batch)
-          .write.mode("append").parquet(s"$outDir/links_stream")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/links_stream/batch=$batchId")
       }
       .start()
+  }
+
+  /** All streamed links (the `batch` partition column is dropped; rows
+    * across batches may share a compaction key until [[compactStream]]
+    * folds them).
+    */
+  def streamedLinks(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", s"$outDir/links_stream")
+      .parquet(s"$outDir/links_stream").drop("batch")
+
+  /** Fold the streamed batches plus any existing main store into a
+    * freshly compacted main store — the periodic re-compaction pass.
+    */
+  def compactStream(spark: SparkSession, outDir: String): Unit = {
+    val streamed = streamedLinks(spark, outDir)
+    val existing =
+      try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val all = existing.fold(streamed)(e => streamed.unionByName(e))
+    // materialize before overwriting the directory we read from
+    val compacted = LinkCompaction.compact(all).localCheckpoint()
+    LinkStore.write(compacted, s"$outDir/links")
   }
 
   /** Query surface over an imported store — the LinkDB API bound to a

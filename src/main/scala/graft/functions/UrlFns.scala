@@ -45,10 +45,24 @@ object UrlFns {
       .when(scheme === "https", lit("2"))
       .otherwise(lit("0"))
 
-  /** URLs with control characters are invalid (Go url.Parse rejects
-    * them; TestBuildURLRecord "Contains New Line").
+  /** URLs with ASCII control characters are invalid (Go url.Parse
+    * rejects ALL of them, not just whitespace; TestBuildURLRecord
+    * "Contains New Line").
     */
-  def isParseableUrl(u: Column): Column = !u.rlike("[\\n\\r\\t]")
+  def isParseableUrl(u: Column): Column = !u.rlike("[\\x00-\\x1f]")
+
+  /** verifyRecordQuality's query gates (wat.go:582-590): over 200 BYTES
+    * (Go len() counts bytes) is garbage; '|' collides with the
+    * reference's pipe-delimited file format.
+    */
+  def isQualityQuery(q: Column): Column =
+    octet_length(q) <= 200 && !q.contains("|")
+
+  /** Empty path normalizes to "/" at record build time (wat.go:646-648)
+    * so `http://e.com` and `http://e.com/` compact as one record.
+    */
+  def normalizePath(p: Column): Column =
+    when(p === "", lit("/")).otherwise(p)
 
   def urlFragment(u: Column): Column = regexp_extract(u, "#(.*)$", 1)
 

@@ -102,12 +102,22 @@ object WatSource {
         when(exists(col("metas"), m =>
           m.getField("name") === "robots" && m.getField("content").contains("nofollow")), 1)
           .otherwise(0))
+      // noindex pages are dropped ENTIRELY before link extraction
+      // (verifyContentQuality, wat.go:746-749) — the flag column stays
+      // for schema compat but is always 0 on surviving rows
+      .filter(col("noindex") === 0)
       .withColumn("page_host", urlHost(col("page_url")))
       .withColumn("page_domain", etld1(col("page_host")))
-      .withColumn("page_path", urlPath(col("page_url")))
+      .withColumn("page_path", normalizePath(urlPath(col("page_url"))))
       .withColumn("page_rawquery", cleanQuery(urlRawQuery(col("page_url"))))
       .withColumn("page_scheme", schemeCode(urlScheme(col("page_url"))))
+      .filter(isParseableUrl(col("page_url")))
       .filter(isValidHost(col("page_host")))
+      // page-side verifyRecordQuality (wat.go:311 applies it to the
+      // SOURCE page record too): blocked TLD, garbage query, pipe chars
+      .filter(!hasIgnoredTld(col("page_domain")) && col("page_domain") =!= "")
+      .filter(isQualityQuery(col("page_rawquery")))
+      .filter(!col("page_path").contains("|"))
       // canonical-link gate (wat.go:758-815): a page whose
       // rel=canonical points at another host or path — or that carries
       // a query while declaring a canonical — is a duplicate-content
@@ -123,7 +133,7 @@ object WatSource {
       .filter(col("canon").isNull || (
         (!col("canon_abs") || urlHost(col("canon_url")) === col("page_host")) &&
           (when(col("canon_path") === "", "/").otherwise(col("canon_path")) ===
-            when(col("page_path") === "", "/").otherwise(col("page_path"))) &&
+            col("page_path")) && // page_path already "/"-normalized
           col("page_rawquery") === ""))
       .drop("canon", "canon_url", "canon_abs", "canon_path")
 
@@ -167,14 +177,14 @@ object WatSource {
       .filter(col("link_domain") =!= col("page_domain")) // same site
       .filter(isValidHost(col("link_host")))
       .filter(col("link_domain") =!= "" && !hasIgnoredTld(col("link_domain")))
-      .withColumn("link_path", urlPath(col("u")))
+      .withColumn("link_path", normalizePath(urlPath(col("u"))))
       .filter(!hasIgnoredExtension(col("link_path")))
+      .filter(!col("link_path").contains("|")) // pipe in path (wat.go:634)
       .filter(!ignored)
       // tracking-prefixed queries clear to ""; garbage queries (>200
-      // chars or pipe chars) drop the record (verifyRecordQuality)
+      // bytes or pipe chars) drop the record (verifyRecordQuality)
       .withColumn("link_rawquery", cleanQuery(urlRawQuery(col("u"))))
-      .filter(length(col("link_rawquery")) <= 200 &&
-        !col("link_rawquery").contains("|"))
+      .filter(isQualityQuery(col("link_rawquery")))
       .select(
         col("link_domain"),
         subdomainOf(col("link_host"), col("link_domain")).as("link_subdomain"),

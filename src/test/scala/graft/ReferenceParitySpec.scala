@@ -58,13 +58,14 @@ class ReferenceParitySpec extends SparkSpec {
     // cn TLD rejected
     assert(eval1[Boolean](Seq("example.cn", "example.com"), UrlFns.hasIgnoredTld)
       == Seq(true, false))
-    // query over 200 chars rejected, pipe char rejected (checked as the
-    // same predicates WatSource.links applies)
+    // query over 200 BYTES rejected, pipe char rejected — via the SAME
+    // predicate WatSource applies (UrlFns.isQualityQuery). The
+    // multibyte probe pins byte semantics: 101 two-byte chars = 202
+    // bytes > 200, though only 101 characters (Go len() counts bytes).
     val longQ = "query=value&a=" + "s" * 200
-    val verdicts = Seq("query=value", longQ, "a|b").toDF("q")
-      .select((length(col("q")) <= 200 && !col("q").contains("|")).as("ok"))
-      .collect().map(_.getBoolean(0)).toSeq
-    assert(verdicts == Seq(true, false, false))
+    val got = eval1[Boolean](
+      Seq("query=value", longQ, "a|b", "é" * 101), UrlFns.isQualityQuery)
+    assert(got == Seq(true, false, false, false))
     // broken host
     assert(eval1[Boolean](Seq("www.examp[le.com"), UrlFns.isValidHost) == Seq(false))
   }

@@ -16,19 +16,25 @@ class StreamImportSpec extends SparkSpec {
       Files.copy(Paths.get(fixture), watch.resolve("seg-001.warc.wat.gz"),
         StandardCopyOption.REPLACE_EXISTING)
       q.processAllAvailable()
-      val stored = spark.read.parquet(s"$out/links_stream")
-      assert(stored.count() == 4, "first segment's compacted links must land")
+      assert(Pipeline.streamedLinks(spark, out).count() == 4,
+        "first segment's compacted links must land")
       // second segment (same content, new name) streams in as a new batch
       Files.copy(Paths.get(fixture), watch.resolve("seg-002.warc.wat.gz"),
         StandardCopyOption.REPLACE_EXISTING)
       q.processAllAvailable()
-      val after = spark.read.parquet(s"$out/links_stream")
-      assert(after.count() == 8, "append mode: per-batch compaction, cross-batch dups kept")
+      val after = Pipeline.streamedLinks(spark, out)
+      assert(after.count() == 8, "per-batch idempotent partitions, cross-batch dups kept")
       // the LinkDb read-time merge collapses the cross-batch duplicates
       val db = new api.LinkDb(after)
       val res = db.query(api.LinkDbRequest("ext2.co.uk"))
       assert(res.length == 1 && res.head.qty == 2,
         "read-time merge must sum the duplicate batches' qty")
+      // periodic re-compaction folds the stream into the main store
+      Pipeline.compactStream(spark, out)
+      val main = Pipeline.linkDb(spark, out, "ext2.co.uk")
+        .query(api.LinkDbRequest("ext2.co.uk"))
+      assert(main.length == 1 && main.head.qty == 2,
+        "compactStream must merge duplicate batches into the main store")
     } finally q.stop()
   }
 }

@@ -31,7 +31,7 @@ class WatSourceSpec extends SparkSpec {
     w.write("WARC/1.0\n") // header noise the parser must skip
     w.write("WARC-Type: metadata\n")
     w.write(watLine("http://www.sitea.com/index.html", "1.2.3.4", "2024-05-01T12:00:00Z",
-      Some("noindex, nofollow"), Seq(
+      Some("nofollow"), Seq(
         ("A@/href", "http://ext1.com/page", "hello", ""),
         ("A@/href", "http://www.sitea.com/self", "self", ""), // same host -> dropped
         ("A@/href", "https://sub.ext2.co.uk/x?q=1", "deep", "nofollow me"),
@@ -50,9 +50,20 @@ class WatSourceSpec extends SparkSpec {
     w.write(watLine("https://canon.example.com/self", "8.8.8.8", "2024-07-02T00:00:00Z",
       None, Seq(("A@/href", "http://fromcanon.org/y", "t", "")),
       canonical = Some("https://canon.example.com/self")) + "\n")
+    // noindex page: dropped entirely, links and all (wat.go:746-749)
+    w.write(watLine("https://hidden.example.net/secret", "7.7.7.7", "2024-07-03T00:00:00Z",
+      Some("noindex"), Seq(("A@/href", "http://leaked.org/x", "t", ""))) + "\n")
     w.write("{ this is not valid json\n")
     w.close()
     f.getAbsolutePath
+  }
+
+  test("noindex pages are dropped before link extraction") {
+    val hosts = WatSource.pages(spark, fixturePath).collect()
+      .map(_.getAs[String]("page_host")).toSet
+    assert(!hosts.contains("hidden.example.net"))
+    val l = WatSource.links(spark, fixturePath).collect()
+    assert(!l.exists(_.getAs[String]("link_domain") == "leaked.org"))
   }
 
   test("canonical-link gate drops mismatched pages, keeps agreeing ones") {
@@ -69,7 +80,7 @@ class WatSourceSpec extends SparkSpec {
     val p = WatSource.pages(spark, fixturePath).collect()
     assert(p.length == 3) // sitea, b.org, canon.example.com (dup dropped)
     val a = p.find(_.getAs[String]("page_host") == "www.sitea.com").get
-    assert(a.getAs[Int]("noindex") == 1 && a.getAs[Int]("page_nofollow") == 1)
+    assert(a.getAs[Int]("noindex") == 0 && a.getAs[Int]("page_nofollow") == 1)
     assert(a.getAs[String]("page_domain") == "sitea.com")
     assert(a.getAs[String]("crawl_date") == "2024-05-01")
     val b = p.find(_.getAs[String]("page_host") == "b.org").get
