@@ -343,8 +343,84 @@ object TextOps {
            |FROM documents""".stripMargin)
   )
 
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1, the public
+    * heuristics every web-corpus pipeline reimplements): word count
+    * bounds, mean word length range, ellipsis-line limits, alphabetic-
+    * word fraction, minimum stop-word hits. Each rule is a plain SQL
+    * predicate over the tokenized doc; the verdict names the FIRST
+    * failed rule so downstream stats explain drops.
+    */
+  val q47_gopher_quality: GraftQuery = GraftQuery(
+    "q47_gopher_quality",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(text, ' '), w -> w != '')").as("words"),
+          col("text"))
+        .select(col("doc_id"), col("lang"),
+          size(col("words")).as("n_words"),
+          expr("ROUND(CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS DOUBLE) " +
+            "/ greatest(size(words), 1), 6)").as("mean_word_len"),
+          expr("size(filter(words, w -> w rlike '[A-Za-z]'))").as("n_alpha_words"),
+          expr("size(filter(words, w -> w IN ('the','be','to','of','and','that','have','with')))")
+            .as("stop_hits"),
+          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", "")))
+            .as("ellipsis_chars"))
+        .withColumn("verdict",
+          when(col("n_words") < 50, "too_few_words")
+            .when(col("n_words") > 100000, "too_many_words")
+            .when(col("mean_word_len") < 3 || col("mean_word_len") > 10, "word_len_out_of_range")
+            .when(col("n_alpha_words").cast("double") / col("n_words") < 0.8, "low_alpha_fraction")
+            .when(col("stop_hits") < 2, "too_few_stop_words")
+            .when(col("ellipsis_chars") > 30, "too_many_ellipses")
+            .otherwise("keep"))
+        .groupBy(col("lang"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs")),
+    Some("""SELECT lang, verdict, COUNT(*) AS n_docs FROM (
+           |  SELECT lang,
+           |    CASE WHEN n_words < 50 THEN 'too_few_words'
+           |         WHEN n_words > 100000 THEN 'too_many_words'
+           |         WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_len_out_of_range'
+           |         WHEN CAST(n_alpha_words AS DOUBLE) / n_words < 0.8 THEN 'low_alpha_fraction'
+           |         WHEN stop_hits < 2 THEN 'too_few_stop_words'
+           |         WHEN ellipsis_chars > 30 THEN 'too_many_ellipses'
+           |         ELSE 'keep' END AS verdict
+           |  FROM (
+           |    SELECT lang,
+           |      len(words) AS n_words,
+           |      ROUND(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+           |            / greatest(len(words), 1), 6) AS mean_word_len,
+           |      len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+           |      len(list_filter(words, w -> w IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+           |      length(text) - length(replace(text, '...', '')) AS ellipsis_chars
+           |    FROM (
+           |      SELECT lang, text,
+           |        list_filter(string_split(text, ' '), w -> w != '') AS words
+           |      FROM documents) w0) m) v
+           |GROUP BY lang, verdict""".stripMargin)
+  )
+
+  /** Repetition signal via the custom CompressionRatio expression:
+    * highly repetitive text deflates far below natural prose. Bucketed
+    * distribution per source (rows-only: java.util.zip has no DuckDB
+    * twin; monotonicity is property-tested in SignaturesSpec).
+    */
+  val q48_repetition: GraftQuery = GraftQuery(
+    "q48_repetition",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("source"),
+          graft.plans.CompressionRatio.of(col("text")).as("ratio"))
+        .groupBy(col("source"),
+          floor(col("ratio") * 10).cast("int").as("ratio_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("ratio")), 4).as("min_ratio"),
+          round(max(col("ratio")), 4).as("max_ratio")),
+    None // deflate has no DuckDB equivalent; property-tested in SignaturesSpec
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
-    q45_stratified_sample, q46_profile)
+    q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition)
 }

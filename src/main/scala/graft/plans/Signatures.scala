@@ -111,6 +111,23 @@ object Signatures {
     }
     sig
   }
+
+  /** Deflate-compressed size / raw size (level 6, raw deflate — no
+    * gzip header noise on short inputs). Empty input → 1.0.
+    */
+  def compressionRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
 }
 
 /** `minhash_sig(text)` → array<bigint> of k minhashes. */
@@ -139,6 +156,31 @@ object MinHashSig {
 
   def of(c: Column, k: Int = 48): Column =
     CB.column(MinHashSig(CB.expression(c), k))
+}
+
+/** `compression_ratio(text)` → double in (0, ~1.1]: deflated size over
+  * raw size. The classic repetition/boilerplate signal (highly
+  * repetitive machine-generated text compresses far below natural
+  * prose). Row-local single pass; doGenCode emits one static call so
+  * the expression stays inside WholeStageCodegen.
+  */
+case class CompressionRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "compression_ratio"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.compressionRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.compressionRatio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
+object CompressionRatio {
+  def of(c: Column): Column = CB.column(CompressionRatio(CB.expression(c)))
 }
 
 /** `simhash_sig(text)` → bigint 64-bit SimHash. */

@@ -75,6 +75,23 @@ class SignaturesSpec extends SparkSpec {
     assert(viaSql == expectedUnion.toSeq)
   }
 
+  test("compression_ratio orders repetitive below diverse text and codegens") {
+    import spark.implicits._
+    import graft.plans.CompressionRatio
+    val repetitive = "spam spam spam spam " * 50
+    val diverse = (1 to 200).map(i => Signatures.splitmix(i).toHexString).mkString(" ")
+    val rows = Seq(("rep", repetitive), ("div", diverse)).toDF("k", "text")
+      .select(col("k"), CompressionRatio.of(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("rep") < 0.1, s"repetitive text should deflate hard: ${rows("rep")}")
+    assert(rows("div") > rows("rep") * 3, s"diverse text must compress far less: $rows")
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      Tables.table(spark, sfDir, "documents")
+        .select(CompressionRatio.of(col("text")))
+        .queryExecution.executedPlan)
+    assert(code.contains("Signatures.compressionRatio"), "must codegen, not fall back")
+  }
+
   test("null and empty inputs are safe") {
     import spark.implicits._
     val rows = Seq(Some("abc"), Some(""), None).toDF("text")
