@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{MinHashAgg, MinHashSig, SimHashSig}
+import graft.plans.{CompressionRatio, MinHashAgg, MinHashSig, SimHashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,7 +54,13 @@ object GraftExtensions {
       simhashBuilder _),
     (FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
-      minhashAggBuilder _))
+      minhashAggBuilder _),
+    (FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName, "compression_ratio"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => CompressionRatio(c)
+        case _ => throw new IllegalArgumentException("compression_ratio(text) expects 1 argument")
+      }))
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit =

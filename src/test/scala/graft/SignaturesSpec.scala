@@ -90,6 +90,10 @@ class SignaturesSpec extends SparkSpec {
         .select(CompressionRatio.of(col("text")))
         .queryExecution.executedPlan)
     assert(code.contains("Signatures.compressionRatio"), "must codegen, not fall back")
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT compression_ratio('aaaa aaaa aaaa aaaa aaaa aaaa')")
+      .head().getDouble(0)
+    assert(viaSql > 0 && viaSql < 1)
   }
 
   test("null and empty inputs are safe") {
