@@ -108,6 +108,9 @@ object Pipeline {
 
   /** Fold the streamed batches plus any existing main store into a
     * freshly compacted main store — the periodic re-compaction pass.
+    * NOTE: the caller owns deleting `links_stream` afterwards (this
+    * library never removes data); folding the same stream batches twice
+    * double-counts their qty, as StreamImportSpec demonstrates.
     */
   def compactStream(spark: SparkSession, outDir: String): Unit = {
     val streamed = streamedLinks(spark, outDir)

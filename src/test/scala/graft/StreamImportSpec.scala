@@ -35,6 +35,13 @@ class StreamImportSpec extends SparkSpec {
         .query(api.LinkDbRequest("ext2.co.uk"))
       assert(main.length == 1 && main.head.qty == 2,
         "compactStream must merge duplicate batches into the main store")
+      // a second compactStream now merges the EXISTING main store with
+      // the stream: qty doubles (2 stream batches + the folded store's 2)
+      Pipeline.compactStream(spark, out)
+      val again = Pipeline.linkDb(spark, out, "ext2.co.uk")
+        .query(api.LinkDbRequest("ext2.co.uk"))
+      assert(again.length == 1 && again.head.qty == 4,
+        "existing-store path must read, merge, and overwrite safely")
     } finally q.stop()
   }
 }
