@@ -22,7 +22,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
-      val b = if (a < 0) a else math.min(a, once())
+      val b = if (a < 0) a else {
+        val retry = once()
+        if (retry < 0) a else math.min(a, retry) // keep the good run
+      }
       name -> b
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

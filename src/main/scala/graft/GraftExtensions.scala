@@ -45,6 +45,11 @@ object GraftExtensions {
       "minhash_agg(text[, numHashes literal]) expects 1 or 2 arguments")
   }
 
+  private def compressionRatioBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => CompressionRatio(c)
+    case _ => throw new IllegalArgumentException("compression_ratio(text) expects 1 argument")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
@@ -57,10 +62,7 @@ object GraftExtensions {
       minhashAggBuilder _),
     (FunctionIdentifier("compression_ratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName, "compression_ratio"),
-      (args: Seq[Expression]) => args match {
-        case Seq(c) => CompressionRatio(c)
-        case _ => throw new IllegalArgumentException("compression_ratio(text) expects 1 argument")
-      }))
+      compressionRatioBuilder _))
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit =

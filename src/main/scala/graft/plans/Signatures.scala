@@ -112,21 +112,29 @@ object Signatures {
     sig
   }
 
+  // per-thread native zlib stream + scratch buffer: constructing a
+  // Deflater per ROW would pay JNI stream init/teardown on the scan
+  // path; reset() reuses the native state
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+  private val deflateBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
   /** Deflate-compressed size / raw size (level 6, raw deflate — no
     * gzip header noise on short inputs). Empty input → 1.0.
     */
   def compressionRatio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](1024)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = deflateBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }
 
