@@ -50,12 +50,11 @@ object SimilarityOps {
   private val MinhashBands = 6
   private val MinhashRows = MinhashHashes / MinhashBands
 
-  /** Distinct 3-gram shingle hashes of `text` — used only on candidate
-    * pairs for exact-Jaccard verification.
+  /** Distinct 3-gram shingle hashes of `text` (codegen'd expression) —
+    * used only for exact-Jaccard verification of candidate pairs.
     */
   private def shingleHashes(text: String): Column =
-    array_distinct(expr(
-      s"transform(sequence(1, greatest(length($text) - 2, 1)), i -> xxhash64(substring($text, i, 3)))"))
+    graft.plans.ShingleHashes.of(col(text))
 
   /** MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
     *

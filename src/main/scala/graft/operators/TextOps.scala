@@ -145,14 +145,13 @@ object TextOps {
   val q29_ngram_jaccard: GraftQuery = GraftQuery(
     "q29_ngram_jaccard",
     (s, dir) => {
-      // shingles kept as 64-bit hashes: array_intersect on longs beats
-      // strings ~4x, and a hash collision perturbing a Jaccard count has
-      // probability ~1e-15 per pair (the DuckDB oracle stays on strings)
+      // shingles kept as 64-bit hashes (codegen'd ShingleHashes
+      // expression): array_intersect on longs beats strings ~4x, and a
+      // hash collision perturbing a Jaccard count has probability
+      // ~1e-15 per pair (the DuckDB oracle stays on strings)
       val docs = Tables.docsWithNearDups(s, dir)
         .select(col("doc_id"), col("n_chars"),
-          array_distinct(expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> xxhash64(substring(text, i, 3)))"))
-            .as("shingles"))
+          graft.plans.ShingleHashes.of(col("text")).as("shingles"))
         // both sides of the self-join read the shingle arrays; compute
         // them once instead of once per side
         .localCheckpoint()

@@ -121,6 +121,33 @@ object Signatures {
   private val deflateBuf =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 
+  /** Distinct 3-byte-shingle hashes of a string, SORTED (sort+dedupe
+    * beats a hash set at these sizes; callers only use set semantics).
+    * The codegen'd replacement for the interpreted
+    * `transform(sequence(...), i -> xxhash64(substring(...)))` lambda.
+    */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    val count = math.max(n - 2, if (n > 0) 1 else 0)
+    if (count == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      hs(i) = XXH64.hashUnsafeBytes(base, off + i, math.min(3, n - i), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < count) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Deflate-compressed size / raw size (level 6, raw deflate — no
     * gzip header noise on short inputs). Empty input → 1.0.
     */
@@ -164,6 +191,28 @@ object MinHashSig {
 
   def of(c: Column, k: Int = 48): Column =
     CB.column(MinHashSig(CB.expression(c), k))
+}
+
+/** `shingle_hashes(text)` → sorted distinct array<bigint> of 3-gram
+  * hashes (set semantics for Jaccard work).
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.shingleHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.shingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def of(c: Column): Column = CB.column(ShingleHashes(CB.expression(c)))
 }
 
 /** `compression_ratio(text)` → double in (0, ~1.1]: deflated size over
