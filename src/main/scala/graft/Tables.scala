@@ -120,7 +120,19 @@ object Tables {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(lit("Z"), expr("substring(text, 2)")).as("text"),
             col("n_chars")))
+      // the table is one small parquet file = ONE input split; the
+      // consumers do heavy per-row signature work, so spread rows
+      // across cores first (at crawl scale the many input files make
+      // this a no-op-cost safeguard)
+      .repartition(spark.sparkContext.defaultParallelism)
   }
+
+  /** embeddings spread across cores — the single parquet file is one
+    * input split, and the ANN consumers do heavy per-row vector math.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** embeddings plus injected NEAR-duplicate vectors (vec_id + 1000000):
     * every 25th vector copied with its first component nudged by +0.001,
@@ -135,6 +147,7 @@ object Tables {
             expr("transform(embedding, (x, i) -> if(i = 0, cast(x + 0.001f as float), x))")
               .as("embedding"),
             col("label")))
+      .repartition(spark.sparkContext.defaultParallelism) // one-file input split
   }
 
   val docsNearDupsCte: String =

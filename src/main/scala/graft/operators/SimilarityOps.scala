@@ -159,7 +159,7 @@ object SimilarityOps {
     "q32_cosine_topk",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.table(s, dir, "embeddings")
+      val e = Tables.embeddings(s, dir)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
@@ -306,7 +306,7 @@ object SimilarityOps {
     "q40_ivf_cosine",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.table(s, dir, "embeddings")
+      val e = Tables.embeddings(s, dir)
       val centroids = e.filter(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
         .limit(IvfCells)
