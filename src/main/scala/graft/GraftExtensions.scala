@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.Etld1
 import graft.plans.{CompressionRatio, MinHashAgg, MinHashSig, SimHashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -50,6 +51,11 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("compression_ratio(text) expects 1 argument")
   }
 
+  private def etld1Builder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => Etld1(c)
+    case _ => throw new IllegalArgumentException("etld1(host) expects 1 argument")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
@@ -62,7 +68,10 @@ object GraftExtensions {
       minhashAggBuilder _),
     (FunctionIdentifier("compression_ratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName, "compression_ratio"),
-      compressionRatioBuilder _))
+      compressionRatioBuilder _),
+    (FunctionIdentifier("etld1"),
+      new ExpressionInfo(classOf[Etld1].getName, "etld1"),
+      etld1Builder _))
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit =

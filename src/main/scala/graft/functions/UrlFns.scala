@@ -81,43 +81,25 @@ object UrlFns {
     when(IgnoreQueryPrefixes.map(p => q.startsWith(p): Column).reduce(_ || _), lit(""))
       .otherwise(q)
 
-  /** Multi-part public suffixes recognized by the eTLD+1 split. A
-    * stand-in for the full publicsuffix table (which at cluster scale
-    * would be a broadcast map); covers the common two-level suffixes.
+  /** eTLD+1 of a host via the FULL embedded public-suffix table:
+    * `a.b.example.co.uk` → `example.co.uk`, `x.user.github.io` →
+    * `user.github.io` (private suffixes included, like Go's
+    * publicsuffix.EffectiveTLDPlusOne). NULL when the host is itself a
+    * public suffix. See [[PublicSuffixList]] / [[Etld1]].
     */
-  val MultiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.nz", "co.za", "com.sg", "com.tr")
-
-  /** eTLD+1 of a host: `a.b.example.co.uk` → `example.co.uk`. */
-  def etld1(h: Column): Column =
-    MultiPartSuffixes.foldRight(
-      regexp_extract(h, "([^.]+[.][^.]+)$", 1): Column) { (suf, els) =>
-      val esc = suf.replace(".", "[.]")
-      when(h.rlike(s"[.]$esc$$"), regexp_extract(h, s"([^.]+[.]$esc)$$", 1))
-        .otherwise(els)
-    }
+  def etld1(h: Column): Column = Etld1.of(h)
 
   /** Subdomain = host minus ".eTLD+1" (reference genSubdomain). */
   def subdomainOf(h: Column, e: Column): Column =
-    when(length(h) > length(e), h.substr(lit(1), length(h) - length(e) - 1))
+    when(e.isNotNull && length(h) > length(e),
+      h.substr(lit(1), length(h) - length(e) - 1))
       .otherwise(lit(""))
 
   /** Scala-side eTLD+1 split, for driver-side request parsing (the
     * LinkDb API receives one domain string per request).
     */
-  def splitDomain(host: String): (String, String) = {
-    val h = host.toLowerCase
-    val parts = h.split('.')
-    val suffixLen = MultiPartSuffixes.find(s => h.endsWith("." + s) || h == s) match {
-      case Some(s) => s.count(_ == '.') + 1
-      case None => 1
-    }
-    val keep = suffixLen + 1
-    if (parts.length <= keep) (h, "")
-    else (parts.takeRight(keep).mkString("."), parts.dropRight(keep).mkString("."))
-  }
+  def splitDomain(host: String): (String, String) =
+    PublicSuffixList.splitDomain(host)
 
   val IpRegex: String =
     "^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])([.](25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){3}$"

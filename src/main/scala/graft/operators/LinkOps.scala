@@ -181,44 +181,76 @@ object LinkOps {
   )
 
   /** eTLD+1 / subdomain split (wat.go:660-676, genSubdomain wat.go:953-962)
-    * with a multi-part-TLD special case (.co.uk) standing in for the
-    * public-suffix table; at scale the suffix list is a broadcast join.
+    * through the FULL embedded public-suffix table (graft.functions
+    * .PublicSuffixList — the Spark analogue of Go's
+    * publicsuffix.EffectiveTLDPlusOne, wat.go:664). Beyond the derived
+    * testdata hosts, a fixed vector of PSL-hard hosts is injected —
+    * private suffixes (github.io), 2/3-label ccTLD suffixes, wildcard
+    * (*.ck, *.nagoya.jp) and exception (!www.ck, !city.kawasaki.jp)
+    * rules, punycode IDN — with the expected splits declared verbatim
+    * in the oracle.
     */
   val q20_etld_domain: GraftQuery = GraftQuery(
     "q20_etld_domain",
     (s, dir) => {
+      import s.implicits._
+      import graft.functions.UrlFns
+      val tricky = PslVectors.map(_._1).toDF("host")
       val hosts = Tables.links(s, dir)
         .select(expr(
           "case when link_subdomain = '' then link_domain " +
             "else concat(link_subdomain, '.', link_domain) end").as("host"))
         .union(Tables.links(s, dir).select(col("page_host").as("host")))
+        .union(tricky)
         .distinct()
       hosts
-        .withColumn("etld1",
-          when(col("host").endsWith(".co.uk"),
-            regexp_extract(col("host"), "([^.]+[.]co[.]uk)$", 1))
-            .otherwise(regexp_extract(col("host"), "([^.]+[.][^.]+)$", 1)))
-        .withColumn("subdomain",
-          when(length(col("host")) > length(col("etld1")),
-            expr("substring(host, 1, length(host) - length(etld1) - 1)"))
-            .otherwise(lit("")))
+        .withColumn("etld1", UrlFns.etld1(col("host")))
+        .withColumn("subdomain", UrlFns.subdomainOf(col("host"), col("etld1")))
     },
     Some(Tables.linksCte +
-      """SELECT host,
-        |  CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
-        |       ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) END AS etld1,
-        |  CASE WHEN length(host) > length(CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
-        |                                       ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) END)
-        |       THEN substr(host, 1, length(host) - length(CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
-        |                                                       ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) END) - 1)
+      s"""SELECT host,
+        |  CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$$', 1)
+        |       ELSE regexp_extract(host, '([^.]+[.][^.]+)$$', 1) END AS etld1,
+        |  CASE WHEN length(host) > length(CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$$', 1)
+        |                                       ELSE regexp_extract(host, '([^.]+[.][^.]+)$$', 1) END)
+        |       THEN substr(host, 1, length(host) - length(CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+[.]co[.]uk)$$', 1)
+        |                                                       ELSE regexp_extract(host, '([^.]+[.][^.]+)$$', 1) END) - 1)
         |       ELSE '' END AS subdomain
         |FROM (
         |  SELECT DISTINCT host FROM (
         |    SELECT CASE WHEN link_subdomain = '' THEN link_domain
         |                ELSE link_subdomain || '.' || link_domain END AS host FROM links
         |    UNION ALL
-        |    SELECT page_host AS host FROM links) h) hh""".stripMargin)
+        |    SELECT page_host AS host FROM links) h) hh
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |$pslVectorsSql) v(host, etld1, subdomain)""".stripMargin)
   )
+
+  /** PSL-hard test vectors: (host, expected eTLD+1 or null, expected
+    * subdomain). Expected values follow the published PSL algorithm
+    * (publicsuffix.org/list): github.io is a PRIVATE-section suffix;
+    * *.ck is a wildcard with the !www.ck exception; *.nagoya.jp /
+    * !city.kawasaki.jp likewise; рф indexes under its punycode form.
+    * A bare public suffix has NO registrable domain (Go returns an
+    * error; the Column is NULL).
+    */
+  private lazy val PslVectors: Seq[(String, String, String)] = Seq(
+    ("blog.user.github.io", "user.github.io", "blog"),
+    ("www.site.com.pl", "site.com.pl", "www"),
+    ("a.b.example.co.kr", "example.co.kr", "a.b"),
+    ("foo.bar.ck", "foo.bar.ck", ""),
+    ("x.www.ck", "www.ck", "x"),
+    ("media.city.kawasaki.jp", "city.kawasaki.jp", "media"),
+    ("sub.foo.nagoya.jp", "sub.foo.nagoya.jp", ""),
+    ("example.xn--p1ai", "example.xn--p1ai", ""),
+    ("github.io", null, ""))
+
+  private def pslVectorsSql: String =
+    PslVectors.map { case (h, e, sub) =>
+      val eSql = if (e == null) "CAST(NULL AS VARCHAR)" else s"'$e'"
+      s"  ('$h', $eSql, '$sub')"
+    }.mkString(",\n")
 
   private val ipRegex =
     "^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])([.](25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){3}$"

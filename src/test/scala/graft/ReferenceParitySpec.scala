@@ -30,6 +30,35 @@ class ReferenceParitySpec extends SparkSpec {
     assert(UrlFns.splitDomain("www.test.com") == (("test.com", "www")))
   }
 
+  test("EffectiveTLDPlusOne parity: full PSL (wat.go:664 publicsuffix)") {
+    // vectors a Go publicsuffix.EffectiveTLDPlusOne caller would see —
+    // private suffixes, wildcard + exception rules, punycode IDN
+    val vectors = Seq(
+      ("www.example.com", "example.com", "www"),
+      ("a.b.example.co.uk", "example.co.uk", "a.b"),
+      ("blog.user.github.io", "user.github.io", "blog"), // PRIVATE section
+      ("www.site.com.pl", "site.com.pl", "www"),
+      ("s.example.co.kr", "example.co.kr", "s"),
+      ("foo.bar.ck", "foo.bar.ck", null), // wildcard *.ck
+      ("x.www.ck", "www.ck", "x"), // exception !www.ck
+      ("media.city.kawasaki.jp", "city.kawasaki.jp", "media"), // !city.kawasaki.jp
+      ("sub.foo.nagoya.jp", "sub.foo.nagoya.jp", null), // wildcard *.nagoya.jp
+      ("example.xn--p1ai", "example.xn--p1ai", null), // punycode of рф
+      ("github.io", null, null), // bare suffix: no registrable domain
+      ("com", null, null),
+      ("MiXeD.CaSe.ExAmPlE.cOm", "example.com", null))
+    for ((host, want, _) <- vectors)
+      assert(graft.functions.PublicSuffixList.etld1(host) == want, s"etld1($host)")
+    // the same table through the Column expression (codegen path)
+    val got = eval1[String](vectors.map(_._1), UrlFns.etld1)
+    assert(got == vectors.map(_._2), "Column-side etld1")
+    // driver-side splitDomain agrees on the subdomain part
+    for ((host, e, sub) <- vectors if sub != null)
+      assert(UrlFns.splitDomain(host) == ((e, sub)), s"splitDomain($host)")
+    // bare-suffix requests stay total: (host, "")
+    assert(UrlFns.splitDomain("github.io") == (("github.io", "")))
+  }
+
   test("TestSetScheme vectors (wat_test.go:288-308)") {
     val got = eval1[String](Seq("https", "http", "ftp", ""), UrlFns.schemeCode)
     assert(got == Seq("2", "1", "0", "0"))

@@ -53,6 +53,15 @@ class WatSourceSpec extends SparkSpec {
     // noindex page: dropped entirely, links and all (wat.go:746-749)
     w.write(watLine("https://hidden.example.net/secret", "7.7.7.7", "2024-07-03T00:00:00Z",
       Some("noindex"), Seq(("A@/href", "http://leaked.org/x", "t", ""))) + "\n")
+    // PSL-hard hosts: a PRIVATE-section suffix page (github.io) linking
+    // to wildcard/exception-rule and 3-label-suffix hosts — the full
+    // public-suffix table must split all of these like Go publicsuffix
+    w.write(watLine("https://blog.user.github.io/post", "6.6.6.6", "2024-07-04T00:00:00Z",
+      None, Seq(
+        ("A@/href", "http://x.www.ck/a", "exc", ""), // !www.ck exception
+        ("A@/href", "https://deep.site.com.pl/b?id=2", "pl", ""),
+        ("A@/href", "https://other.user.github.io/c", "same-site", ""), // same eTLD+1 -> dropped
+        ("A@/href", "http://github.io/d", "bare-suffix", ""))) + "\n") // no eTLD+1 -> dropped
     w.write("{ this is not valid json\n")
     w.close()
     f.getAbsolutePath
@@ -78,7 +87,7 @@ class WatSourceSpec extends SparkSpec {
 
   test("pages parses envelope fields and robots metas") {
     val p = WatSource.pages(spark, fixturePath).collect()
-    assert(p.length == 3) // sitea, b.org, canon.example.com (dup dropped)
+    assert(p.length == 4) // sitea, b.org, canon.example.com, github.io blog (dup dropped)
     val a = p.find(_.getAs[String]("page_host") == "www.sitea.com").get
     assert(a.getAs[Int]("noindex") == 0 && a.getAs[Int]("page_nofollow") == 1)
     assert(a.getAs[String]("page_domain") == "sitea.com")
@@ -94,7 +103,8 @@ class WatSourceSpec extends SparkSpec {
     // self/same-host, IMG, relative all dropped.
     // page B: proto.rel.net kept via protocol-relative; .png and IP dropped.
     // canonical page contributes fromcanon.org.
-    assert(byDomain.keySet == Set("ext1.com", "ext2.co.uk", "rel.net", "fromcanon.org"))
+    assert(byDomain.keySet ==
+      Set("ext1.com", "ext2.co.uk", "rel.net", "fromcanon.org", "www.ck", "site.com.pl"))
     val e2 = byDomain("ext2.co.uk")
     assert(e2.getAs[String]("link_subdomain") == "sub")
     assert(e2.getAs[String]("link_rawquery") == "q=1")
@@ -114,7 +124,24 @@ class WatSourceSpec extends SparkSpec {
 
   test("wat links flow into compaction") {
     val compacted = graft.operators.LinkCompaction.compact(WatSource.links(spark, fixturePath))
-    assert(compacted.count() == 4)
-    assert(compacted.agg(sum("qty")).head.getLong(0) == 4)
+    assert(compacted.count() == 6)
+    assert(compacted.agg(sum("qty")).head.getLong(0) == 6)
+  }
+
+  test("full PSL governs source + link domain splits (wat.go:664)") {
+    val p = WatSource.pages(spark, fixturePath).collect()
+    val gh = p.find(_.getAs[String]("page_host") == "blog.user.github.io").get
+    assert(gh.getAs[String]("page_domain") == "user.github.io") // private suffix
+    val l = WatSource.links(spark, fixturePath).collect()
+    val byDomain = l.map(r => r.getAs[String]("link_domain") -> r).toMap
+    // exception rule !www.ck: www.ck IS the registrable domain
+    assert(byDomain("www.ck").getAs[String]("link_subdomain") == "x")
+    // 3-label host under the com.pl suffix
+    assert(byDomain("site.com.pl").getAs[String]("link_subdomain") == "deep")
+    // same-eTLD+1 link (other.user.github.io from blog.user.github.io)
+    // is an internal link under the PSL and must be dropped
+    assert(!l.exists(_.getAs[String]("link_subdomain") == "other"))
+    // a bare public suffix has no registrable domain -> dropped
+    assert(!l.exists(r => Option(r.getAs[String]("link_domain")).contains("github.io")))
   }
 }
