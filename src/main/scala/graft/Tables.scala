@@ -127,6 +127,13 @@ object Tables {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
+  /** Embedding dimensionality of the testdata `embeddings` table — part
+    * of the dataset contract (all SFs are generated at dim 64). Plans
+    * that need the dim (e.g. hyperplane construction) take it from here
+    * instead of running a `head()` job at plan-build time.
+    */
+  val EmbeddingDim = 64
+
   /** embeddings spread across cores — the single parquet file is one
     * input split, and the ANN consumers do heavy per-row vector math.
     */

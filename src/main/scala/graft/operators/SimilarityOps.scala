@@ -151,25 +151,25 @@ object SimilarityOps {
 
   /** Brute-force cosine top-k ANN baseline: the exact answer the LSH
     * path (q34) approximates. Queries are broadcast, candidates stream;
-    * per-query top-k via rank window partitioned on the (small) query
-    * side. At 100 TB the candidate scan is embarrassingly parallel and
-    * never shuffles — only the scored rows move to rank.
+    * per-query top-k through the bounded-heap TopKPerGroup operator
+    * (rank emitted from the final heap drain) — the window formulation
+    * would shuffle EVERY scored candidate onto |Q| reducer tasks and
+    * full-sort them, a skewed-key shuffle by construction; the heap
+    * plan moves ≤ k rows per query per partition. At 100 TB the
+    * candidate scan is embarrassingly parallel and never shuffles.
     */
   val q32_cosine_topk: GraftQuery = GraftQuery(
     "q32_cosine_topk",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("n_id"))
-      cand.join(broadcast(qs), col("n_id") =!= col("q_id"))
+      val scored = cand.join(broadcast(qs), col("n_id") =!= col("q_id"))
         .withColumn("cosine",
           expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      graft.plans.TopKPerGroup(scored,
+        Seq(col("q_id")), Seq(col("cosine").desc, col("n_id")), 10, rank = Some("rank"))
         .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
     },
     None // float-order across engines; exactness covered by SimilaritySpec
@@ -227,8 +227,9 @@ object SimilarityOps {
     "q34_lsh_cosine",
     (s, dir) => {
       val e = Tables.embWithNearDups(s, dir)
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
-      val planes = typedLit(hyperplanes(dim))
+      // dim is part of the dataset contract (TESTDATA.md) — a plan-build
+      // head() here would run a tiny job per plan construction
+      val planes = typedLit(hyperplanes(Tables.EmbeddingDim))
       val bits = e.withColumn("bits",
         transform(planes, pl =>
           when(aggregate(
@@ -295,46 +296,58 @@ object SimilarityOps {
 
   /** IVF (inverted-file) cosine ANN — the centroid-bucketed alternative
     * to q34's hyperplane LSH. Deterministic "training": every 31st
-    * vector is a centroid (at scale: a kmeans fit on a sample, still a
-    * driver-side broadcastable artifact). Index = each vector assigned
-    * to its nearest centroid (one broadcast-join scan, `max_by`
-    * assignment — no shuffle of the embedding column beyond the cell
-    * regroup). Search probes only the top-`IvfProbes` cells per query,
-    * scanning IvfProbes/IvfCells of the data instead of all of it.
+    * vector is a centroid (at scale: a kmeans fit on a sample — either
+    * way a tiny driver-side artifact). The centroid matrix folds into
+    * the plan as a LITERAL (like q34's hyperplanes), so nearest-cell
+    * assignment is a ROW-LOCAL argmax inside the scan stage — no
+    * crossJoin row amplification and no groupBy shuffle of the
+    * embedding column. Search probes only the top-`IvfProbes` cells per
+    * query (also row-local on the query side), then ranks through the
+    * bounded-heap TopKPerGroup operator: the only shuffle in the whole
+    * plan moves ≤ k rows per query per partition.
     */
   val q40_ivf_cosine: GraftQuery = GraftQuery(
     "q40_ivf_cosine",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
-      val centroids = e.filter(col("vec_id") % 31 === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        .limit(IvfCells)
-      def cos(a: String, b: String) =
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)") /
-          (expr(normExpr(a)) * expr(normExpr(b)))
-      // index: nearest centroid per vector (broadcast scan + max_by)
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cos("embedding", "c_emb"))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(c_id, struct(c_cos, -c_id))").as("cell"),
-          first(col("embedding")).as("embedding"))
-      // search: probe the IvfProbes nearest cells per query
+      // index build: collect the centroid sample ONCE (bounded:
+      // IvfCells rows) — the kmeans-fit analogue, not a per-row action
+      val cents: Seq[Seq[Float]] = e.filter(col("vec_id") % 31 === 0)
+        .orderBy(col("vec_id")).limit(IvfCells)
+        .select(col("embedding")).collect().toSeq
+        .map(_.getSeq[Float](0).toSeq)
+      val cnorms: Seq[Double] =
+        cents.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+      val n = cents.length
+      // score_i = dot(emb, c_i)/|c_i|: |emb| is a common positive factor,
+      // so it drops out of both the argmax and the probe ordering
+      def cellScore(emb: String) =
+        s"aggregate(zip_with($emb, element_at(cs, i + 1), " +
+          "(x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, v) -> acc + v) / element_at(cns, i + 1)"
+      def withCentroids(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("cs", typedLit(cents)).withColumn("cns", typedLit(cnorms))
+      // assignment: row-local argmax over the literal (ties -> lowest cell)
+      val assigned = withCentroids(e)
+        .withColumn("cell", expr(
+          s"array_max(transform(sequence(0, ${n - 1}), i -> " +
+            s"struct(${cellScore("embedding")} as s, -i as ni, i as cell))).cell"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+      // search: top-IvfProbes cells per query, also row-local
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
-      val probes = qs.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cos("q_emb", "c_emb"))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= IvfProbes)
-        .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-      probes.join(assigned.withColumnRenamed("vec_id", "n_id")
-          .withColumnRenamed("embedding", "n_emb"), "cell")
+      val probes = withCentroids(qs)
+        .withColumn("cell", explode(expr(
+          s"transform(slice(array_sort(transform(sequence(0, ${n - 1}), i -> " +
+            s"struct(-(${cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
+            "p -> p.cell)")))
+        .select(col("q_id"), col("q_emb"), col("cell"))
+      val scored = assigned.join(broadcast(probes), "cell")
         .filter(col("n_id") =!= col("q_id"))
-        .withColumn("cosine", cos("q_emb", "n_emb"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 10)
+        .withColumn("cosine",
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
+      graft.plans.TopKPerGroup(scored,
+        Seq(col("q_id")), Seq(col("cosine").desc, col("n_id")), 10, rank = Some("rank"))
         .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
     },
     None // ANN recall measured against q32's exact top-k in SimilaritySpec

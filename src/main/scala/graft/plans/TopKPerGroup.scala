@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{GraftColumnBridge => CB, GraftDatasetBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -38,17 +38,22 @@ case class TopKPerGroupPlan(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rank is born here, not referenced from the child
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
     copy(child = newChild)
 }
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupPlan(g, o, k, child) =>
+    case TopKPerGroupPlan(g, o, k, child, rank) =>
+      // only the FINAL stage emits the rank column (it alone sees each
+      // group complete); the partial stage keeps the child schema
       TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child)), rank) :: Nil
     case _ => Nil
   }
 }
@@ -63,9 +68,11 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -82,6 +89,8 @@ case class TopKPerGroupExec(
     val groupExprsB = groupExprs
     val orderB = order
     val kB = k
+    val withRank = rankAttr.isDefined
+    val outputSchema = output.map(_.dataType).toArray
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupExprsB, childOutput)
       val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderB, childOutput)
@@ -103,10 +112,26 @@ case class TopKPerGroupExec(
         }
       }
       numGroups += heaps.size
-      heaps.valuesIterator.flatMap { h =>
-        val rows = h.dequeueAll.reverse // ascending by ord — deterministic
-        numOutputRows += rows.size
-        rows.iterator
+      if (!withRank) {
+        heaps.valuesIterator.flatMap { h =>
+          val rows = h.dequeueAll.reverse // ascending by ord — deterministic
+          numOutputRows += rows.size
+          rows.iterator
+        }
+      } else {
+        // rank falls out of the heap's ascending drain — no Window, no
+        // per-group sort beyond the k-element heap itself
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val proj = UnsafeProjection.create(outputSchema)
+        heaps.valuesIterator.flatMap { h =>
+          val rows = h.dequeueAll.reverse
+          numOutputRows += rows.size
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.setInt(0, i + 1)
+            proj(joined(r, rankRow))
+          }
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -119,9 +144,14 @@ object TopKPerGroup {
 
   /** `topKPerGroup(df, Seq($"cust"), Seq($"price".desc, $"id"), 3)` —
     * exact top-k rows per group under a total order (include a
-    * tiebreak column for row_number-identical semantics).
+    * tiebreak column for row_number-identical semantics). With
+    * `rank = Some(name)`, an extra int column carries each row's
+    * 1-based position within its group — equivalent to keeping the
+    * `row_number()` value, but emitted from the final heap drain
+    * instead of a Window sort.
     */
-  def apply(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+  def apply(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int,
+      rank: Option[String] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(groupCols.nonEmpty,
       "groupCols must be non-empty (global top-k: use orderBy().limit(k))")
@@ -133,8 +163,11 @@ object TopKPerGroup {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     })
+    val rankAttr = rank.map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.IntegerType, nullable = false)())
     val plan = TopKPerGroupPlan(
-      groupCols.map(CB.expressionEager), order, k, df.queryExecution.analyzed)
+      groupCols.map(CB.expressionEager), order, k, df.queryExecution.analyzed, rankAttr)
     GraftDatasetBridge.ofRows(spark, plan)
   }
 }
