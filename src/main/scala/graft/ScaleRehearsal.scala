@@ -29,6 +29,28 @@ object ScaleRehearsal {
     time("q30_minhash_lsh")(operators.SimilarityOps.q30_minhash_lsh.run(spark, "/tmp/sfx10").count())
     time("q31_simhash")(operators.SimilarityOps.q31_simhash.run(spark, "/tmp/sfx10").count())
     time("q24_dedup_exact")(operators.TextOps.q24_dedup_exact.run(spark, "/tmp/sfx10").count())
+    // q41 banded sketch join at 2k and 20k domains: 5% of domains have a
+    // near-dup partner, everything else is disjoint — output pairs (and
+    // wall-clock) must scale ~linearly in domains, not quadratically,
+    // because candidates come from band buckets rather than all pairs
+    time("q41_sketch_2k")(operators.SimilarityOps.sketchPairs(sketchCorpus(spark, 2000)).count())
+    time("q41_sketch_20k")(operators.SimilarityOps.sketchPairs(sketchCorpus(spark, 20000)).count())
     spark.stop()
   }
+
+  /** n domains x 20 link texts. Texts are (domain,slot)-unique except:
+    * domains d in [n/2, n/2 + n/20) share 18 of 20 texts with partner
+    * d - n/2 (set Jaccard 18/22 ~ 0.82). Expected pairs ~ n/20.
+    */
+  private def sketchCorpus(spark: SparkSession, n: Int) =
+    spark.range(n.toLong * 20)
+      // `div`, not `/`: Column./ is double division
+      .select(expr("id div 20").as("d"), (col("id") % 20).as("j"))
+      .select(
+        concat(lit("dom"), col("d")).as("link_domain"),
+        concat(lit("w"), when(
+          col("d") >= n / 2 && col("d") < n / 2 + n / 20 && col("j") < 18,
+          (col("d") - n / 2) * 31 + col("j"))
+          .otherwise(col("d") * 31 + col("j"))).as("link_text"))
+      .repartition(spark.sparkContext.defaultParallelism)
 }

@@ -353,30 +353,62 @@ object SimilarityOps {
     None // ANN recall measured against q32's exact top-k in SimilaritySpec
   )
 
+  // q41 banding: 24 bands x 2 sketch positions. The 0.5 target needs a
+  // shallow curve — P(candidate | est j) = 1-(1-j^2)^24 = 99.9% at
+  // j=0.5 (vs ~2% under q30's b=6,r=8, which targets j>=0.8); the
+  // extra low-similarity candidates only cost a 48-long sketch compare.
+  private val SketchBands = 24
+  private val SketchRows = MinhashHashes / SketchBands
+
   /** Per-GROUP MinHash union sketches via the custom MinHashAgg
     * aggregate: each domain's link-text profile compresses to 48 longs
     * (one map-side-combined shuffle), and domain-pair similarity is
     * estimated from sketch position agreement without ever comparing
-    * texts. At real scale the pair step would itself be LSH-banded
-    * (as in q30) — here the domain count is tiny, so the sketch join
-    * is the demonstration.
+    * texts. The pair step is LSH-banded exactly like q30 — candidates
+    * come from a groupBy(band, bucket) on band hashes of the sketches,
+    * never an all-pairs domain join (quadratic at crawl-scale domain
+    * counts); the agreement estimate runs on candidates only.
     */
   val q41_domain_sketch: GraftQuery = GraftQuery(
     "q41_domain_sketch",
-    (s, dir) => {
-      val sketches = Tables.links(s, dir)
-        .groupBy(col("link_domain"))
-        .agg(graft.plans.MinHashAgg.of(col("link_text"), 48).as("sketch"))
-      val a = sketches.select(col("link_domain").as("a_domain"), col("sketch").as("a_sk"))
-      val b = sketches.select(col("link_domain").as("b_domain"), col("sketch").as("b_sk"))
-      a.join(b, col("a_domain") < col("b_domain"))
-        .withColumn("est_jaccard",
-          expr("size(filter(zip_with(a_sk, b_sk, (x, y) -> x = y), v -> v)) / cast(48 as double)"))
-        .filter(col("est_jaccard") >= 0.5)
-        .select(col("a_domain"), col("b_domain"), round(col("est_jaccard"), 4).as("est_jaccard"))
-    },
-    None // sketch positions are engine-specific; algebra verified in SignaturesSpec
+    (s, dir) => sketchPairs(Tables.links(s, dir)),
+    None // banded candidates + engine-specific sketches; SignaturesSpec covers the algebra
   )
+
+  /** The q41 core over any (link_domain, link_text) frame — also driven
+    * at 10x domain count by graft.ScaleRehearsal.
+    */
+  private[graft] def sketchPairs(links: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // sketches feed the band explode AND both pair sides: materialize
+    // once instead of re-running the aggregate three times
+    val sketches = links
+      .groupBy(col("link_domain"))
+      .agg(graft.plans.MinHashAgg.of(col("link_text"), MinhashHashes).as("sketch"))
+      .localCheckpoint()
+    val bandStructs = (0 until SketchBands).map { b =>
+      val ms = (0 until SketchRows)
+        .map(r => s"element_at(sketch, ${b * SketchRows + r + 1})").mkString(", ")
+      s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
+    }.mkString(", ")
+    val pairs = sketches
+      .select(col("link_domain").as("ids_src"), explode(expr(s"array($bandStructs)")).as("b"))
+      .groupBy(col("b.band_id"), col("b.band_hash"))
+      .agg(sort_array(collect_list(col("ids_src"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.a_id").as("a_domain"), col("p.b_id").as("b_domain"))
+      .distinct()
+    pairs
+      .join(sketches.select(col("link_domain").as("a_domain"), col("sketch").as("a_sk")), "a_domain")
+      .join(sketches.select(col("link_domain").as("b_domain"), col("sketch").as("b_sk")), "b_domain")
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(a_sk, b_sk, (x, y) -> x = y), v -> v))"))
+      // exact integer-over-constant division: bit-identical across
+      // engines, so the estimate stage can carry a DuckDB oracle
+      .withColumn("est_jaccard", col("n_agree").cast("double") / lit(MinhashHashes.toDouble))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a_domain"), col("b_domain"), col("est_jaccard"))
+  }
 
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q31_simhash, q32_cosine_topk, q33_embed_stats,

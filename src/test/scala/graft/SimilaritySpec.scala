@@ -104,6 +104,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q41 banded sketch join finds planted near-dup domains only") {
+    import spark.implicits._
+    // 40 domains x 20 texts: dom{d} and dom{d+20} (d < 2) share 18 of 20
+    // texts (set Jaccard 18/22 ~ 0.82 >= 0.5 threshold); all other
+    // domain pairs are fully disjoint (est_jaccard ~ 0)
+    val links = (0 until 40).flatMap { d =>
+      (0 until 20).map { j =>
+        val shared = d >= 20 && d < 22 && j < 18
+        (s"dom$d", if (shared) s"w${(d - 20) * 31 + j}" else s"w${d * 31 + j}")
+      }
+    }.toDF("link_domain", "link_text")
+    val pairs = graft.operators.SimilarityOps.sketchPairs(links).collect()
+      .map(r => (r.getAs[String]("a_domain"), r.getAs[String]("b_domain"))).toSet
+    assert(pairs == Set(("dom0", "dom20"), ("dom1", "dom21")),
+      s"banded sketch join produced $pairs")
+  }
+
   test("q35 multimodal rollup covers every source with sane metadata") {
     val rows = SimilarityOps.q35_multimodal.run(spark, sfDir).collect()
     val nDocs = rows.map(_.getAs[Long]("n_images")).sum
