@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *     from a sorted id array — never an O(n²) self-join. Buckets are
   *     capped (`MaxBucket`) so a degenerate hot bucket cannot emit
   *     quadratic pairs; exact verification runs only on candidates.
-  *   - Signatures (minhash/simhash votes) are computed as CODEGEN'D
-  *     hash aggregates over exploded token/shingle rows, not as
+  *   - Signatures (minhash/simhash) are ROW-LOCAL codegen'd
+  *     expressions (`MinHashSig`/`SimHashSig`, real `doGenCode`):
+  *     one pass over the string inside the scan stage — no
+  *     token/shingle explode, no signature shuffle, and no
   *     higher-order-function lambdas (Spark evaluates HOF lambdas
   *     interpreted, row by row — 10-50× slower in the hot path).
   *     Each shingle is hashed once; the k hash functions are derived
@@ -139,7 +141,33 @@ object SimilarityOps {
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming"))
     },
-    None // bit-vote signature not SQL-expressible; covered by SimilaritySpec
+    // The signature is md5-token-hash based ON PURPOSE so DuckDB can
+    // recompute it bit-exactly (two 32-bit halves keep the hex parse
+    // inside signed BIGINT) and brute-force hamming ≤ 3 — the
+    // pigeonhole bucketing is lossless at that radius, so the banded
+    // Spark plan and the brute-force oracle agree on the full pair set.
+    Some(Tables.docsNearDupsCte +
+      """, th AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM alldocs) t
+        |), sigbits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN SUM(CASE WHEN
+        |             (CASE WHEN b < 32 THEN lo >> CAST(b AS INTEGER)
+        |                   ELSE hi >> CAST(b - 32 AS INTEGER) END) & 1 = 1
+        |           THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS sb
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, b
+        |), ham AS (
+        |  SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+        |         SUM(CASE WHEN a.sb <> c.sb THEN 1 ELSE 0 END) AS hamming
+        |  FROM sigbits a JOIN sigbits c ON a.b = c.b AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+        |FROM ham WHERE hamming <= 3""".stripMargin)
   )
 
   private val dotExpr =
@@ -372,7 +400,36 @@ object SimilarityOps {
   val q41_domain_sketch: GraftQuery = GraftQuery(
     "q41_domain_sketch",
     (s, dir) => sketchPairs(Tables.links(s, dir)),
-    None // banded candidates + engine-specific sketches; SignaturesSpec covers the algebra
+    // MinHashAgg hashes each element via md5 (see elementMinhash), so
+    // the oracle recomputes every domain sketch with the SAME
+    // Carter-Wegman constants (embedded as list literals) and
+    // brute-forces all domain pairs — the banded Spark plan must
+    // reproduce the full ≥ 0.5 pair set.
+    Some {
+      val (as, bs) = graft.plans.MinHashSig.params(MinhashHashes)
+      val aList = as.mkString("[", ", ", "]")
+      val bList = bs.mkString("[", ", ", "]")
+      Tables.linksCte +
+        s""", el AS (
+           |  SELECT DISTINCT link_domain,
+           |         ('0x' || substr(md5(link_text), 1, 8))::BIGINT AS h
+           |  FROM links
+           |), sk AS (
+           |  SELECT link_domain, j,
+           |         MIN(($aList[CAST(j + 1 AS INTEGER)] * h
+           |              + $bList[CAST(j + 1 AS INTEGER)]) % 4294967291) AS m
+           |  FROM el CROSS JOIN (SELECT unnest(range($MinhashHashes)) AS j) perms
+           |  GROUP BY 1, 2
+           |), agree AS (
+           |  SELECT a.link_domain AS a_domain, c.link_domain AS b_domain,
+           |         SUM(CASE WHEN a.m = c.m THEN 1 ELSE 0 END) AS n_agree
+           |  FROM sk a JOIN sk c ON a.j = c.j AND a.link_domain < c.link_domain
+           |  GROUP BY 1, 2
+           |)
+           |SELECT a_domain, b_domain,
+           |       CAST(n_agree AS DOUBLE) / $MinhashHashes AS est_jaccard
+           |FROM agree WHERE n_agree * 2 >= $MinhashHashes""".stripMargin
+    }
   )
 
   /** The q41 core over any (link_domain, link_text) frame — also driven

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash UNION sketch as a custom aggregate function: the signature
-  * of the union of all input strings' shingle sets.
+  * of the SET of input strings (each string = one element, md5-hashed —
+  * so a group's sketch is bit-exactly reproducible in the DuckDB
+  * oracle via `('0x' || substr(md5(x), 1, 8))::BIGINT` and the same
+  * Carter-Wegman constants).
   *
-  * The buffer is the k running minima; `update` folds a row's shingles
-  * in directly, `merge` is elementwise min. Elementwise min is
+  * The buffer is the k running minima; `update` folds a row's element
+  * hash in directly, `merge` is elementwise min. Elementwise min is
   * associative and commutative, so Spark runs this with map-side
   * partial aggregation like any built-in aggregate — at 100 TB a
   * per-domain text-profile sketch costs one shuffle of k longs per
@@ -44,7 +47,7 @@ case class MinHashAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val sig = Signatures.minhashArray(v.asInstanceOf[UTF8String], numHashes)
+      val sig = Signatures.elementMinhash(v.asInstanceOf[UTF8String], numHashes)
       var i = 0
       while (i < numHashes) {
         if (sig(i) < buffer(i)) buffer(i) = sig(i)

@@ -77,27 +77,48 @@ object Signatures {
     sig
   }
 
-  /** 64-bit SimHash over whitespace tokens: one pass, per-token XXH64,
-    * per-bit vote counters, sign → bit.
+  // per-thread digest: MessageDigest is stateful and not thread-safe
+  private val md5s =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 digest bytes as a big-endian signed long — equals
+    * DuckDB's `('0x' || substr(md5(x), 1, 16))` bit pattern (parsed as
+    * two 32-bit halves there to stay inside signed BIGINT).
     */
-  def simhash(s: UTF8String, seed: Long): Long = {
+  private def md5Long(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val md = md5s.get()
+    md.reset()
+    md.update(bytes, start, len)
+    val d = md.digest()
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over space-split tokens: per-token md5-derived
+    * 64-bit hash, per-bit vote counters, sign → bit.
+    *
+    * md5 (not xxhash) ON PURPOSE: the signature is then bit-exactly
+    * reproducible in any engine with md5 — the DuckDB oracle recomputes
+    * it from `string_split(text, ' ')` (which matches this loop's
+    * boundary semantics: empty tokens, including trailing, vote too)
+    * and brute-forces hamming ≤ 3 over the recomputed signatures.
+    */
+  def simhash(s: UTF8String): Long = {
     val votes = new Array[Int](64)
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val n = s.numBytes()
+    val bytes = s.getBytes
+    val n = bytes.length
     var start = 0
     var i = 0
     while (i <= n) {
-      val atEnd = i == n
-      val isSpace = !atEnd && org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte
-      if (atEnd || isSpace) {
-        if (i >= start) { // empty tokens vote too (split(' ') semantics)
-          val h = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
-          var b = 0
-          while (b < 64) {
-            votes(b) += (((h >>> b) & 1L) * 2 - 1).toInt
-            b += 1
-          }
+      if (i == n || bytes(i) == ' '.toByte) {
+        val h = md5Long(bytes, start, i - start)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((h >>> b) & 1L) * 2 - 1).toInt
+          b += 1
         }
         start = i + 1
       }
@@ -112,6 +133,28 @@ object Signatures {
     sig
   }
 
+  /** Carter-Wegman permutations of the md5-derived 32-bit hash of ONE
+    * element: position j = (a_j * h32 + b_j) mod P32. The element-set
+    * counterpart of [[minhashArray]]'s shingle-set signature — used by
+    * MinHashAgg so a group's union sketch is reproducible in the DuckDB
+    * oracle (`('0x' || substr(md5(x), 1, 8))::BIGINT` is the same h32).
+    */
+  def elementMinhash(s: UTF8String, k: Int): Array[Long] = {
+    val (as, bs) = MinHashSig.params(k)
+    val bytes = s.getBytes
+    val md = md5s.get()
+    md.reset()
+    md.update(bytes, 0, bytes.length)
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) { sig(j) = (h * as(j) + bs(j)) % P32; j += 1 }
+    sig
+  }
+
   // per-thread native zlib stream + scratch buffer: constructing a
   // Deflater per ROW would pay JNI stream init/teardown on the scan
   // path; reset() reuses the native state
@@ -121,22 +164,38 @@ object Signatures {
   private val deflateBuf =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 
-  /** Distinct 3-byte-shingle hashes of a string, SORTED (sort+dedupe
-    * beats a hash set at these sizes; callers only use set semantics).
-    * The codegen'd replacement for the interpreted
-    * `transform(sequence(...), i -> xxhash64(substring(...)))` lambda.
+  /** Distinct 3-CHARACTER-shingle hashes of a string, SORTED (sort+
+    * dedupe beats a hash set at these sizes; callers only use set
+    * semantics). Shingles span code points, not bytes, so Jaccard
+    * values agree with the oracle's `substring(text, i, 3)` formulation
+    * on non-ASCII text too; each shingle is hashed over its UTF-8 byte
+    * slice (one XXH64 per gram, no substring allocation). Strings
+    * shorter than 3 code points hash as one whole-string gram.
     */
   def shingleHashes(s: UTF8String): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes()
-    val count = math.max(n - 2, if (n > 0) 1 else 0)
+    // code-point start offsets; starts(cnt) = n sentinel. For pure
+    // ASCII this is the identity and costs one pass.
+    val starts = new Array[Int](n + 1)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      starts(cnt) = i
+      cnt += 1
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+    }
+    starts(cnt) = n
+    val count = math.max(cnt - 2, if (cnt > 0) 1 else 0)
     if (count == 0) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](count)
-    var i = 0
-    while (i < count) {
-      hs(i) = XXH64.hashUnsafeBytes(base, off + i, math.min(3, n - i), 42L)
-      i += 1
+    var g = 0
+    while (g < count) {
+      val end = if (g + 3 <= cnt) starts(g + 3) else n
+      hs(g) = XXH64.hashUnsafeBytes(base, off + starts(g), end - starts(g), 42L)
+      g += 1
     }
     java.util.Arrays.sort(hs)
     var w = 1
@@ -240,19 +299,20 @@ object CompressionRatio {
   def of(c: Column): Column = CB.column(CompressionRatio(CB.expression(c)))
 }
 
-/** `simhash_sig(text)` → bigint 64-bit SimHash. */
-case class SimHashSig(child: Expression, seed: Long = 42L)
-    extends UnaryExpression {
+/** `simhash_sig(text)` → bigint 64-bit SimHash (md5-token-hash based —
+  * bit-exactly reproducible in the DuckDB oracle).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    Signatures.simhash(input.asInstanceOf[UTF8String], seed)
+    Signatures.simhash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.Signatures.simhash($c, ${seed}L)")
+      s"graft.plans.Signatures.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)

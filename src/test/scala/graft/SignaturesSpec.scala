@@ -12,7 +12,7 @@ class SignaturesSpec extends SparkSpec {
     val got = texts.toDF("text")
       .select(SimHashSig.of(col("text")).as("sig"))
       .collect().map(_.getLong(0))
-    val want = texts.map(t => Signatures.simhash(UTF8String.fromString(t), 42L))
+    val want = texts.map(t => Signatures.simhash(UTF8String.fromString(t)))
     assert(got.toSeq == want)
     assert(got(0) == got(1), "identical text => identical signature")
     assert(got(0) != got(2))
@@ -34,7 +34,7 @@ class SignaturesSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT simhash_sig('a b c') AS s, minhash_sig('abcdef', 8) AS m")
       .collect().head
-    assert(viaSql.getLong(0) == Signatures.simhash(UTF8String.fromString("a b c"), 42L))
+    assert(viaSql.getLong(0) == Signatures.simhash(UTF8String.fromString("a b c")))
     assert(viaSql.getSeq[Long](1).length == 8)
     // the generated Java must call straight into the static helpers —
     // proof the expression codegens instead of interpreted fallback
@@ -50,15 +50,14 @@ class SignaturesSpec extends SparkSpec {
     import spark.implicits._
     import graft.plans.MinHashAgg
     val docs = Seq((0, "aaa bbb ccc"), (0, "ddd eee fff"), (1, "aaa bbb ccc")).toDF("g", "t")
-    // group 1's single-text sketch == the row-local signature
+    // group 1's single-element sketch == that element's permutation vector
     val g1 = docs.filter(col("g") === 1)
       .agg(MinHashAgg.of(col("t"), 16)).collect().head.getSeq[Long](0)
-    val direct = docs.filter(col("g") === 1)
-      .select(MinHashSig.of(col("t"), 16)).collect().head.getSeq[Long](0)
-    assert(g1 == direct)
-    // group 0's union sketch == elementwise min of the row signatures
-    val rows = docs.filter(col("g") === 0)
-      .select(MinHashSig.of(col("t"), 16)).collect().map(_.getSeq[Long](0))
+    val direct = Signatures.elementMinhash(UTF8String.fromString("aaa bbb ccc"), 16)
+    assert(g1 == direct.toSeq)
+    // group 0's union sketch == elementwise min of its elements' vectors
+    val rows = Seq("aaa bbb ccc", "ddd eee fff")
+      .map(t => Signatures.elementMinhash(UTF8String.fromString(t), 16))
     val expectedUnion = rows(0).zip(rows(1)).map { case (a, b) => math.min(a, b) }
     val g0 = docs.filter(col("g") === 0)
       .agg(MinHashAgg.of(col("t"), 16)).collect().head.getSeq[Long](0)
