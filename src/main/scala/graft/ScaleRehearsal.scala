@@ -11,7 +11,8 @@ object ScaleRehearsal {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLong, "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = Tables.table(spark, "/root/testdata/sf0.1", "documents")
     val scaled = (0 until 10).map(i =>

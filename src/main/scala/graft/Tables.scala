@@ -13,11 +13,29 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Session conf the events table needs; our own entry points set it
+    * at session construction (see [[configureSession]]) — the fallback
+    * set below only fires for externally built sessions that didn't.
+    */
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Idempotent session setup for graft's table readers — call once
+    * right after building a SparkSession (Verify/Bench/tests do).
+    */
+  def configureSession(spark: SparkSession): SparkSession = {
+    spark.conf.set(NanosAsLong, "true")
+    spark
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet stores TIMESTAMP(NANOS), which vanilla Spark 4
       // refuses; read nanos as long, convert to a proper timestamp.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Session-global by necessity (there is no per-read option for
+      // this flag); avoid the plan-build-time mutation when the session
+      // is already configured.
+      if (spark.conf.get(NanosAsLong, "false") != "true")
+        spark.conf.set(NanosAsLong, "true")
       spark.read.parquet(s"$dir/$name.parquet")
         // integer `div`, not `/`: epoch-nanos exceed double's exact range,
         // and `/` is double division. Floor-to-micros matches DuckDB's own

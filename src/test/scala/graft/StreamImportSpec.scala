@@ -16,14 +16,14 @@ class StreamImportSpec extends SparkSpec {
       Files.copy(Paths.get(fixture), watch.resolve("seg-001.warc.wat.gz"),
         StandardCopyOption.REPLACE_EXISTING)
       q.processAllAvailable()
-      assert(Pipeline.streamedLinks(spark, out).count() == 4,
+      assert(Pipeline.streamedLinks(spark, out).count() == 6,
         "first segment's compacted links must land")
       // second segment (same content, new name) streams in as a new batch
       Files.copy(Paths.get(fixture), watch.resolve("seg-002.warc.wat.gz"),
         StandardCopyOption.REPLACE_EXISTING)
       q.processAllAvailable()
       val after = Pipeline.streamedLinks(spark, out)
-      assert(after.count() == 8, "per-batch idempotent partitions, cross-batch dups kept")
+      assert(after.count() == 12, "per-batch idempotent partitions, cross-batch dups kept")
       // the LinkDb read-time merge collapses the cross-batch duplicates
       val db = new api.LinkDb(after)
       val res = db.query(api.LinkDbRequest("ext2.co.uk"))
