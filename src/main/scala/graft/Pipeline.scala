@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.LinkCompaction
 import graft.sinks.LinkStore
-import graft.sources.WatSource
+import graft.sources.{SegmentManifest, WatSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * stage is one declarative plan over ALL segment files at once:
   * `spark.read.text(paths*)` makes every WAT file an input split, so
   * the same call scales from one fixture file to a full crawl's
-  * segment list on a cluster. "Already imported" bookkeeping
-  * (the reference's .imported marker files) becomes idempotent
-  * overwrite of the bucketed store.
+  * segment list on a cluster. "Already imported" bookkeeping comes in
+  * two layers: every write is an idempotent overwrite, and
+  * [[importManifest]] adds the reference's manifest/marker
+  * orchestration (segment list from wat.paths, `.imported`-style
+  * completion markers, restart-from-last-segment).
   */
 object Pipeline {
 
@@ -39,7 +41,9 @@ object Pipeline {
     val pages = WatSource.pages(spark, watPaths)
     val links = WatSource.links(spark, watPaths, ignoreDomains)
     val compacted = LinkCompaction.compact(links)
-    LinkStore.write(compacted, s"$outDir/links")
+    // external data crosses the store boundary here: validate loudly,
+    // like storelinks does at load time
+    LinkStore.write(compacted, s"$outDir/links", validate = true)
     pages
       .select(col("page_host"), col("page_path"), col("page_rawquery"),
         col("page_scheme"), col("title"), col("ip"), col("crawl_date"),
@@ -61,6 +65,76 @@ object Pipeline {
         compacted = nCompacted,
         domains = nDomains)
     } else ImportStats(-1, -1, -1, -1)
+  }
+
+  final case class ManifestStats(
+      imported: Seq[String], skipped: Seq[String], remaining: Seq[String])
+
+  /** Manifest-driven import with restart-from-last-segment semantics —
+    * the Spark analogue of the reference's `InitImport` (parse
+    * wat.paths.gz into segments, wat.go:147-219) +
+    * `SelectSegmentToImport` (wat.go:979) + `.imported` markers
+    * (importer/main.go:193-260).
+    *
+    * Each manifest segment imports into its own store directory under
+    * `outDir/segments/<id>` and gets a completion marker as the LAST
+    * step; on restart, marker-complete segments are skipped, and a
+    * segment interrupted mid-write (no marker) re-imports via
+    * idempotent overwrite — run the same call any number of times and
+    * the completed stores are identical, with nothing double-counted.
+    * Readers go through [[segmentLinks]]/[[foldSegments]], which only
+    * ever see marker-complete segments.
+    *
+    * `maxSegments` bounds one run's work (the reference's operators run
+    * segment-at-a-time the same way); `remaining` in the result is what
+    * a subsequent run would pick up.
+    */
+  def importManifest(
+      spark: SparkSession,
+      manifestPath: String,
+      outDir: String,
+      ignoreDomains: Seq[String] = Nil,
+      baseDir: Option[String] = None,
+      maxSegments: Int = Int.MaxValue): ManifestStats = {
+    val segments = SegmentManifest.parse(spark, manifestPath, baseDir)
+    require(segments.nonEmpty, s"empty manifest: $manifestPath")
+    val (done, todo) = segments.partition(s =>
+      SegmentManifest.isImported(spark, outDir, s.id))
+    val (run, rest) = todo.splitAt(maxSegments)
+    run.foreach { seg =>
+      importSegments(spark, seg.files, SegmentManifest.segmentDir(outDir, seg.id),
+        ignoreDomains, stats = false)
+      SegmentManifest.markImported(spark, outDir, seg)
+    }
+    ManifestStats(run.map(_.id), done.map(_.id), rest.map(_.id))
+  }
+
+  /** Compacted links of every COMPLETED segment (marker-gated): rows
+    * across segments may share a compaction key until [[foldSegments]]
+    * merges them — same read-time contract as [[streamedLinks]].
+    */
+  def segmentLinks(spark: SparkSession, outDir: String): DataFrame = {
+    val ids = SegmentManifest.completedSegments(spark, outDir)
+    require(ids.nonEmpty, s"no completed segments under $outDir")
+    ids.map(id => LinkStore.read(spark,
+        s"${SegmentManifest.segmentDir(outDir, id)}/links").drop("domain_bucket"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Fold all completed segments plus any existing main store into a
+    * freshly compacted main store — the manifest-import counterpart of
+    * [[compactStream]]. The caller owns removing folded segment stores
+    * (and their markers) afterwards; folding the same segments twice
+    * double-counts their qty.
+    */
+  def foldSegments(spark: SparkSession, outDir: String): Unit = {
+    val segs = segmentLinks(spark, outDir)
+    val existing =
+      try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val all = existing.fold(segs)(e => segs.unionByName(e))
+    val compacted = LinkCompaction.compact(all).localCheckpoint()
+    LinkStore.write(compacted, s"$outDir/links")
   }
 
   /** Continuous ingestion: watch a directory for new WAT files and

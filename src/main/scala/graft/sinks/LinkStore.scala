@@ -40,9 +40,24 @@ object LinkStore {
     * partitionBy mistake); with it each bucket is written by one task.
     * `sortWithinPartitions(link_domain)` orders row groups for min/max
     * pruning on the in-bucket domain filter.
+    *
+    * `validate = true` re-checks every link_domain at the store
+    * boundary and FAILS THE WRITE on the first invalid one — the
+    * reference's storelinks does the same while loading
+    * (`IsValidDomain`, wat.go:613; cmd/storelinks/main.go:74-178), so
+    * corrupt upstream data dies loudly instead of poisoning the store.
+    * Implemented as a per-row `assert_true` inside a filter (assert
+    * returns null on success, so the filter keeps every row and the
+    * optimizer cannot prune the check away).
     */
-  def write(links: DataFrame, path: String): Unit =
-    links
+  def write(links: DataFrame, path: String, validate: Boolean = false): Unit = {
+    val checked =
+      if (!validate) links
+      else links.filter(assert_true(
+        graft.functions.UrlFns.isValidHost(col("link_domain")),
+        concat(lit("invalid link_domain at store boundary: "),
+          col("link_domain"))).isNull)
+    checked
       .withColumn("domain_bucket", bucketOf(col("link_domain")))
       .repartition(col("domain_bucket"))
       .sortWithinPartitions(col("domain_bucket"), col("link_domain"))
@@ -50,6 +65,7 @@ object LinkStore {
       .partitionBy("domain_bucket")
       .mode("overwrite")
       .parquet(path)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -78,4 +78,24 @@ class LinkDbSpec extends SparkSpec {
     val viaMem = db.query(LinkDbRequest("d3.com", limit = 10))
     assert(viaStore == viaMem)
   }
+
+  test("validated store write fails loudly on an invalid domain") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val path = Files.createTempDirectory("linkstorebad").toString
+    // valid rows sail through with validation on
+    LinkStore.write(compacted, path, validate = true)
+    assert(LinkStore.read(spark, path).count() == compacted.count())
+    // one corrupted domain kills the whole write (storelinks semantics)
+    val corrupt = compacted.withColumn("link_domain",
+      when(col("link_text") === compacted.select("link_text").head().getString(0),
+        lit("bad_domain")).otherwise(col("link_domain")))
+    val e = intercept[Exception] {
+      LinkStore.write(corrupt, Files.createTempDirectory("linkstorebad2").toString,
+        validate = true)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("invalid link_domain")),
+      s"unexpected failure: ${messages(e).mkString(" | ")}")
+  }
 }

@@ -43,6 +43,60 @@ class PipelineSpec extends SparkSpec {
     assert(stats.compacted == 6, "compaction merges the duplicate segment's rows")
   }
 
+  test("manifest import resumes from completion markers without double-counting") {
+    import graft.sources.SegmentManifest
+    // two one-file segments in distinct parent dirs (segment id = dir name)
+    val fixture = new WatSourceSpec {}.fixturePath
+    def segCopy(name: String): String = {
+      val d = Files.createTempDirectory(name)
+      val f = d.resolve("part.wat.gz")
+      Files.copy(java.nio.file.Paths.get(fixture), f)
+      f.toString
+    }
+    val (f1, f2) = (segCopy("sega"), segCopy("segb"))
+    val (id1, id2) = (SegmentManifest.segmentId(f1), SegmentManifest.segmentId(f2))
+    val out = Files.createTempDirectory("manifeststore").toString
+    val manifest = Files.createTempFile("wat", ".paths")
+    Files.writeString(manifest, s"# comment line\n$f1\n\n$f2\n")
+
+    // run 1 imports only the first segment (bounded run), as if the
+    // process died before reaching the second
+    val r1 = Pipeline.importManifest(spark, manifest.toString, out, maxSegments = 1)
+    assert(r1.imported == Seq(id1) && r1.remaining == Seq(id2))
+    assert(SegmentManifest.isImported(spark, out, id1))
+    assert(!SegmentManifest.isImported(spark, out, id2))
+    // a crash mid-segment leaves data but no marker: fake seg2 debris
+    Files.createDirectories(java.nio.file.Paths.get(
+      SegmentManifest.segmentDir(out, id2), "links"))
+    // readers only ever see marker-complete segments
+    assert(Pipeline.segmentLinks(spark, out).count() == 6)
+
+    val seg1Rows = Pipeline.segmentLinks(spark, out)
+      .collect().map(_.toString).sorted.toSeq
+
+    // run 2 resumes: skips the completed segment, redoes the broken one
+    val r2 = Pipeline.importManifest(spark, manifest.toString, out)
+    assert(r2.skipped == Seq(id1) && r2.imported == Seq(id2) && r2.remaining.isEmpty)
+    val all = Pipeline.segmentLinks(spark, out)
+    assert(all.count() == 12, "both segments complete, nothing double-counted")
+    // the already-imported segment's store is untouched by the resume
+    val seg1After = graft.sinks.LinkStore
+      .read(spark, s"${SegmentManifest.segmentDir(out, id1)}/links")
+      .drop("domain_bucket").collect().map(_.toString).sorted.toSeq
+    assert(seg1After == seg1Rows)
+
+    // run 3 is a no-op
+    val r3 = Pipeline.importManifest(spark, manifest.toString, out)
+    assert(r3.imported.isEmpty && r3.skipped.toSet == Set(id1, id2))
+
+    // folding merges the duplicate segments' rows exactly once
+    Pipeline.foldSegments(spark, out)
+    val folded = Pipeline.links(spark, out)
+    assert(folded.count() == 6)
+    import org.apache.spark.sql.functions.{col, sum}
+    assert(folded.agg(sum(col("qty"))).head().getLong(0) == 12)
+  }
+
   test("linkDb prunes the store by eTLD+1 so subdomain requests work") {
     val fixture = new WatSourceSpec {}.fixturePath
     val out = Files.createTempDirectory("graftstore3").toString
