@@ -210,4 +210,13 @@ object Pipeline {
   /** Full store scan (for analytics over all domains). */
   def links(spark: SparkSession, outDir: String): DataFrame =
     LinkStore.read(spark, s"$outDir/links")
+
+  /** Serve the store over HTTP — the reference's `cmd/linksapi`
+    * (POST /api/links with CORS + rate limiting). Every request binds
+    * to a partition-pruned domain read, so the per-request scan is
+    * 1/NumBuckets of the store plus row-group pruning; `port = 0`
+    * picks an ephemeral port (see [[api.LinkApiServer]]).
+    */
+  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer =
+    new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port).start()
 }

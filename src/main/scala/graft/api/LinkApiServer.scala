@@ -1,0 +1,192 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.functions.UrlFns
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The reference's HTTP serving layer (`POST /api/links`) over
+  * [[LinkDb]] — routing, CORS, fixed-window rate limiting and the
+  * error/response JSON contract of pkg/linkdb (router.go:29,
+  * linkdb.go:80-95, handler.go:24-74, controller.go:282-307,
+  * cmd/linksapi/main.go), re-hosted on the JDK's built-in HttpServer
+  * (and Spark's bundled json4s) so the library adds no dependencies.
+  *
+  * `resolve` maps the (already host-normalized) request domain to the
+  * LinkDb serving it — Pipeline.serveLinkApi binds it to a
+  * partition-pruned store read, so each request scans only the
+  * requested domain's bucket; the collect stays the bounded ≤300-row
+  * serving window of LinkDb.query.
+  *
+  * Divergence (documented): the reference rate-limits on Go's
+  * `r.RemoteAddr`, which includes the EPHEMERAL client port — every
+  * fresh connection gets a fresh window. Keying by client IP follows
+  * the evident intent (50 requests / 15 min per caller).
+  */
+final class LinkApiServer(
+    resolve: String => LinkDb,
+    port: Int = 8010,
+    rateLimitMax: Int = 50,
+    rateWindowMs: Long = 15L * 60 * 1000,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  // isRateLimited (controller.go:282-307): fixed window anchored at the
+  // first request, counter reset when the window expires
+  private final class Rate(var first: Long, var count: Int)
+  private val records = new java.util.concurrent.ConcurrentHashMap[String, Rate]
+
+  private def isRateLimited(id: String): Boolean = {
+    val now = clock()
+    var limited = false
+    records.compute(id, (_, r) =>
+      if (r == null) new Rate(now, 1)
+      else if (now - r.first > rateWindowMs) { r.first = now; r.count = 1; r }
+      else { r.count += 1; limited = r.count > rateLimitMax; r })
+    limited
+  }
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/api/links", (ex: HttpExchange) => safely(ex)(handleLinks))
+  server.createContext("/api/health", (ex: HttpExchange) => safely(ex)(handleHealth))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def start(): LinkApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  /** enableCORS (linkdb.go:80-95): headers on every response, OPTIONS
+    * preflight answered immediately.
+    */
+  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+    try {
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", "*")
+      h.set("Access-Control-Allow-Methods", "POST, GET, OPTIONS, PUT, DELETE")
+      h.set("Access-Control-Allow-Headers",
+        "Accept, Content-Type, Content-Length, Accept-Encoding, X-CSRF-Token, Authorization")
+      if (ex.getRequestMethod == "OPTIONS") send(ex, 200, "")
+      else f(ex)
+    } catch {
+      case _: Exception =>
+        try send(ex, 500, err("ErrorFailedLinks", "Error getting links"))
+        catch { case _: Exception => () }
+    } finally ex.close()
+
+  private def handleHealth(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod == "GET") send(ex, 200, """{"status":"ok"}""")
+    else send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+
+  /** HandlerGetDomainLinks (handler.go:24-74), decision for decision. */
+  private def handleLinks(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+    val caller = ex.getRemoteAddress.getAddress.getHostAddress
+    if (isRateLimited(caller))
+      return send(ex, 429, err("ErrorTooManyRequests", "Too Many Requests"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try Some(JsonMethods.parse(body))
+      catch { case _: Exception => None }
+    parsed match {
+      case None =>
+        send(ex, 400, err("ErrorParsing", "Error parsing request"))
+      case Some(j) =>
+        domainOf(j) match {
+          case DomainMissing =>
+            send(ex, 400, err("ErrorNoDomain", "Domain is required"))
+          case DomainUnparseable =>
+            send(ex, 400, err("ErrorParsing", "Error parsing domain"))
+          case DomainInvalid =>
+            send(ex, 400, err("ErrorInvalidDomain", "Invalid domain"))
+          case DomainOk(domain) =>
+            val out = resolve(domain).query(request(j, domain))
+            send(ex, 200, JsonMethods.compact(JArray(out.toList.map(render))))
+        }
+    }
+  }
+
+  private sealed trait DomainResult
+  private case object DomainMissing extends DomainResult
+  private case object DomainUnparseable extends DomainResult
+  private case object DomainInvalid extends DomainResult
+  private final case class DomainOk(domain: String) extends DomainResult
+
+  /** Accepts `domain.com` and `http(s)://domain.com/...` (handler.go:
+    * 45-58), then applies the IsValidDomain grammar (wat.go:613).
+    */
+  private def domainOf(j: JValue): DomainResult = j \ "domain" match {
+    case JString(raw) if raw.nonEmpty =>
+      val host =
+        if (!raw.startsWith("http")) Some(raw)
+        else
+          try Option(java.net.URI.create(raw).getHost)
+          catch { case _: Exception => None }
+      host match {
+        case None => DomainUnparseable
+        case Some(h) if h.toLowerCase.matches(UrlFns.DomainRegex) => DomainOk(h)
+        case Some(_) => DomainInvalid
+      }
+    case _ => DomainMissing
+  }
+
+  private def request(j: JValue, domain: String): LinkDbRequest = {
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    def int(v: JValue, dflt: Int): Int = v match {
+      case JInt(n) => n.toInt
+      case JLong(n) => n.toInt
+      case _ => dflt
+    }
+    val filters = j \ "filters" match {
+      case JArray(arr) =>
+        arr.flatMap { f =>
+          for {
+            n <- str(f \ "name")
+            v <- str(f \ "val")
+          } yield LinkDbFilter(n, str(f \ "kind").getOrElse("any"), v)
+        }
+      case _ => Nil
+    }
+    LinkDbRequest(
+      domain = domain,
+      filters = filters,
+      sort = str(j \ "sort"),
+      order = str(j \ "order").getOrElse("asc"),
+      limit = int(j \ "limit", 100),
+      page = int(j \ "page", 1))
+  }
+
+  /** LinkOut with the reference's JSON tags (models.go:28-39). */
+  private def render(o: LinkOut): JObject = JObject(
+    "link_url" -> JString(o.linkUrl),
+    "page_url" -> JString(o.pageUrl),
+    "link_text" -> JString(o.linkText),
+    "no_follow" -> JInt(o.noFollow),
+    "no_index" -> JInt(o.noIndex),
+    "date_from" -> JString(o.dateFrom),
+    "date_to" -> JString(o.dateTo),
+    "ip" -> JArray(o.ips.toList.map(JString(_))),
+    "qty" -> JInt(BigInt(o.qty)))
+
+  /** GenerateError (error.go): {errorCode, function, error}. */
+  private def err(code: String, msg: String): String =
+    JsonMethods.compact(JObject(
+      "errorCode" -> JString(code),
+      "function" -> JString("HandlerGetDomainLinks"),
+      "error" -> JString(msg)))
+
+  private def send(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.api.{LinkApiServer, LinkDb, LinkDbRequest}
+import graft.operators.LinkCompaction
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The reference's HTTP contract (handler.go / linkdb.go / router.go)
+  * exercised over a real socket with the JDK HttpClient.
+  */
+class LinkApiSpec extends SparkSpec {
+
+  private lazy val compacted = LinkCompaction.compact(Tables.links(spark, sfDir)).cache()
+  private lazy val db = new LinkDb(compacted)
+
+  private val client = HttpClient.newHttpClient()
+
+  private def withServer[A](
+      rateLimitMax: Int = 50,
+      clock: () => Long = () => System.currentTimeMillis())(f: Int => A): A = {
+    val srv = new LinkApiServer(_ => db, port = 0,
+      rateLimitMax = rateLimitMax, clock = clock).start()
+    try f(srv.boundPort) finally srv.stop()
+  }
+
+  private def post(port: Int, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/links"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /api/links serves LinkDb results with the reference's JSON tags") {
+    withServer() { port =>
+      val resp = post(port, """{"domain":"d3.com","limit":5}""")
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Access-Control-Allow-Origin").get == "*")
+      val JArray(rows) = JsonMethods.parse(resp.body()): @unchecked
+      val direct = db.query(LinkDbRequest("d3.com", limit = 5))
+      assert(rows.length == direct.length && rows.nonEmpty)
+      val JString(firstUrl) = rows.head \ "link_url": @unchecked
+      assert(firstUrl == direct.head.linkUrl)
+      // every reference field is present on every row
+      val tags = Seq("link_url", "page_url", "link_text", "no_follow",
+        "no_index", "date_from", "date_to", "ip", "qty")
+      rows.foreach(r => tags.foreach(t => assert((r \ t) != JNothing, s"missing $t")))
+    }
+  }
+
+  test("filters, sort and pagination pass through the JSON body") {
+    withServer() { port =>
+      val body = """{"domain":"d3.com","limit":3,"page":2,"sort":"pageUrl",
+                   |"order":"desc","filters":[{"name":"No Follow","val":"0","kind":"exact"}]}"""
+        .stripMargin.replace("\n", "")
+      val resp = post(port, body)
+      assert(resp.statusCode() == 200)
+      val JArray(rows) = JsonMethods.parse(resp.body()): @unchecked
+      val direct = db.query(LinkDbRequest("d3.com",
+        filters = Seq(api.LinkDbFilter("No Follow", "exact", "0")),
+        sort = Some("pageUrl"), order = "desc", limit = 3, page = 2))
+      assert(rows.map(r => (r \ "page_url": @unchecked) match { case JString(s) => s })
+        == direct.map(_.pageUrl).toList)
+      rows.foreach(r => assert((r \ "no_follow") == JInt(0)))
+    }
+  }
+
+  test("error contract: missing, unparseable and invalid domains") {
+    withServer() { port =>
+      def code(resp: HttpResponse[String]): String =
+        (JsonMethods.parse(resp.body()) \ "errorCode": @unchecked) match { case JString(s) => s }
+      val missing = post(port, """{"limit":5}""")
+      assert(missing.statusCode() == 400 && code(missing) == "ErrorNoDomain")
+      val badJson = post(port, """{"domain": no-quotes}""")
+      assert(badJson.statusCode() == 400 && code(badJson) == "ErrorParsing")
+      val invalid = post(port, """{"domain":"not a domain"}""")
+      assert(invalid.statusCode() == 400 && code(invalid) == "ErrorInvalidDomain")
+      // http(s)-prefixed domains are accepted via their host
+      val viaUrl = post(port, """{"domain":"https://d3.com/some/path","limit":1}""")
+      assert(viaUrl.statusCode() == 200)
+      val JArray(rows) = JsonMethods.parse(viaUrl.body()): @unchecked
+      assert(rows.nonEmpty)
+    }
+  }
+
+  test("OPTIONS preflight and GET /api/health answer with CORS headers") {
+    withServer() { port =>
+      val pre = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/links"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pre.statusCode() == 200)
+      assert(pre.headers().firstValue("Access-Control-Allow-Methods").get
+        .contains("POST"))
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/health"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+    }
+  }
+
+  test("fixed-window rate limiting trips at the limit and resets after it") {
+    var now = 0L
+    withServer(rateLimitMax = 3, clock = () => now) { port =>
+      val codes = (1 to 4).map(_ => post(port, """{"domain":"d3.com","limit":1}""").statusCode())
+      assert(codes == Seq(200, 200, 200, 429), s"got $codes")
+      // the reference resets the counter once the window has passed
+      now += 16 * 60 * 1000L
+      assert(post(port, """{"domain":"d3.com","limit":1}""").statusCode() == 200)
+    }
+  }
+}
