@@ -44,11 +44,11 @@ object Pipeline {
     // external data crosses the store boundary here: validate loudly,
     // like storelinks does at load time
     LinkStore.write(compacted, s"$outDir/links", validate = true)
-    pages
-      .select(col("page_host"), col("page_path"), col("page_rawquery"),
-        col("page_scheme"), col("title"), col("ip"), col("crawl_date"),
-        col("noindex"), col("page_nofollow"))
-      .write.mode("overwrite").parquet(s"$outDir/pages")
+    graft.sinks.PageStore.write(
+      pages.select(col("page_domain"), col("page_host"), col("page_path"),
+        col("page_rawquery"), col("page_scheme"), col("title"), col("ip"),
+        col("crawl_date"), col("noindex"), col("page_nofollow")),
+      s"$outDir/pages")
     if (stats) {
       // all counts come from the MATERIALIZED stores: compaction sums
       // qty, so sum(qty) over the store IS the raw link count — no
@@ -210,6 +210,16 @@ object Pipeline {
   /** Full store scan (for analytics over all domains). */
   def links(spark: SparkSession, outDir: String): DataFrame =
     LinkStore.read(spark, s"$outDir/links")
+
+  /** Page-record lookup surface over an imported store, bound to a
+    * partition-pruned eTLD+1 read (the page-side sibling of [[linkDb]]
+    * — title/IP/crawl-date/robots lookups from the page records the
+    * import already persists).
+    */
+  def pageDb(spark: SparkSession, outDir: String, host: String): api.PageDb = {
+    val (etld1, _) = graft.functions.UrlFns.splitDomain(host)
+    new api.PageDb(graft.sinks.PageStore.readDomain(spark, s"$outDir/pages", etld1))
+  }
 
   /** Serve the store over HTTP — the reference's `cmd/linksapi`
     * (POST /api/links with CORS + rate limiting). Every request binds

@@ -97,6 +97,31 @@ class PipelineSpec extends SparkSpec {
     assert(folded.agg(sum(col("qty"))).head().getLong(0) == 12)
   }
 
+  test("pageDb serves page records from the partition-pruned page store") {
+    val fixture = new WatSourceSpec {}.fixturePath
+    val out = Files.createTempDirectory("pagestore").toString
+    Pipeline.importSegments(spark, Seq(fixture), out)
+    val res = Pipeline.pageDb(spark, out, "www.sitea.com")
+      .query(api.PageDbRequest("www.sitea.com"))
+    assert(res.length == 1)
+    assert(res.head.pageUrl == "http://www.sitea.com/index.html")
+    assert(res.head.title == "t" && res.head.ip == "1.2.3.4")
+    assert(res.head.crawlDate == "2024-05-01")
+    // host matching is exact: the bare domain has no page record
+    assert(Pipeline.pageDb(spark, out, "sitea.com")
+      .query(api.PageDbRequest("sitea.com")).isEmpty)
+    // any-filters narrow by title/path
+    assert(Pipeline.pageDb(spark, out, "www.sitea.com")
+      .query(api.PageDbRequest("www.sitea.com", titleAny = Some("nope"))).isEmpty)
+    assert(Pipeline.pageDb(spark, out, "www.sitea.com")
+      .query(api.PageDbRequest("www.sitea.com", pathAny = Some("index"))).length == 1)
+    // the domain read prunes on the bucket partition column
+    val plan = graft.sinks.PageStore
+      .readDomain(spark, s"$out/pages", "sitea.com")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("domain_bucket"))
+  }
+
   test("linkDb prunes the store by eTLD+1 so subdomain requests work") {
     val fixture = new WatSourceSpec {}.fixturePath
     val out = Files.createTempDirectory("graftstore3").toString
