@@ -418,8 +418,76 @@ object TextOps {
     None // deflate has no DuckDB equivalent; property-tested in SignaturesSpec
   )
 
+  private val WordTokens = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+  /** Corpus vocabulary histogram: global top-50 word tokens by
+    * frequency — the "what is this corpus made of" pass every
+    * training-data pipeline runs. One map-side-combined groupBy on the
+    * token (the only shuffle), then `orderBy().limit()` lowers to
+    * TakeOrderedAndProject: ≤ 50 rows per partition move to the driver,
+    * never a global sort. (token, freq) is a total order, so the cut at
+    * 50 is deterministic on both engines.
+    */
+  val q49_token_histogram: GraftQuery = GraftQuery(
+    "q49_token_histogram",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(explode(expr(WordTokens)).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).cast("bigint").as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(50),
+    Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+           |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+           |      FROM documents) t
+           |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin)
+  )
+
+  /** Inverted index over the RARE vocabulary (document frequency ≤ 5%
+    * of the corpus): term → df + sorted posting list (joined to a
+    * string so the oracle compare is array-representation-proof).
+    *
+    * Scale shape — document frequencies come FIRST (a cheap count
+    * aggregate), the rare band is broadcast back, and only rare terms
+    * ever build posting lists: a stopword's postings (every doc in the
+    * corpus at 100 TB) are never materialized in any aggregation
+    * buffer, and the relative band means posting lists stay ≤ 5% of
+    * corpus size by construction at any scale.
+    */
+  val q50_inverted_index: GraftQuery = GraftQuery(
+    "q50_inverted_index",
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = docs
+        .select(col("doc_id"), explode(expr(WordTokens)).as("token"))
+        .distinct()
+      val rare = pairs.groupBy(col("token"))
+        .agg(count(lit(1)).cast("bigint").as("df"))
+        .join(broadcast(n))
+        .filter(col("df") * 20 <= col("n_docs"))
+        .select(col("token"), col("df"))
+      pairs.join(broadcast(rare), "token")
+        .groupBy(col("token"), col("df"))
+        .agg(expr(
+          "concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> cast(x as string)))")
+          .as("postings"))
+        .select(col("token"), col("df"), col("postings"))
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT doc_id, token FROM (
+           |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+           |    FROM documents) u
+           |)
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+           |FROM pairs GROUP BY token
+           |HAVING COUNT(*) * 20 <= (SELECT COUNT(*) FROM documents)""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
-    q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition)
+    q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
+    q49_token_histogram, q50_inverted_index)
 }

@@ -48,6 +48,34 @@ class TextOpsSpec extends SparkSpec {
       "unrelated docs should share few fingerprints")
   }
 
+  test("q49 histogram is frequency-ordered and counts a planted corpus exactly") {
+    import spark.implicits._
+    val rows = TextOps.q49_token_histogram.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val freqs = rows.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse, "must be descending by frequency")
+    // tokenization exactness on a planted two-doc corpus
+    val planted = Seq((1L, "The cat and the dog"), (2L, "a cat!")).toDF("doc_id", "text")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(planted == Map("the" -> 2L, "cat" -> 2L, "and" -> 1L, "dog" -> 1L, "a" -> 1L))
+  }
+
+  test("q50 inverted index: rare band respected and postings agree with df") {
+    val rows = TextOps.q50_inverted_index.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val postings = r.getAs[String]("postings").split(",")
+      assert(df * 20 <= nDocs, "only rare terms may carry postings")
+      assert(postings.length == df.toInt, "posting list length must equal df")
+      val ids = postings.map(_.toLong).toSeq
+      assert(ids == ids.sorted && ids.distinct == ids, "postings sorted and unique")
+    }
+  }
+
   test("q36 labels are component minima (idempotent under re-propagation)") {
     val df = TextOps.q36_dup_clusters.run(spark, sfDir)
     // every cluster_id must itself be a member of the cluster
