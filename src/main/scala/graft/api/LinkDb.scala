@@ -15,7 +15,9 @@ final case class LinkDbFilter(name: String, kind: String, value: String)
 
 /** POST /api/links request body equivalent (pkg/linkdb/models.go).
   * `sort` ∈ {linkUrl, pageUrl, linkText, dateFrom, dateTo}, `order` ∈
-  * {asc, desc}; limit clamps to [1,100], page ≥ 1.
+  * {asc, desc}; out-of-range limit falls back to 100, page to 1, and
+  * unknown sort/order values fall back to the defaults — all silently,
+  * exactly like the reference controller.
   */
 final case class LinkDbRequest(
     domain: String,
@@ -89,7 +91,9 @@ final class LinkDb(links: DataFrame) {
   }
 
   def query(req: LinkDbRequest): Seq[LinkOut] = {
-    val limit = math.min(math.max(req.limit, 1), 100)
+    // out-of-range values FALL BACK to the defaults rather than
+    // clamping (controller.go:29-34: limit <= 0 or > 100 → 100)
+    val limit = if (req.limit > 0 && req.limit <= 100) req.limit else 100
     val page = math.max(req.page, 1)
     val (etld1, sub) = UrlFns.splitDomain(req.domain)
     val domainPred =

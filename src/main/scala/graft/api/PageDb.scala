@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Page-record lookup request: `host` is an exact (case-insensitive)
   * page host; `pathAny`/`titleAny` are case-insensitive substring/regex
   * matches (the LinkDb "any" filter vocabulary applied to page
-  * metadata). limit clamps to [1,100], page ≥ 1 — same bounds as the
-  * links API.
+  * metadata). Out-of-range limit falls back to 100, page to 1 — same
+  * conventions as the links API.
   */
 final case class PageDbRequest(
     host: String,
@@ -40,7 +40,8 @@ final class PageDb(pages: DataFrame) {
     c.isNotNull && c.rlike(s"(?i)$pattern")
 
   def query(req: PageDbRequest): Seq[PageOut] = {
-    val limit = math.min(math.max(req.limit, 1), 100)
+    // same fallback convention as LinkDb (controller.go:29-34)
+    val limit = if (req.limit > 0 && req.limit <= 100) req.limit else 100
     val page = math.max(req.page, 1)
     val base = pages.filter(lower(col("page_host")) === req.host.toLowerCase)
     val filtered = Seq(

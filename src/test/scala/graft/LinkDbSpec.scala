@@ -79,6 +79,14 @@ class LinkDbSpec extends SparkSpec {
     assert(viaStore == viaMem)
   }
 
+  test("out-of-range limit falls back to 100, like the reference controller") {
+    val dflt = db.query(LinkDbRequest("d3.com"))
+    assert(db.query(LinkDbRequest("d3.com", limit = 0)) == dflt)
+    assert(db.query(LinkDbRequest("d3.com", limit = -7)) == dflt)
+    assert(db.query(LinkDbRequest("d3.com", limit = 500)) == dflt)
+    assert(db.query(LinkDbRequest("d3.com", page = -2)) == dflt)
+  }
+
   test("validated store write fails loudly on an invalid domain") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val path = Files.createTempDirectory("linkstorebad").toString
