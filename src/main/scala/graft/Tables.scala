@@ -13,19 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Session conf the events table needs; our own entry points set it
-    * at session construction (see [[configureSession]]) — the fallback
-    * set below only fires for externally built sessions that didn't.
+  /** Session conf the events table needs; our own entry points pass it
+    * to the session BUILDER (`.config(Tables.NanosAsLong, "true")`) —
+    * the fallback set below only fires for externally built sessions
+    * that didn't.
     */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
-
-  /** Idempotent session setup for graft's table readers — call once
-    * right after building a SparkSession (Verify/Bench/tests do).
-    */
-  def configureSession(spark: SparkSession): SparkSession = {
-    spark.conf.set(NanosAsLong, "true")
-    spark
-  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

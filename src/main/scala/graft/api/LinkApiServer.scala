@@ -40,6 +40,10 @@ final class LinkApiServer(
 
   private def isRateLimited(id: String): Boolean = {
     val now = clock()
+    // bounded memory: evict expired windows once the map grows past the
+    // sweep threshold (the reference never evicts — map-per-IP forever)
+    if (records.size > SweepThreshold)
+      records.entrySet.removeIf(e => now - e.getValue.first > rateWindowMs)
     var limited = false
     records.compute(id, (_, r) =>
       if (r == null) new Rate(now, 1)
@@ -47,6 +51,8 @@ final class LinkApiServer(
       else { r.count += 1; limited = r.count > rateLimitMax; r })
     limited
   }
+
+  private val SweepThreshold = 100000
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/api/links", (ex: HttpExchange) => safely(ex)(handleLinks))
@@ -116,11 +122,17 @@ final class LinkApiServer(
 
   /** Accepts `domain.com` and `http(s)://domain.com/...` (handler.go:
     * 45-58), then applies the IsValidDomain grammar (wat.go:613).
+    *
+    * Divergence (documented): the reference URL-parses any domain
+    * merely STARTING with "http", which rejects valid bare domains
+    * like `httpbin.org` (url.Parse gives an empty host). We only
+    * treat values with an explicit scheme as URLs — the evident
+    * intent of the "accepts http://domain.com and domain.com" comment.
     */
   private def domainOf(j: JValue): DomainResult = j \ "domain" match {
     case JString(raw) if raw.nonEmpty =>
       val host =
-        if (!raw.startsWith("http")) Some(raw)
+        if (!raw.startsWith("http://") && !raw.startsWith("https://")) Some(raw)
         else
           try Option(java.net.URI.create(raw).getHost)
           catch { case _: Exception => None }

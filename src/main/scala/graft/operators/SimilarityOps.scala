@@ -93,9 +93,10 @@ object SimilarityOps {
         .distinct()
       // exact verify on candidates only, against shingle sets computed
       // ONCE per doc (not per pair — a doc can appear in many pairs;
-      // localCheckpoint keeps the a/b join sides from re-deriving them)
+      // lazy localCheckpoint keeps the a/b join sides from re-deriving
+      // them without running a job at plan-construction time)
       val sh = base.select(col("doc_id"), shingleHashes("text").as("sh"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       pairs
         .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -146,6 +147,9 @@ object SimilarityOps {
     // inside signed BIGINT) and brute-force hamming ≤ 3 — the
     // pigeonhole bucketing is lossless at that radius, so the banded
     // Spark plan and the brute-force oracle agree on the full pair set.
+    // Only modeled divergence: the MaxBucket hot-bucket guard (>64 docs
+    // sharing one 16-bit chunk get dropped); the gate corpus stays far
+    // below it — chance chunk collisions are ~n²/2¹⁷ docs per bucket.
     Some(Tables.docsNearDupsCte +
       """, th AS (
         |  SELECT doc_id,
@@ -254,9 +258,15 @@ object SimilarityOps {
   val q34_lsh_cosine: GraftQuery = GraftQuery(
     "q34_lsh_cosine",
     (s, dir) => {
-      val e = Tables.embWithNearDups(s, dir)
       // dim is part of the dataset contract (TESTDATA.md) — a plan-build
-      // head() here would run a tiny job per plan construction
+      // head() here would run a tiny job per plan construction. The
+      // per-row assert fails LOUDLY if data arrives at another dim
+      // (zip_with against a shorter plane vector would otherwise
+      // silently null out every plane bit).
+      val e = Tables.embWithNearDups(s, dir)
+        .filter(assert_true(size(col("embedding")) === Tables.EmbeddingDim,
+          concat(lit(s"embedding dim != ${Tables.EmbeddingDim}: "),
+            size(col("embedding")).cast("string"))).isNull)
       val planes = typedLit(hyperplanes(Tables.EmbeddingDim))
       val bits = e.withColumn("bits",
         transform(planes, pl =>
@@ -381,10 +391,13 @@ object SimilarityOps {
     None // ANN recall measured against q32's exact top-k in SimilaritySpec
   )
 
-  // q41 banding: 24 bands x 2 sketch positions. The 0.5 target needs a
-  // shallow curve — P(candidate | est j) = 1-(1-j^2)^24 = 99.9% at
-  // j=0.5 (vs ~2% under q30's b=6,r=8, which targets j>=0.8); the
-  // extra low-similarity candidates only cost a 48-long sketch compare.
+  // q41 banding: 24 bands x 2 sketch positions, with a STRICT > 0.5
+  // threshold (n_agree >= 25). That makes banding LOSSLESS for every
+  // qualifying pair: 25 agreeing positions across 24 bands pigeonhole
+  // at least two agreements into one band, and a fully-agreeing band's
+  // hash matches — so the brute-force oracle and the banded plan emit
+  // the identical pair set (at est = exactly 24/48 there is no such
+  // guarantee, which is why the threshold is strict).
   private val SketchBands = 24
   private val SketchRows = MinhashHashes / SketchBands
 
@@ -403,8 +416,10 @@ object SimilarityOps {
     // MinHashAgg hashes each element via md5 (see elementMinhash), so
     // the oracle recomputes every domain sketch with the SAME
     // Carter-Wegman constants (embedded as list literals) and
-    // brute-forces all domain pairs — the banded Spark plan must
-    // reproduce the full ≥ 0.5 pair set.
+    // brute-forces all domain pairs. The banded Spark plan reproduces
+    // the full strict-> 0.5 pair set (see the SketchBands note); the
+    // only modeled divergence is the MaxBucket hot-bucket guard, which
+    // the gate corpus stays far below.
     Some {
       val (as, bs) = graft.plans.MinHashSig.params(MinhashHashes)
       val aList = as.mkString("[", ", ", "]")
@@ -428,7 +443,7 @@ object SimilarityOps {
            |)
            |SELECT a_domain, b_domain,
            |       CAST(n_agree AS DOUBLE) / $MinhashHashes AS est_jaccard
-           |FROM agree WHERE n_agree * 2 >= $MinhashHashes""".stripMargin
+           |FROM agree WHERE n_agree * 2 > $MinhashHashes""".stripMargin
     }
   )
 
@@ -438,10 +453,13 @@ object SimilarityOps {
   private[graft] def sketchPairs(links: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // sketches feed the band explode AND both pair sides: materialize
     // once instead of re-running the aggregate three times
+    // lazy: materializes on the first ACTION and is then reused by the
+    // band explode and both join sides — eager would run the aggregate
+    // at plan-construction time (PlanAudit/explain would pay a full job)
     val sketches = links
       .groupBy(col("link_domain"))
       .agg(graft.plans.MinHashAgg.of(col("link_text"), MinhashHashes).as("sketch"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val bandStructs = (0 until SketchBands).map { b =>
       val ms = (0 until SketchRows)
         .map(r => s"element_at(sketch, ${b * SketchRows + r + 1})").mkString(", ")
@@ -461,9 +479,10 @@ object SimilarityOps {
       .withColumn("n_agree",
         expr("size(filter(zip_with(a_sk, b_sk, (x, y) -> x = y), v -> v))"))
       // exact integer-over-constant division: bit-identical across
-      // engines, so the estimate stage can carry a DuckDB oracle
+      // engines, so the estimate stage can carry a DuckDB oracle.
+      // STRICT > threshold: banding is lossless only above 24/48.
       .withColumn("est_jaccard", col("n_agree").cast("double") / lit(MinhashHashes.toDouble))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("n_agree") * 2 > MinhashHashes)
       .select(col("a_domain"), col("b_domain"), col("est_jaccard"))
   }
 

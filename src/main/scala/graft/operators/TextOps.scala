@@ -153,8 +153,9 @@ object TextOps {
         .select(col("doc_id"), col("n_chars"),
           graft.plans.ShingleHashes.of(col("text")).as("shingles"))
         // both sides of the self-join read the shingle arrays; compute
-        // them once instead of once per side
-        .localCheckpoint()
+        // them once instead of once per side (lazy: no job until the
+        // first action, unlike an eager checkpoint at plan build)
+        .localCheckpoint(false)
       val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
       val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
       a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
@@ -448,11 +449,14 @@ object TextOps {
     * string so the oracle compare is array-representation-proof).
     *
     * Scale shape — document frequencies come FIRST (a cheap count
-    * aggregate), the rare band is broadcast back, and only rare terms
-    * ever build posting lists: a stopword's postings (every doc in the
-    * corpus at 100 TB) are never materialized in any aggregation
-    * buffer, and the relative band means posting lists stay ≤ 5% of
-    * corpus size by construction at any scale.
+    * aggregate), the rare band joins back on the token (a plain
+    * shuffle join — under a Zipfian vocabulary the rare band is MOST
+    * of the distinct terms, far too large to broadcast; AQE still
+    * picks a broadcast when the band happens to be small), and only
+    * rare terms ever build posting lists: a stopword's postings (every
+    * doc in the corpus at 100 TB) are never materialized in any
+    * aggregation buffer, and the relative band means posting lists
+    * stay ≤ 5% of corpus size by construction at any scale.
     */
   val q50_inverted_index: GraftQuery = GraftQuery(
     "q50_inverted_index",
@@ -467,7 +471,7 @@ object TextOps {
         .join(broadcast(n))
         .filter(col("df") * 20 <= col("n_docs"))
         .select(col("token"), col("df"))
-      pairs.join(broadcast(rare), "token")
+      pairs.join(rare, "token")
         .groupBy(col("token"), col("df"))
         .agg(expr(
           "concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> cast(x as string)))")

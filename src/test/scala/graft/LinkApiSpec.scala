@@ -82,6 +82,9 @@ class LinkApiSpec extends SparkSpec {
       assert(viaUrl.statusCode() == 200)
       val JArray(rows) = JsonMethods.parse(viaUrl.body()): @unchecked
       assert(rows.nonEmpty)
+      // a bare domain that merely STARTS with "http" is still a domain
+      // (the reference would 400 here — documented divergence)
+      assert(post(port, """{"domain":"httpbin.org","limit":1}""").statusCode() == 200)
     }
   }
 
