@@ -121,11 +121,38 @@ object Pipeline {
       .reduce(_ unionByName _)
   }
 
+  /** Page records of every COMPLETED segment (marker-gated). */
+  def segmentPages(spark: SparkSession, outDir: String): DataFrame = {
+    val ids = SegmentManifest.completedSegments(spark, outDir)
+    require(ids.nonEmpty, s"no completed segments under $outDir")
+    ids.map(id => graft.sinks.PageStore.read(spark,
+        s"${SegmentManifest.segmentDir(outDir, id)}/pages").drop("domain_bucket"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Write `df` through a temp directory and swap it into `path` — the
+    * main stores are rebuilt FROM their previous contents, so an
+    * in-place overwrite would delete the only copy before the new one
+    * is known good (a failed write mid-overwrite loses the store).
+    */
+  private def safeRewrite(spark: SparkSession, path: String,
+      write: String => Unit): Unit = {
+    val tmp = s"$path.rewrite.tmp"
+    write(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(
+        s"failed to move rewritten store $tmp into place at $path")
+  }
+
   /** Fold all completed segments plus any existing main store into a
-    * freshly compacted main store — the manifest-import counterpart of
-    * [[compactStream]]. The caller owns removing folded segment stores
-    * (and their markers) afterwards; folding the same segments twice
-    * double-counts their qty.
+    * freshly compacted main store (links AND pages) — the
+    * manifest-import counterpart of [[compactStream]]. The caller owns
+    * removing folded segment stores (and their markers) afterwards;
+    * folding the same segments twice double-counts their qty.
     */
   def foldSegments(spark: SparkSession, outDir: String): Unit = {
     val segs = segmentLinks(spark, outDir)
@@ -133,8 +160,19 @@ object Pipeline {
       try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     val all = existing.fold(segs)(e => segs.unionByName(e))
-    val compacted = LinkCompaction.compact(all).localCheckpoint()
-    LinkStore.write(compacted, s"$outDir/links")
+    // the rewrite reads the old store while writing the temp copy, so
+    // no checkpoint is needed and the old data survives a failed write
+    safeRewrite(spark, s"$outDir/links",
+      tmp => LinkStore.write(LinkCompaction.compact(all), tmp))
+    val pages = segmentPages(spark, outDir)
+    val existingPages =
+      try Some(graft.sinks.PageStore.read(spark, s"$outDir/pages").drop("domain_bucket"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // page records carry no qty: an identical row from two folds is the
+    // same crawl record twice, so the fold dedups exactly
+    val allPages = existingPages.fold(pages)(e => pages.unionByName(e)).distinct()
+    safeRewrite(spark, s"$outDir/pages",
+      tmp => graft.sinks.PageStore.write(allPages, tmp))
   }
 
   /** Continuous ingestion: watch a directory for new WAT files and
@@ -192,9 +230,10 @@ object Pipeline {
       try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     val all = existing.fold(streamed)(e => streamed.unionByName(e))
-    // materialize before overwriting the directory we read from
-    val compacted = LinkCompaction.compact(all).localCheckpoint()
-    LinkStore.write(compacted, s"$outDir/links")
+    // temp-write + swap: reads the old store while writing, and a
+    // failed write can't destroy the only copy (see safeRewrite)
+    safeRewrite(spark, s"$outDir/links",
+      tmp => LinkStore.write(LinkCompaction.compact(all), tmp))
   }
 
   /** Query surface over an imported store — the LinkDB API bound to a
@@ -222,11 +261,21 @@ object Pipeline {
   }
 
   /** Serve the store over HTTP — the reference's `cmd/linksapi`
-    * (POST /api/links with CORS + rate limiting). Every request binds
-    * to a partition-pruned domain read, so the per-request scan is
-    * 1/NumBuckets of the store plus row-group pruning; `port = 0`
-    * picks an ephemeral port (see [[api.LinkApiServer]]).
+    * (POST /api/links with CORS + rate limiting). Requests bind to a
+    * partition-pruned domain read, so the per-request scan is
+    * 1/NumBuckets of the store plus row-group pruning. The LinkDb per
+    * eTLD+1 is memoized: opening the store (driver file listing) and
+    * the bucket computation happen once per domain, not per request —
+    * the store is immutable between imports, so the cache stays valid
+    * for the server's lifetime. `port = 0` picks an ephemeral port.
     */
-  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer =
-    new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port).start()
+  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, api.LinkDb]
+    val resolve = (domain: String) => {
+      val (etld1, _) = graft.functions.UrlFns.splitDomain(domain)
+      cache.computeIfAbsent(etld1, e =>
+        new api.LinkDb(LinkStore.readDomain(spark, s"$outDir/links", e)))
+    }
+    new api.LinkApiServer(resolve, port).start()
+  }
 }

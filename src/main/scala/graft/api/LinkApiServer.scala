@@ -57,10 +57,15 @@ final class LinkApiServer(
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/api/links", (ex: HttpExchange) => safely(ex)(handleLinks))
   server.createContext("/api/health", (ex: HttpExchange) => safely(ex)(handleHealth))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   def start(): LinkApiServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+
+  /** Stops the listener AND the worker pool — the pool's non-daemon
+    * threads would otherwise keep the JVM alive after stop().
+    */
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   /** enableCORS (linkdb.go:80-95): headers on every response, OPTIONS

@@ -101,10 +101,15 @@ final class LinkDb(links: DataFrame) {
       else col("link_domain") === etld1 && col("link_subdomain") === sub
     val filtered = req.filters.flatMap(filterColumn)
       .foldLeft(links.filter(domainPred))(_ filter _)
+    // Int-safe offset: (page-1)*limit can overflow Int for absurd page
+    // numbers (the reference skips with int64); past Int.MaxValue rows
+    // the page is empty by construction
+    val off = (page - 1).toLong * limit
+    if (off + limit * 3 > Int.MaxValue) return Seq.empty
     // the reference over-fetches 3x the page because merging can shrink it
     val window = filtered
       .orderBy(sortColumns(req): _*)
-      .offset((page - 1) * limit)
+      .offset(off.toInt)
       .limit(limit * 3)
       .collect() // bounded: <= 3 * 100 rows — this is the serving path
     val rows = window.map { r =>

@@ -43,15 +43,25 @@ final class PageDb(pages: DataFrame) {
     // same fallback convention as LinkDb (controller.go:29-34)
     val limit = if (req.limit > 0 && req.limit <= 100) req.limit else 100
     val page = math.max(req.page, 1)
-    val base = pages.filter(lower(col("page_host")) === req.host.toLowerCase)
+    // page_host is lowercased at extraction time (UrlFns.urlHost), so a
+    // bare equality keeps the predicate pushable into the parquet scan
+    // — wrapping the column in lower() would defeat the row-group
+    // pruning PageStore's in-bucket sort exists for
+    val base = pages.filter(col("page_host") === req.host.toLowerCase)
     val filtered = Seq(
       req.pathAny.map(p => anyMatch(col("page_path"), p)),
       req.titleAny.map(t => anyMatch(col("title"), t))
     ).flatten.foldLeft(base)(_ filter _)
+    val off = (page - 1).toLong * limit
+    if (off + limit > Int.MaxValue) return Seq.empty
     filtered
+      // the FULL remaining row as tiebreak: otherwise two captures of
+      // one URL differing only in title tie completely and pagination
+      // at the boundary becomes engine-arbitrary
       .orderBy(col("page_path").asc, col("page_rawquery").asc,
-        col("crawl_date").asc, col("ip").asc)
-      .offset((page - 1) * limit)
+        col("crawl_date").asc, col("ip").asc, col("title").asc,
+        col("page_scheme").asc, col("noindex").asc, col("page_nofollow").asc)
+      .offset(off.toInt)
       .limit(limit)
       .collect() // bounded serving window, like LinkDb.query
       .map { r =>

@@ -63,6 +63,9 @@ object SegmentManifest {
         if (l.contains("://") || l.startsWith("/")) l
         else baseDir.fold(l)(b => s"${b.stripSuffix("/")}/$l")
       }
+      // a repeated manifest line would read (and qty-count) the file
+      // twice — dedupe, keeping first-appearance order
+      .distinct
     val byId = lines.groupBy(segmentId)
     lines.map(segmentId).distinct.map(id => Segment(id, byId(id)))
   }

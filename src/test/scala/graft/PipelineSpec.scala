@@ -95,6 +95,16 @@ class PipelineSpec extends SparkSpec {
     assert(folded.count() == 6)
     import org.apache.spark.sql.functions.{col, sum}
     assert(folded.agg(sum(col("qty"))).head().getLong(0) == 12)
+    // pages fold too: the identical segment copies dedupe to one record
+    // per page, and the pageDb surface works off the folded store
+    val served = Pipeline.pageDb(spark, out, "www.sitea.com")
+      .query(api.PageDbRequest("www.sitea.com"))
+    assert(served.length == 1 && served.head.title == "t")
+    // folding is idempotent-safe for pages (pure dedup) even though
+    // links would double-count — rerun and the page count holds
+    Pipeline.foldSegments(spark, out)
+    assert(Pipeline.pageDb(spark, out, "www.sitea.com")
+      .query(api.PageDbRequest("www.sitea.com")).length == 1)
   }
 
   test("pageDb serves page records from the partition-pruned page store") {
