@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2C (link graph) — graph analytics over the backlink fact table:
+  * the link rows ARE a (page host → link host) edge list, so the
+  * canonical link-graph questions (degree distributions, PageRank)
+  * complete the reference's link-analytics story (the reference stores
+  * the edges but never computes over the graph).
+  */
+object GraphOps {
+
+  /** Distinct (src page host → dst link host) edges. */
+  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.links(s, dir)
+      .select(col("page_host").as("src"),
+        concat(
+          when(col("link_subdomain") === "", lit(""))
+            .otherwise(concat(col("link_subdomain"), lit("."))),
+          col("link_domain")).as("dst"))
+      .distinct()
+
+  /** In-degree distribution — the power-law histogram every link-graph
+    * audit starts with: for each in-degree (distinct linking hosts),
+    * how many target hosts have it. Two map-side-combined aggregates,
+    * nothing else; at 100 TB both shuffles carry one row per (host) and
+    * per (degree) respectively.
+    */
+  val q52_degree_dist: GraftQuery = GraftQuery(
+    "q52_degree_dist",
+    (s, dir) =>
+      edges(s, dir)
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).cast("bigint").as("in_degree"))
+        .groupBy(col("in_degree"))
+        .agg(count(lit(1)).cast("bigint").as("n_hosts"))
+        .orderBy(col("in_degree")),
+    Some(Tables.linksCte +
+      """, e AS (
+        |  SELECT DISTINCT page_host AS src,
+        |    (CASE WHEN link_subdomain = '' THEN '' ELSE link_subdomain || '.' END)
+        |      || link_domain AS dst
+        |  FROM links
+        |), deg AS (
+        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_degree FROM e GROUP BY dst
+        |)
+        |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_hosts
+        |FROM deg GROUP BY in_degree ORDER BY in_degree""".stripMargin)
+  )
+
+  private val Damping = 0.85
+  private val PageRankIters = 10
+
+  /** PageRank over the host graph: fixed-iteration power method, each
+    * iteration ONE join + ONE aggregate (contributions grouped by
+    * target) plus a broadcast scalar for the dangling mass —
+    * the standard DataFrame-native iterative-graph shape (like q36's
+    * label propagation), lineage truncated per iteration so the plan
+    * stays flat. Dangling hosts (no out-edges) redistribute their mass
+    * evenly, keeping total rank = N at every step (the spec asserts
+    * it). Deterministic given the graph; rows-only because float
+    * summation order differs across engines.
+    */
+  val q51_pagerank: GraftQuery = GraftQuery(
+    "q51_pagerank",
+    (s, dir) => {
+      val e = edges(s, dir).localCheckpoint(false)
+      val nodes = e.select(col("src").as("host"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .localCheckpoint(false)
+      val n = nodes.count().toDouble
+      val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      var ranks = nodes.withColumn("rank", lit(1.0))
+      var iter = 0
+      while (iter < PageRankIters) {
+        val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
+        // mass of dangling hosts, redistributed evenly
+        val danglingMass = withDeg.filter(col("out_deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        val contribs = withDeg.filter(col("out_deg").isNotNull)
+          .select(col("host"), (col("rank") / col("out_deg")).as("share"))
+          .join(e, col("host") === e("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("share")).as("in_share"))
+        ranks = ranks.select(col("host"))
+          .join(contribs, col("host") === col("dst"), "left")
+          .select(col("host"),
+            (lit((1 - Damping) + Damping * danglingMass / n) +
+              lit(Damping) * coalesce(col("in_share"), lit(0.0))).as("rank"))
+          .localCheckpoint() // eager: truncate lineage inside the loop
+        iter += 1
+      }
+      ranks.orderBy(col("rank").desc, col("host").asc).limit(100)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    },
+    None // float summation order is engine-specific; invariants in GraphOpsSpec
+  )
+
+  val all: Seq[GraftQuery] = Seq(q51_pagerank, q52_degree_dist)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("q52 degree distribution accounts for every target host exactly once") {
+    val hist = GraphOps.q52_degree_dist.run(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    val totalHosts = hist.map(_.getAs[Long]("n_hosts")).sum
+    val distinctDst = Tables.links(spark, sfDir)
+      .select(concat(
+        when(col("link_subdomain") === "", lit(""))
+          .otherwise(concat(col("link_subdomain"), lit("."))),
+        col("link_domain")))
+      .distinct().count()
+    assert(totalHosts == distinctDst,
+      s"histogram covers $totalHosts hosts, graph has $distinctDst")
+    hist.foreach(r => assert(r.getAs[Long]("in_degree") >= 1))
+  }
+
+  test("q51 PageRank conserves total mass and is deterministic") {
+    val out = GraphOps.q51_pagerank.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // every rank carries at least the teleport floor
+    out.foreach(r => assert(r.getAs[Double]("rank") >= 0.15 - 1e-9))
+    // all nodes fit in the top-100 window on this corpus, so the output
+    // sums to (approximately) the node count: mass is conserved
+    val n = out.length
+    if (n < 100) {
+      val mass = out.map(_.getAs[Double]("rank")).sum
+      assert(math.abs(mass - n) < 1e-3 * n, s"rank mass $mass for $n nodes")
+    }
+    // deterministic: a second run returns the identical ranking
+    val again = GraphOps.q51_pagerank.run(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q51 ranks sinks above isolated expectation when they attract links") {
+    // hosts that many pages link to must outrank the teleport floor
+    val out = GraphOps.q51_pagerank.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[Double]("rank")).toMap
+    val topIn = Tables.links(spark, sfDir)
+      .select(col("page_host"),
+        concat(
+          when(col("link_subdomain") === "", lit(""))
+            .otherwise(concat(col("link_subdomain"), lit("."))),
+          col("link_domain")).as("dst"))
+      .distinct()
+      .groupBy("dst").count().orderBy(col("count").desc)
+      .head().getString(0)
+    assert(out(topIn) > 0.15, s"most-linked host $topIn should exceed the floor")
+  }
+}
