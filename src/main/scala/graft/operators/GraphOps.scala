@@ -76,9 +76,11 @@ object GraphOps {
       var iter = 0
       while (iter < PageRankIters) {
         val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
-        // mass of dangling hosts, redistributed evenly
+        // mass of dangling hosts as a broadcast 1-row frame: folding it
+        // into the plan keeps each iteration at ONE job (the eager
+        // checkpoint) instead of a separate collect per iteration
         val danglingMass = withDeg.filter(col("out_deg").isNull)
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
         val contribs = withDeg.filter(col("out_deg").isNotNull)
           .select(col("host"), (col("rank") / col("out_deg")).as("share"))
           .join(e, col("host") === e("src"))
@@ -86,9 +88,10 @@ object GraphOps {
           .agg(sum(col("share")).as("in_share"))
         ranks = ranks.select(col("host"))
           .join(contribs, col("host") === col("dst"), "left")
+          .crossJoin(broadcast(danglingMass))
           .select(col("host"),
-            (lit((1 - Damping) + Damping * danglingMass / n) +
-              lit(Damping) * coalesce(col("in_share"), lit(0.0))).as("rank"))
+            (lit(1 - Damping) + lit(Damping) *
+              (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"))
           .localCheckpoint() // eager: truncate lineage inside the loop
         iter += 1
       }
