@@ -489,9 +489,57 @@ object TextOps {
            |HAVING COUNT(*) * 20 <= (SELECT COUNT(*) FROM documents)""".stripMargin)
   )
 
+  /** Benchmark decontamination — the pass every LLM training pipeline
+    * runs before training: flag train documents sharing any 8-character
+    * gram with the held-out eval set (here: `doc_id % 50 = 7` stands in
+    * for the benchmark corpus). Per contaminated doc: how many eval
+    * docs it overlaps and how many distinct grams are shared.
+    *
+    * Scale shape: the EVAL side is small by construction (benchmark
+    * suites are thousands of docs, not billions), so its distinct grams
+    * broadcast; the train side explodes grams once and the only
+    * shuffle is the per-doc aggregate. Exact integer outputs → DuckDB
+    * oracle reproduces them from the same substring grams.
+    */
+  val q53_decontaminate: GraftQuery = GraftQuery(
+    "q53_decontaminate",
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"))
+          .as("g"))
+        .distinct()
+      val trainGrams = grams(docs.filter(col("doc_id") % 50 =!= 7))
+      val evalGrams = grams(docs.filter(col("doc_id") % 50 === 7))
+        .select(col("doc_id").as("eval_id"), col("g"))
+      trainGrams.join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("eval_id")).cast("bigint").as("n_eval_docs"),
+          countDistinct(col("g")).cast("bigint").as("n_shared_grams"))
+    },
+    Some("""WITH tg AS (
+           |  SELECT DISTINCT doc_id, g FROM (
+           |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+           |    FROM documents, range(1, 1000) r(i)
+           |    WHERE doc_id % 50 <> 7 AND i <= greatest(length(text) - 7, 1)) u
+           |), eg AS (
+           |  SELECT DISTINCT doc_id AS eval_id, g FROM (
+           |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+           |    FROM documents, range(1, 1000) r(i)
+           |    WHERE doc_id % 50 = 7 AND i <= greatest(length(text) - 7, 1)) u
+           |)
+           |SELECT tg.doc_id,
+           |       CAST(COUNT(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_docs,
+           |       CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_shared_grams
+           |FROM tg JOIN eg ON tg.g = eg.g
+           |GROUP BY tg.doc_id""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
-    q49_token_histogram, q50_inverted_index)
+    q49_token_histogram, q50_inverted_index, q53_decontaminate)
 }

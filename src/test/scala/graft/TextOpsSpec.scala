@@ -76,6 +76,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q53 decontamination flags every train doc sharing an 8-gram with eval") {
+    val rows = TextOps.q53_decontaminate.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // no eval doc may appear on the train side of the report
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 7)
+      assert(r.getAs[Long]("n_eval_docs") >= 1)
+      assert(r.getAs[Long]("n_shared_grams") >= 1)
+    }
+    // a doc sharing an 8-gram with an eval doc must be flagged: doc 7
+    // is eval (7 % 50 = 7); any train doc with a common substring of
+    // length >= 8 against it shows up
+    val evalTexts = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 50 === 7).select("text").collect().map(_.getString(0))
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    val sample = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 50 =!= 7).select("doc_id", "text").collect()
+      .find { r =>
+        val t = r.getString(1)
+        evalTexts.exists(e => (0 to t.length - 8).exists(i => e.contains(t.substring(i, i + 8))))
+      }
+    sample.foreach(r => assert(flagged.contains(r.getLong(0))))
+  }
+
   test("q36 labels are component minima (idempotent under re-propagation)") {
     val df = TextOps.q36_dup_clusters.run(spark, sfDir)
     // every cluster_id must itself be a member of the cluster
