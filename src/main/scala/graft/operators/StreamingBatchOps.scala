@@ -66,5 +66,17 @@ object StreamingBatchOps {
            |GROUP BY event_type""".stripMargin)
   )
 
-  val all: Seq[GraftQuery] = Seq(s01_stream_window, s02_stream_session, s03_stream_dedup)
+  /** Batch form of the stream-static enrichment join (s04). */
+  val s04_stream_enrich: GraftQuery = GraftQuery(
+    "s04_stream_enrich",
+    (s, dir) => StreamOps.enrich(
+      Tables.table(s, dir, "events"), Tables.table(s, dir, "customer")),
+    Some("""SELECT c_nationkey, COUNT(*) AS n_events,
+           |  ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6) AS sum_value
+           |FROM events JOIN customer ON (user_id % 100) + 1 = c_custkey
+           |GROUP BY c_nationkey""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich)
 }

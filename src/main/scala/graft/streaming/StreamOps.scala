@@ -54,6 +54,24 @@ object StreamOps {
       .agg(count(lit(1)).as("n_unique_events"))
   }
 
+  /** s04: stream-static enrichment — the dimension join every event
+    * pipeline needs (events arrive on the stream, reference data sits
+    * in a table). The static side joins per micro-batch with a
+    * broadcast hash join — no stream-side state at all (unlike
+    * stream-stream joins), so it scales with the dim size, not the
+    * stream history. `user_id % 100 + 1` maps onto customer keys
+    * deterministically so the batch oracle reproduces the join total.
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame = {
+    val dim = customers.select(col("c_custkey"), col("c_nationkey"))
+    events
+      .join(broadcast(dim), pmod(col("user_id"), lit(100)) + 1 === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6)").as("sum_value"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Split events (sorted by (us, event_id)) into gap-delimited sessions. */

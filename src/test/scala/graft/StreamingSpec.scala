@@ -85,6 +85,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s04 stream-static enrichment over a MemoryStream matches the batch join") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val customers = Tables.table(spark, sfDir, "customer")
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = StreamOps.enrich(df, customers)
+      .writeStream.format("memory").queryName("s04_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user 0 -> custkey 1, user 99 -> custkey 100 (deterministic map)
+      mem.addData((0L, 1.5), (99L, 2.0), (0L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("s04_out").collect()
+        .map(r => r.getAs[Int]("c_nationkey") -> (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      val want = StreamOps.enrich(
+        Seq((0L, 1.5), (99L, 2.0), (0L, 3.0)).toDF("user_id", "value"), customers)
+        .collect()
+        .map(r => r.getAs[Int]("c_nationkey") -> (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      assert(got == want && got.values.map(_._1).sum == 3L)
+    } finally q.stop()
+  }
+
   test("s02 batch form equals the window-function sessionization") {
     import spark.implicits._
     val evs = Tables.table(spark, sfDir, "events")
