@@ -130,22 +130,61 @@ object Pipeline {
       .reduce(_ unionByName _)
   }
 
-  /** Write `df` through a temp directory and swap it into `path` — the
-    * main stores are rebuilt FROM their previous contents, so an
-    * in-place overwrite would delete the only copy before the new one
-    * is known good (a failed write mid-overwrite loses the store).
+  /** Write through a temp directory and SWAP it into `path` — the main
+    * stores are rebuilt FROM their previous contents, so an in-place
+    * overwrite would delete the only copy before the new one is known
+    * good. The swap renames the old store aside first (old → .old,
+    * tmp → live, drop .old), so every crash point leaves a complete
+    * copy on disk; [[recoverStore]] heals the one window where the
+    * live name is briefly absent.
     */
   private def safeRewrite(spark: SparkSession, path: String,
       write: String => Unit): Unit = {
-    val tmp = s"$path.rewrite.tmp"
-    write(tmp)
+    prepareRewrite(spark, path, write)
+    swapRewrite(spark, path)
+  }
+
+  /** Phase 1: produce the rewritten store at `path`.rewrite.tmp without
+    * touching the live store.
+    */
+  private def prepareRewrite(spark: SparkSession, path: String,
+      write: String => Unit): Unit = {
+    recoverStore(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(path)))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path.rewrite.tmp"), true)
+    write(s"$path.rewrite.tmp")
+  }
+
+  /** Phase 2: swap the prepared temp in (old → .old, tmp → live, drop
+    * .old) — rename-only, so the vulnerable window is milliseconds and
+    * every crash point leaves a complete copy on disk.
+    */
+  private def swapRewrite(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"$path.rewrite.tmp"
+    val old = s"$path.old"
+    fs.delete(p(old), true)
+    val hadOld = fs.exists(p(path)) && { fs.rename(p(path), p(old)); true }
+    if (!fs.rename(p(tmp), p(path))) {
+      if (hadOld) fs.rename(p(old), p(path)) // roll back to the old store
       throw new java.io.IOException(
         s"failed to move rewritten store $tmp into place at $path")
+    }
+    fs.delete(p(old), true)
+  }
+
+  /** Heal a crash between safeRewrite's two renames: if the live store
+    * name is missing but its `.old` sibling exists, restore it.
+    */
+  private def recoverStore(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(path)) && fs.exists(p(s"$path.old")))
+      fs.rename(p(s"$path.old"), p(path))
   }
 
   /** Fold all completed segments plus any existing main store into a
@@ -160,10 +199,6 @@ object Pipeline {
       try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     val all = existing.fold(segs)(e => segs.unionByName(e))
-    // the rewrite reads the old store while writing the temp copy, so
-    // no checkpoint is needed and the old data survives a failed write
-    safeRewrite(spark, s"$outDir/links",
-      tmp => LinkStore.write(LinkCompaction.compact(all), tmp))
     val pages = segmentPages(spark, outDir)
     val existingPages =
       try Some(graft.sinks.PageStore.read(spark, s"$outDir/pages").drop("domain_bucket"))
@@ -171,8 +206,17 @@ object Pipeline {
     // page records carry no qty: an identical row from two folds is the
     // same crawl record twice, so the fold dedups exactly
     val allPages = existingPages.fold(pages)(e => pages.unionByName(e)).distinct()
-    safeRewrite(spark, s"$outDir/pages",
+    // BOTH rewrites are prepared before EITHER store is swapped: a
+    // failure during the (long) write phase leaves both live stores
+    // untouched, so a rerun cannot fold the links twice while the
+    // pages half never happened. The rewrites read the old stores
+    // while writing the temps, so no checkpoint is needed.
+    prepareRewrite(spark, s"$outDir/links",
+      tmp => LinkStore.write(LinkCompaction.compact(all), tmp))
+    prepareRewrite(spark, s"$outDir/pages",
       tmp => graft.sinks.PageStore.write(allPages, tmp))
+    swapRewrite(spark, s"$outDir/links")
+    swapRewrite(spark, s"$outDir/pages")
   }
 
   /** Continuous ingestion: watch a directory for new WAT files and
@@ -261,21 +305,15 @@ object Pipeline {
   }
 
   /** Serve the store over HTTP — the reference's `cmd/linksapi`
-    * (POST /api/links with CORS + rate limiting). Requests bind to a
-    * partition-pruned domain read, so the per-request scan is
-    * 1/NumBuckets of the store plus row-group pruning. The LinkDb per
-    * eTLD+1 is memoized: opening the store (driver file listing) and
-    * the bucket computation happen once per domain, not per request —
-    * the store is immutable between imports, so the cache stays valid
-    * for the server's lifetime. `port = 0` picks an ephemeral port.
+    * (POST /api/links with CORS + rate limiting). Each request binds a
+    * FRESH partition-pruned domain read (bucket computed driver-side
+    * with no Spark job — LinkStore.bucketOfDomain is pure), so the
+    * per-request scan is 1/NumBuckets of the store plus row-group
+    * pruning, and a store rewrite (compactStream/foldSegments) is
+    * picked up by the very next request — caching DataFrames here
+    * would pin deleted part files after a rewrite. `port = 0` picks an
+    * ephemeral port.
     */
-  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer = {
-    val cache = new java.util.concurrent.ConcurrentHashMap[String, api.LinkDb]
-    val resolve = (domain: String) => {
-      val (etld1, _) = graft.functions.UrlFns.splitDomain(domain)
-      cache.computeIfAbsent(etld1, e =>
-        new api.LinkDb(LinkStore.readDomain(spark, s"$outDir/links", e)))
-    }
-    new api.LinkApiServer(resolve, port).start()
-  }
+  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer =
+    new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port).start()
 }

@@ -41,9 +41,15 @@ final class LinkApiServer(
   private def isRateLimited(id: String): Boolean = {
     val now = clock()
     // bounded memory: evict expired windows once the map grows past the
-    // sweep threshold (the reference never evicts — map-per-IP forever)
-    if (records.size > SweepThreshold)
-      records.entrySet.removeIf(e => now - e.getValue.first > rateWindowMs)
+    // sweep threshold (the reference never evicts — map-per-IP forever).
+    // The sweep itself is amortized to once per window: when every
+    // entry is live (a wide attack), an every-request O(n) scan would
+    // turn the rate check itself into the hot-path cost.
+    if (records.size > SweepThreshold) {
+      val last = lastSweep.get()
+      if (now - last > rateWindowMs && lastSweep.compareAndSet(last, now))
+        records.entrySet.removeIf(e => now - e.getValue.first > rateWindowMs)
+    }
     var limited = false
     records.compute(id, (_, r) =>
       if (r == null) new Rate(now, 1)
@@ -53,6 +59,7 @@ final class LinkApiServer(
   }
 
   private val SweepThreshold = 100000
+  private val lastSweep = new java.util.concurrent.atomic.AtomicLong(Long.MinValue / 2)
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/api/links", (ex: HttpExchange) => safely(ex)(handleLinks))

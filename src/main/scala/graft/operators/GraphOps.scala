@@ -92,7 +92,10 @@ object GraphOps {
           .select(col("host"),
             (lit(1 - Damping) + lit(Damping) *
               (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"))
-          .localCheckpoint() // eager: truncate lineage inside the loop
+          // lazy: still truncates lineage (the optimizer sees a leaf),
+          // but merely BUILDING the q51 plan (explain/PlanAudit) no
+          // longer executes the iterations — only nodes.count() runs
+          .localCheckpoint(false)
         iter += 1
       }
       ranks.orderBy(col("rank").desc, col("host").asc).limit(100)

@@ -73,7 +73,8 @@ object StreamingBatchOps {
       Tables.table(s, dir, "events"), Tables.table(s, dir, "customer")),
     Some("""SELECT c_nationkey, COUNT(*) AS n_events,
            |  ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6) AS sum_value
-           |FROM events JOIN customer ON (user_id % 100) + 1 = c_custkey
+           |FROM events JOIN customer
+           |  ON (((user_id % 100) + 100) % 100) + 1 = c_custkey
            |GROUP BY c_nationkey""".stripMargin)
   )
 

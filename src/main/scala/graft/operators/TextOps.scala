@@ -519,16 +519,15 @@ object TextOps {
           countDistinct(col("eval_id")).cast("bigint").as("n_eval_docs"),
           countDistinct(col("g")).cast("bigint").as("n_shared_grams"))
     },
-    Some("""WITH tg AS (
-           |  SELECT DISTINCT doc_id, g FROM (
-           |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
-           |    FROM documents, range(1, 1000) r(i)
-           |    WHERE doc_id % 50 <> 7 AND i <= greatest(length(text) - 7, 1)) u
+    Some("""WITH grams AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    range(1, greatest(length(text) - 7, 1) + 1),
+           |    i -> substr(text, CAST(i AS INTEGER), 8))) AS g
+           |  FROM documents
+           |), tg AS (
+           |  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 7
            |), eg AS (
-           |  SELECT DISTINCT doc_id AS eval_id, g FROM (
-           |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
-           |    FROM documents, range(1, 1000) r(i)
-           |    WHERE doc_id % 50 = 7 AND i <= greatest(length(text) - 7, 1)) u
+           |  SELECT DISTINCT doc_id AS eval_id, g FROM grams WHERE doc_id % 50 = 7
            |)
            |SELECT tg.doc_id,
            |       CAST(COUNT(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_docs,

@@ -24,14 +24,17 @@ object LinkStore {
   private[sinks] def bucketOf(domain: Column): Column =
     pmod(xxhash64(domain), lit(NumBuckets.toLong)).cast("int")
 
-  /** Scala-side mirror of [[bucketOf]] for driver-side pruning. Spark's
-    * xxhash64 is XXH64 with seed 42 over the UTF-8 bytes — recomputed
-    * here so reads can build the partition predicate without a join.
+  /** Scala-side mirror of [[bucketOf]] for driver-side pruning: Spark's
+    * `xxhash64` is XXH64 seed 42 over the UTF-8 bytes and `pmod` the
+    * positive modulo — recomputed here directly, so building a
+    * domain-pruned read costs NO Spark job (a serving path calls this
+    * per request). LinkDbSpec pins equality with the Column version.
     */
-  def bucketOfDomain(spark: SparkSession, domain: String): Int = {
-    import spark.implicits._
-    // one-row local computation keeps the two definitions provably equal
-    Seq(domain).toDF("d").select(bucketOf(col("d"))).head().getInt(0)
+  def bucketOfDomain(domain: String): Int = {
+    val b = domain.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    (((h % NumBuckets) + NumBuckets) % NumBuckets).toInt
   }
 
   /** Write compacted links bucketed by domain hash. `repartition` on the
@@ -76,6 +79,6 @@ object LinkStore {
     */
   def readDomain(spark: SparkSession, path: String, domain: String): DataFrame =
     read(spark, path)
-      .filter(col("domain_bucket") === bucketOfDomain(spark, domain))
+      .filter(col("domain_bucket") === bucketOfDomain(domain))
       .filter(col("link_domain") === domain)
 }

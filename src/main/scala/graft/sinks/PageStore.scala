@@ -31,6 +31,6 @@ object PageStore {
   /** eTLD+1-filtered read with partition + row-group pruning. */
   def readDomain(spark: SparkSession, path: String, domain: String): DataFrame =
     read(spark, path)
-      .filter(col("domain_bucket") === LinkStore.bucketOfDomain(spark, domain))
+      .filter(col("domain_bucket") === LinkStore.bucketOfDomain(domain))
       .filter(col("page_domain") === domain)
 }

@@ -79,6 +79,17 @@ class LinkDbSpec extends SparkSpec {
     assert(viaStore == viaMem)
   }
 
+  test("driver-side bucketOfDomain equals the Column-side bucket computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val domains = Seq("d3.com", "d7.co.uk", "example.org", "a.b.c.github.io",
+      "xn--bcher-kva.example", "", "ünïcode.test")
+    val viaColumn = domains.toDF("d")
+      .select(pmod(xxhash64(col("d")), lit(LinkStore.NumBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(domains.map(LinkStore.bucketOfDomain) == viaColumn)
+  }
+
   test("out-of-range limit falls back to 100, like the reference controller") {
     val dflt = db.query(LinkDbRequest("d3.com"))
     assert(db.query(LinkDbRequest("d3.com", limit = 0)) == dflt)
