@@ -343,8 +343,48 @@ object LinkOps {
         |FROM links GROUP BY page_host""".stripMargin)
   )
 
+  /** Per-domain anchor-text profile — the summary card every backlink
+    * tool shows for a domain: how many distinct anchors point at it,
+    * the dominant anchor, total links, and the nofollow share. Two
+    * stacked map-side-combined aggregates (per (domain, anchor), then
+    * per domain); the dominant anchor is a `max_by` over a (count,
+    * text) struct so ties break deterministically on both engines.
+    */
+  val q54_anchor_profile: GraftQuery = GraftQuery(
+    "q54_anchor_profile",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .groupBy(col("link_domain"), col("link_text"))
+        .agg(count(lit(1)).as("cnt"), sum(col("nofollow")).as("nf"))
+        .groupBy(col("link_domain"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_anchors"),
+          expr("max_by(link_text, struct(cnt, link_text))").as("top_anchor"),
+          sum(col("cnt")).cast("bigint").as("n_links"),
+          (sum(col("nf")).cast("double") / sum(col("cnt")).cast("double"))
+            .as("nofollow_share")),
+    Some(Tables.linksCte +
+      """, per AS (
+        |  SELECT link_domain, link_text, COUNT(*) AS cnt, SUM(nofollow) AS nf
+        |  FROM links GROUP BY link_domain, link_text
+        |), ranked AS (
+        |  SELECT link_domain, link_text,
+        |    ROW_NUMBER() OVER (PARTITION BY link_domain
+        |                       ORDER BY cnt DESC, link_text DESC) AS rk
+        |  FROM per
+        |)
+        |SELECT p.link_domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |  MIN(r.link_text) AS top_anchor,
+        |  CAST(SUM(p.cnt) AS BIGINT) AS n_links,
+        |  CAST(SUM(p.nf) AS DOUBLE) / CAST(SUM(p.cnt) AS DOUBLE) AS nofollow_share
+        |FROM per p
+        |JOIN ranked r ON p.link_domain = r.link_domain AND r.rk = 1
+        |GROUP BY p.link_domain""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q15_json_extract, q16_sessionize, q17_compact_links, q18_linkdb_query,
     q19_url_parse, q20_etld_domain, q21_url_quality, q22_ignore_lists,
-    q23_page_stats)
+    q23_page_stats, q54_anchor_profile)
 }
