@@ -36,6 +36,12 @@ object ScaleRehearsal {
     // because candidates come from band buckets rather than all pairs
     time("q41_sketch_2k")(operators.SimilarityOps.sketchPairs(sketchCorpus(spark, 2000)).count())
     time("q41_sketch_20k")(operators.SimilarityOps.sketchPairs(sketchCorpus(spark, 20000)).count())
+    // the one-aggregate compaction and the broadcast-gram decontamination
+    // must scale ~linearly: both are single-shuffle plans
+    time("q17_compact_links")(operators.LinkCompaction.compact(
+      (0 until 10).map(_ => Tables.links(spark, "/root/testdata/sf0.1"))
+        .reduce(_ unionAll _)).count())
+    time("q53_decontaminate")(operators.TextOps.q53_decontaminate.run(spark, "/tmp/sfx10").count())
     spark.stop()
   }
 
