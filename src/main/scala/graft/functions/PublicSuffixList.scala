@@ -67,6 +67,24 @@ object PublicSuffixList {
     m
   }
 
+  /** Deepest rule key in the table (labels). Probing never needs to
+    * consider a candidate suffix with more labels than this — without
+    * the bound, a junk 50-label crawl host would pay 50 full-string
+    * hash probes per row.
+    */
+  private val maxKeyLabels: Int = {
+    var max = 1
+    val it = rules.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      var n = 1
+      var i = 0
+      while (i < k.length) { if (k.charAt(i) == '.') n += 1; i += 1 }
+      if (n > max) max = n
+    }
+    max
+  }
+
   /** Number of labels in the public suffix of `host` (lowercase, no
     * trailing dot). PSL algorithm: among matching rules an exception
     * rule prevails (its suffix is the rule minus its leftmost label),
@@ -84,6 +102,14 @@ object PublicSuffixList {
     var exception = -1
     var pos = 0 // start offset of the current candidate suffix
     var idx = 0 // label index of the candidate start (0 = whole host)
+    // skip straight to the deepest candidate any rule could match:
+    // bounded probes regardless of host label count
+    while (nLabels - idx > maxKeyLabels) {
+      val dot = host.indexOf('.', pos)
+      if (dot < 0) return if (exception >= 0) exception else math.min(best, nLabels)
+      pos = dot + 1
+      idx += 1
+    }
     var done = false
     while (!done) {
       val f = rules.get(if (pos == 0) host else host.substring(pos))
@@ -103,13 +129,25 @@ object PublicSuffixList {
 
   /** eTLD+1 (registrable domain) of a host, or null when the host IS a
     * public suffix (Go's EffectiveTLDPlusOne returns an error there and
-    * the reference drops the record).
+    * the reference drops the record) or carries an empty label.
+    * Divergence (documented): ONE trailing dot (the FQDN form) is
+    * normalized away rather than rejected like Go — DNS-legal input
+    * shouldn't change the registrable domain.
     */
   def etld1(host: String): String = {
     if (host == null || host.isEmpty) return null
     var h = if (host.charAt(host.length - 1) == '.') host.dropRight(1) else host
     if (h.isEmpty) return null
-    h = h.toLowerCase
+    // Go's EffectiveTLDPlusOne errors on any empty label (leading dot,
+    // "..", trailing dot) — here that maps to null. Without this check
+    // ".com" would come back AS ".com" and "foo..com" as ".com":
+    // malformed registrable domains leaking into compaction keys.
+    if (h.charAt(0) == '.' || h.charAt(h.length - 1) == '.' || h.contains(".."))
+      return null
+    // Locale.ROOT: under a Turkish default locale, toLowerCase maps
+    // 'I' to dotless 'ı' and every .IO/.GITHUB.IO host would miss the
+    // rules table and come back mojibake
+    h = h.toLowerCase(java.util.Locale.ROOT)
     val ps = publicSuffixLabels(h)
     // find the start of the last ps+1 labels
     var dotsToSkip = ps // dots from the right to step past
@@ -137,7 +175,7 @@ object PublicSuffixList {
     * serving path can answer with zero rows instead of erroring.
     */
   def splitDomain(host: String): (String, String) = {
-    val h = host.toLowerCase.stripSuffix(".")
+    val h = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
     val e = etld1(h)
     if (e == null || e.length >= h.length) (h, "")
     else (e, h.substring(0, h.length - e.length - 1))

@@ -46,7 +46,14 @@ class ReferenceParitySpec extends SparkSpec {
       ("example.xn--p1ai", "example.xn--p1ai", null), // punycode of рф
       ("github.io", null, null), // bare suffix: no registrable domain
       ("com", null, null),
-      ("MiXeD.CaSe.ExAmPlE.cOm", "example.com", null))
+      ("MiXeD.CaSe.ExAmPlE.cOm", "example.com", null),
+      // empty labels → null (Go errors); single trailing dot normalizes
+      (".com", null, null),
+      ("foo..com", null, null),
+      ("a.com..", null, null),
+      ("example.com.", "example.com", null),
+      // deep junk host: probing is bounded by the deepest rule
+      ("a." * 40 + "example.com", "example.com", null))
     for ((host, want, _) <- vectors)
       assert(graft.functions.PublicSuffixList.etld1(host) == want, s"etld1($host)")
     // the same table through the Column expression (codegen path)
