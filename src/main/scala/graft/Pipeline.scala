@@ -88,6 +88,15 @@ object Pipeline {
     * `maxSegments` bounds one run's work (the reference's operators run
     * segment-at-a-time the same way); `remaining` in the result is what
     * a subsequent run would pick up.
+    *
+    * `segmentSelector` is the reference importer's optional 4th CLI arg
+    * (`1,3,5` / `2-7` / `4`, importer/main.go:108-116): restrict the
+    * run to those segment ordinals, in selector order, already-imported
+    * ones still skipped (main.go:142-160). Divergence (documented): a
+    * selected ordinal missing from the manifest throws here instead of
+    * Go's silent `os.Exit(0)` — an operator typo should fail loudly,
+    * not no-op. Unselected segments don't appear in the result at all,
+    * matching the reference's "only segments from command line" loop.
     */
   def importManifest(
       spark: SparkSession,
@@ -95,9 +104,25 @@ object Pipeline {
       outDir: String,
       ignoreDomains: Seq[String] = Nil,
       baseDir: Option[String] = None,
-      maxSegments: Int = Int.MaxValue): ManifestStats = {
-    val segments = SegmentManifest.parse(spark, manifestPath, baseDir)
-    require(segments.nonEmpty, s"empty manifest: $manifestPath")
+      maxSegments: Int = Int.MaxValue,
+      segmentSelector: Option[String] = None): ManifestStats = {
+    val parsed = SegmentManifest.parse(spark, manifestPath, baseDir)
+    require(parsed.nonEmpty, s"empty manifest: $manifestPath")
+    val segments = segmentSelector match {
+      case None => parsed
+      case Some(sel) =>
+        // first manifest appearance wins a duplicated ordinal, like the
+        // reference's linear SelectSegmentByID scan (wat.go:995)
+        val byOrd = parsed
+          .flatMap(s => SegmentManifest.segmentOrdinal(s.id).map(_ -> s))
+          .foldLeft(Map.empty[Int, SegmentManifest.Segment]) {
+            case (m, (o, s)) => if (m.contains(o)) m else m + (o -> s)
+          }
+        SegmentManifest.parseSelector(sel).distinct.map(ord =>
+          byOrd.getOrElse(ord, throw new IllegalArgumentException(
+            s"segment ordinal $ord not in manifest $manifestPath " +
+              s"(have: ${byOrd.keys.toSeq.sorted.mkString(",")})")))
+    }
     val (done, todo) = segments.partition(s =>
       SegmentManifest.isImported(spark, outDir, s.id))
     val (run, rest) = todo.splitAt(maxSegments)

@@ -70,6 +70,43 @@ object SegmentManifest {
     lines.map(segmentId).distinct.map(id => Segment(id, byId(id)))
   }
 
+  /** Numeric segment ordinal — the reference's `SegmentID`:
+    * `strconv.Atoi(strings.Split(segment, ".")[1])` (wat.go:209), i.e.
+    * the token between the first and second dot of a Common Crawl
+    * segment name like `1687947420.12` → 12. None when the id carries
+    * no all-digit second token (ad-hoc local manifests), where Go's
+    * InitImport would reject the whole archive.
+    */
+  def segmentOrdinal(id: String): Option[Int] = {
+    val tokens = id.split("\\.", -1)
+    if (tokens.length < 2) None
+    else {
+      val t = tokens(1)
+      if (t.nonEmpty && t.forall(_.isDigit))
+        try Some(t.toInt)
+        catch { case _: NumberFormatException => None } // > Int.MaxValue
+      else None
+    }
+  }
+
+  /** Parse a command-line segment selector into ordinals — the
+    * reference's `parseSegmentInput` (importer/main.go:660-704):
+    * a comma list `1,3,5`, an inclusive range `2-7` (two parts only,
+    * start ≤ end), or a single number. The comma branch wins first, so
+    * `1-3,5` fails on `"1-3"` exactly like Go's Atoi does.
+    */
+  def parseSelector(selector: String): Seq[Int] = {
+    val parts = selector.split(",", -1)
+    if (parts.length > 1) parts.toSeq.map(_.toInt)
+    else if (selector.contains("-")) {
+      val r = selector.split("-", -1)
+      require(r.length == 2, s"invalid range: $selector")
+      val (start, end) = (r(0).toInt, r(1).toInt)
+      require(start <= end, s"invalid range: $selector")
+      start to end
+    } else Seq(selector.toInt)
+  }
+
   /** Store directory of one segment under the import root. */
   def segmentDir(outDir: String, id: String): String =
     s"${outDir.stripSuffix("/")}/segments/$id"

@@ -107,6 +107,57 @@ class PipelineSpec extends SparkSpec {
       .query(api.PageDbRequest("www.sitea.com")).length == 1)
   }
 
+  test("segment selector restricts a manifest run like the importer's 4th arg") {
+    import graft.sources.SegmentManifest
+    // ordinal parsing mirrors the reference's SegmentID derivation
+    assert(SegmentManifest.segmentOrdinal("1687947420.12") == Some(12))
+    assert(SegmentManifest.segmentOrdinal("1687947420.12.extra") == Some(12))
+    assert(SegmentManifest.segmentOrdinal("nodots") == None)
+    assert(SegmentManifest.segmentOrdinal("a.notnum") == None)
+    assert(SegmentManifest.segmentOrdinal("a.") == None)
+    // selector grammar mirrors parseSegmentInput
+    assert(SegmentManifest.parseSelector("1,3,5") == Seq(1, 3, 5))
+    assert(SegmentManifest.parseSelector("2-5") == Seq(2, 3, 4, 5))
+    assert(SegmentManifest.parseSelector("7") == Seq(7))
+    intercept[IllegalArgumentException](SegmentManifest.parseSelector("5-2"))
+    intercept[IllegalArgumentException](SegmentManifest.parseSelector("1-2-3"))
+    intercept[NumberFormatException](SegmentManifest.parseSelector("1-3,5"))
+    intercept[NumberFormatException](SegmentManifest.parseSelector("x"))
+
+    // three one-file segments named like Common Crawl segment dirs
+    val fixture = new WatSourceSpec {}.fixturePath
+    val root = Files.createTempDirectory("selseg")
+    def segCopy(ord: Int): String = {
+      val d = Files.createDirectories(root.resolve(s"1687947420.$ord"))
+      val f = d.resolve("part.wat.gz")
+      Files.copy(java.nio.file.Paths.get(fixture), f)
+      f.toString
+    }
+    val files = Seq(1, 2, 3).map(segCopy)
+    val out = Files.createTempDirectory("selstore").toString
+    val manifest = Files.createTempFile("sel", ".paths")
+    Files.writeString(manifest, files.mkString("", "\n", "\n"))
+
+    // range selector: only segments 2-3 run; segment 1 untouched/unlisted
+    val r = Pipeline.importManifest(spark, manifest.toString, out,
+      segmentSelector = Some("2-3"))
+    assert(r.imported == Seq("1687947420.2", "1687947420.3"))
+    assert(r.skipped.isEmpty && r.remaining.isEmpty)
+    assert(!SegmentManifest.isImported(spark, out, "1687947420.1"))
+
+    // re-run with a list selector: done segments skip, new ones import
+    val r2 = Pipeline.importManifest(spark, manifest.toString, out,
+      segmentSelector = Some("3,1"))
+    assert(r2.imported == Seq("1687947420.1") && r2.skipped == Seq("1687947420.3"))
+
+    // an ordinal missing from the manifest fails loudly (documented
+    // divergence from Go's silent exit)
+    val e = intercept[IllegalArgumentException](
+      Pipeline.importManifest(spark, manifest.toString, out,
+        segmentSelector = Some("9")))
+    assert(e.getMessage.contains("not in manifest"))
+  }
+
   test("pageDb serves page records from the partition-pruned page store") {
     val fixture = new WatSourceSpec {}.fixturePath
     val out = Files.createTempDirectory("pagestore").toString
