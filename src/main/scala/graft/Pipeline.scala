@@ -123,8 +123,14 @@ object Pipeline {
             s"segment ordinal $ord not in manifest $manifestPath " +
               s"(have: ${byOrd.keys.toSeq.sorted.mkString(",")})")))
     }
+    // a segment is done if its marker exists OR a fold already consumed
+    // it (the fold deletes the segment dir, marker included — without
+    // the ledger check a re-run of the same manifest would re-import
+    // and re-fold everything after cleanup)
+    val folded = foldedSegments(spark, s"$outDir/links") ++
+      foldedSegments(spark, s"$outDir/pages")
     val (done, todo) = segments.partition(s =>
-      SegmentManifest.isImported(spark, outDir, s.id))
+      folded(s.id) || SegmentManifest.isImported(spark, outDir, s.id))
     val (run, rest) = todo.splitAt(maxSegments)
     run.foreach { seg =>
       importSegments(spark, seg.files, SegmentManifest.segmentDir(outDir, seg.id),
@@ -141,19 +147,27 @@ object Pipeline {
   def segmentLinks(spark: SparkSession, outDir: String): DataFrame = {
     val ids = SegmentManifest.completedSegments(spark, outDir)
     require(ids.nonEmpty, s"no completed segments under $outDir")
+    segmentLinksOf(spark, outDir, ids)
+  }
+
+  private def segmentLinksOf(spark: SparkSession, outDir: String,
+      ids: Seq[String]): DataFrame =
     ids.map(id => LinkStore.read(spark,
         s"${SegmentManifest.segmentDir(outDir, id)}/links").drop("domain_bucket"))
       .reduce(_ unionByName _)
-  }
 
   /** Page records of every COMPLETED segment (marker-gated). */
   def segmentPages(spark: SparkSession, outDir: String): DataFrame = {
     val ids = SegmentManifest.completedSegments(spark, outDir)
     require(ids.nonEmpty, s"no completed segments under $outDir")
+    segmentPagesOf(spark, outDir, ids)
+  }
+
+  private def segmentPagesOf(spark: SparkSession, outDir: String,
+      ids: Seq[String]): DataFrame =
     ids.map(id => graft.sinks.PageStore.read(spark,
         s"${SegmentManifest.segmentDir(outDir, id)}/pages").drop("domain_bucket"))
       .reduce(_ unionByName _)
-  }
 
   /** Write through a temp directory and SWAP it into `path` — the main
     * stores are rebuilt FROM their previous contents, so an in-place
@@ -212,36 +226,97 @@ object Pipeline {
       fs.rename(p(s"$path.old"), p(path))
   }
 
-  /** Fold all completed segments plus any existing main store into a
+  /** Segment ids already folded into a main store: the `_FOLDED`
+    * ledger file the fold writes INTO the store directory (underscore
+    * prefix = invisible to parquet readers, like `_SUCCESS`). Because
+    * the ledger travels inside the store, the atomic store swap updates
+    * data and ledger together — there is no window where one exists
+    * without the other.
+    */
+  def foldedSegments(spark: SparkSession, storePath: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(storePath, FoldLedger)
+    if (!fs.exists(ledger)) Set.empty
+    else {
+      val in = fs.open(ledger)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private val FoldLedger = "_FOLDED"
+
+  private def writeLedger(spark: SparkSession, storeTmp: String,
+      ids: Set[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeTmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(storeTmp, FoldLedger), true)
+    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fold completed segments plus any existing main store into a
     * freshly compacted main store (links AND pages) — the
-    * manifest-import counterpart of [[compactStream]]. The caller owns
-    * removing folded segment stores (and their markers) afterwards;
-    * folding the same segments twice double-counts their qty.
+    * manifest-import counterpart of [[compactStream]] — EXACTLY ONCE
+    * per segment. Each store's `_FOLDED` ledger (swapped atomically
+    * with its data) records which segments it already contains, so a
+    * rerun after a crash at ANY point folds only what's missing and
+    * never double-counts qty; segment directories are deleted only
+    * after BOTH stores' ledgers cover them. Calling this with nothing
+    * new to fold is a no-op, so it can run on a schedule.
     */
   def foldSegments(spark: SparkSession, outDir: String): Unit = {
-    val segs = segmentLinks(spark, outDir)
-    val existing =
-      try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val all = existing.fold(segs)(e => segs.unionByName(e))
-    val pages = segmentPages(spark, outDir)
-    val existingPages =
-      try Some(graft.sinks.PageStore.read(spark, s"$outDir/pages").drop("domain_bucket"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    // page records carry no qty: an identical row from two folds is the
-    // same crawl record twice, so the fold dedups exactly
-    val allPages = existingPages.fold(pages)(e => pages.unionByName(e)).distinct()
+    val completed = SegmentManifest.completedSegments(spark, outDir)
+    val linksLedger = foldedSegments(spark, s"$outDir/links")
+    val pagesLedger = foldedSegments(spark, s"$outDir/pages")
+    // the two sets differ only across the crash window between the two
+    // swaps below — recovery folds the store that missed its swap
+    val linksToFold = completed.filterNot(linksLedger)
+    val pagesToFold = completed.filterNot(pagesLedger)
+
+    if (linksToFold.nonEmpty) {
+      val segs = segmentLinksOf(spark, outDir, linksToFold)
+      val existing =
+        try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val all = existing.fold(segs)(e => segs.unionByName(e))
+      prepareRewrite(spark, s"$outDir/links", tmp => {
+        LinkStore.write(LinkCompaction.compact(all), tmp)
+        writeLedger(spark, tmp, linksLedger ++ linksToFold)
+      })
+    }
+    if (pagesToFold.nonEmpty) {
+      val pages = segmentPagesOf(spark, outDir, pagesToFold)
+      val existingPages =
+        try Some(graft.sinks.PageStore.read(spark, s"$outDir/pages").drop("domain_bucket"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      // page records carry no qty: an identical row from two folds is
+      // the same crawl record twice, so the fold dedups exactly
+      val allPages = existingPages.fold(pages)(e => pages.unionByName(e)).distinct()
+      prepareRewrite(spark, s"$outDir/pages", tmp => {
+        graft.sinks.PageStore.write(allPages, tmp)
+        writeLedger(spark, tmp, pagesLedger ++ pagesToFold)
+      })
+    }
     // BOTH rewrites are prepared before EITHER store is swapped: a
     // failure during the (long) write phase leaves both live stores
-    // untouched, so a rerun cannot fold the links twice while the
-    // pages half never happened. The rewrites read the old stores
-    // while writing the temps, so no checkpoint is needed.
-    prepareRewrite(spark, s"$outDir/links",
-      tmp => LinkStore.write(LinkCompaction.compact(all), tmp))
-    prepareRewrite(spark, s"$outDir/pages",
-      tmp => graft.sinks.PageStore.write(allPages, tmp))
-    swapRewrite(spark, s"$outDir/links")
-    swapRewrite(spark, s"$outDir/pages")
+    // untouched. The rewrites read the old stores while writing the
+    // temps, so no checkpoint is needed.
+    if (linksToFold.nonEmpty) swapRewrite(spark, s"$outDir/links")
+    if (pagesToFold.nonEmpty) swapRewrite(spark, s"$outDir/pages")
+
+    // cleanup LAST, and only for segments both ledgers now cover: a
+    // crash anywhere above leaves the segment dirs in place and the
+    // ledgers tell the rerun what (if anything) is still missing
+    val inBoth = (linksLedger ++ linksToFold) intersect (pagesLedger ++ pagesToFold)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (id <- completed if inBoth(id))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        SegmentManifest.segmentDir(outDir, id)), true)
   }
 
   /** Continuous ingestion: watch a directory for new WAT files and
