@@ -28,6 +28,13 @@ object ScaleRehearsal {
       println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.1fs  rows=$n")
     }
     time("q30_minhash_lsh")(operators.SimilarityOps.q30_minhash_lsh.run(spark, "/tmp/sfx10").count())
+    // q36's scale path: cluster from the LSH pairs (bucketed candidate
+    // generation) instead of q29's length-blocked pairs — the pair
+    // source is the only thing that changes; the propagation loop is
+    // shared. Cost must stay near-flat vs the pair count, not the
+    // corpus size
+    time("cluster_lsh_pairs")(operators.TextOps.clusterPairs(
+      operators.SimilarityOps.q30_minhash_lsh.run(spark, "/tmp/sfx10")).count())
     time("q31_simhash")(operators.SimilarityOps.q31_simhash.run(spark, "/tmp/sfx10").count())
     time("q24_dedup_exact")(operators.TextOps.q24_dedup_exact.run(spark, "/tmp/sfx10").count())
     // q41 banded sketch join at 2k and 20k domains: 5% of domains have a

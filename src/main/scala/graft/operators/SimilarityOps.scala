@@ -68,45 +68,100 @@ object SimilarityOps {
     * tuning note above. Reference analogue: dedup-by-hash in importer
     * (main.go:237-247), generalized to near-dup.
     */
+  /** Banded-LSH candidate pairs, pre-verification (the probabilistic
+    * half of q30; fully deterministic given the corpus — splitmix
+    * constants and xxhash64 are fixed).
+    */
+  private[graft] def minhashCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame = {
+    val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+    // signature is ROW-LOCAL via the codegen'd MinHashSig expression:
+    // no shingle explode, no signature shuffle — only (doc_id, band)
+    // rows ever reach an exchange (see graft.plans.Signatures)
+    val sigs = base.select(col("doc_id"),
+      graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"))
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val ms = (0 until MinhashRows)
+        .map(r => s"element_at(sig, ${b * MinhashRows + r + 1})").mkString(", ")
+      s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
+    }.mkString(", ")
+    val bands = sigs.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    bands
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification over a candidate pair frame (the
+    * deterministic half of q30): shingle sets computed ONCE per doc
+    * (not per pair — a doc can appear in many pairs; lazy
+    * localCheckpoint keeps the a/b join sides from re-deriving them
+    * without running a job at plan-construction time).
+    */
+  private[graft] def verifyJaccard(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+    val sh = base.select(col("doc_id"), shingleHashes("text").as("sh"))
+      .localCheckpoint(false)
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   val q30_minhash_lsh: GraftQuery = GraftQuery(
     "q30_minhash_lsh",
-    (s, dir) => {
-      val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
-      // signature is ROW-LOCAL via the codegen'd MinHashSig expression:
-      // no shingle explode, no signature shuffle — only (doc_id, band)
-      // rows ever reach an exchange (see graft.plans.Signatures)
-      val sigs = base.select(col("doc_id"),
-        graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"))
-      val bandStructs = (0 until MinhashBands).map { b =>
-        val ms = (0 until MinhashRows)
-          .map(r => s"element_at(sig, ${b * MinhashRows + r + 1})").mkString(", ")
-        s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
-      }.mkString(", ")
-      val bands = sigs.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
-        .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-      val pairs = bands
-        .groupBy(col("band_id"), col("band_hash"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, MaxBucket))
-        .select(explode(expr(pairExpr)).as("p"))
-        .select(col("p.a_id"), col("p.b_id"))
-        .distinct()
-      // exact verify on candidates only, against shingle sets computed
-      // ONCE per doc (not per pair — a doc can appear in many pairs;
-      // lazy localCheckpoint keeps the a/b join sides from re-deriving
-      // them without running a job at plan-construction time)
-      val sh = base.select(col("doc_id"), shingleHashes("text").as("sh"))
-        .localCheckpoint(false)
-      pairs
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
-        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-    },
+    (s, dir) => verifyJaccard(s, dir, minhashCandidatePairs(s, dir)),
     None // LSH banding is not ANSI-SQL-expressible; exactness covered by SimilaritySpec
+  )
+
+  /** Fixed dump location for q30_verify's candidate pairs — the oracle
+    * SQL reads it back, so the path must be absolute and stable across
+    * the Verify run and the driver's DuckDB pass (same machine).
+    */
+  private[graft] val Q30CandidateDump = "/tmp/graft_oracle/q30_candidates"
+
+  /** q30's VERIFICATION stage under a full DuckDB oracle. The banding
+    * stage is probabilistic-by-design (P(candidate|j=0.8) ≈ 0.52 — a
+    * brute-force oracle would flake on false negatives), so it stays
+    * rows-only; but the exact-Jaccard arithmetic over the banded
+    * candidates is deterministic. This query dumps the candidate pairs
+    * to a fixed path, verifies them, and the oracle recomputes exact
+    * string-shingle Jaccard over THE SAME dumped candidates — oracling
+    * everything downstream of the banding (hash-exact, like q29).
+    */
+  val q30_verify: GraftQuery = GraftQuery(
+    "q30_verify",
+    (s, dir) => {
+      minhashCandidatePairs(s, dir)
+        .write.mode("overwrite").parquet(Q30CandidateDump)
+      verifyJaccard(s, dir, s.read.parquet(Q30CandidateDump))
+    },
+    Some(Tables.docsNearDupsCte +
+      """, shingled AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |                  i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+        |  FROM alldocs),
+        |cand AS (
+        |  SELECT a_id, b_id FROM read_parquet('/tmp/graft_oracle/q30_candidates/*.parquet'))
+        |SELECT c.a_id, c.b_id,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+        |FROM cand c
+        |JOIN shingled a ON c.a_id = a.doc_id
+        |JOIN shingled b ON c.b_id = b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8""".stripMargin)
   )
 
   /** 64-bit SimHash near-dup: per-token 64-bit hashes vote per bit
@@ -487,6 +542,6 @@ object SimilarityOps {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    q30_minhash_lsh, q31_simhash, q32_cosine_topk, q33_embed_stats,
+    q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q33_embed_stats,
     q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch)
 }

@@ -180,46 +180,58 @@ object TextOps {
         |      CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8""".stripMargin)
   )
 
-  /** Near-dup CLUSTERING: connected components over the q29 pair graph
-    * via iterative min-label propagation — each iteration is one
+  /** Connected components over an arbitrary (a_id, b_id) pair graph via
+    * iterative min-label propagation — each iteration is one
     * join + aggregate, with `localCheckpoint` truncating lineage so the
     * plan doesn't grow with iterations (the standard DataFrame-native
-    * iterative-graph pattern; components here are tiny so it converges
-    * in 2-3 rounds, and the loop exits on a fixpoint count). The oracle
-    * is a DuckDB recursive CTE computing min-reachable-id per node —
-    * an independent formulation of the same components.
+    * iterative-graph pattern; the loop exits on a fixpoint count).
+    *
+    * The PAIR SOURCE is a parameter: q36 feeds it q29's length-blocked
+    * pairs (oracle-matchable in SQL), while the scale path feeds it
+    * q30's LSH pairs — bucketed candidate generation with no quadratic
+    * length-block, rehearsed at 10× in ScaleRehearsal. The propagation
+    * loop itself is pair-source-agnostic.
+    */
+  private[graft] def clusterPairs(pairs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val p = pairs.select(col("a_id"), col("b_id"))
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    val maxIters = 64 // diameter bound; near-dup components are shallow
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    // fail LOUDLY on non-convergence — a silent partial result would
+    // emit multiple cluster ids for one component
+    require(changed == 0,
+      s"label propagation did not converge within $maxIters iterations")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clustering over the q29 pair graph (see [[clusterPairs]]
+    * for the propagation loop and the parameterized scale path). The
+    * oracle is a DuckDB recursive CTE computing min-reachable-id per
+    * node — an independent formulation of the same components.
     */
   val q36_dup_clusters: GraftQuery = GraftQuery(
     "q36_dup_clusters",
-    (s, dir) => {
-      val pairs = q29_ngram_jaccard.run(s, dir).select(col("a_id"), col("b_id"))
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      val maxIters = 64 // diameter bound; near-dup components are shallow
-      while (changed > 0 && iter < maxIters) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      // fail LOUDLY on non-convergence — a silent partial result would
-      // emit multiple cluster ids for one component
-      require(changed == 0,
-        s"label propagation did not converge within $maxIters iterations")
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    },
+    (s, dir) =>
+      clusterPairs(q29_ngram_jaccard.run(s, dir)),
     Some("WITH RECURSIVE " + Tables.docsNearDupsCte.stripPrefix("WITH ") +
       """, shingled AS (
         |  SELECT doc_id, n_chars,
@@ -497,9 +509,13 @@ object TextOps {
     *
     * Scale shape: the EVAL side is small by construction (benchmark
     * suites are thousands of docs, not billions), so its distinct grams
-    * broadcast; the train side explodes grams once and the only
-    * shuffle is the per-doc aggregate. Exact integer outputs → DuckDB
-    * oracle reproduces them from the same substring grams.
+    * broadcast; the train side explodes grams and joins the broadcast
+    * IMMEDIATELY — no distinct, no exchange below the join — because
+    * the final countDistinct aggregate dedups repeats anyway. The only
+    * shuffle is the per-doc aggregate over eval-MATCHING grams, a
+    * benchmark-sized trickle regardless of corpus size. Exact integer
+    * outputs → DuckDB oracle reproduces them from the same substring
+    * grams.
     */
   val q53_decontaminate: GraftQuery = GraftQuery(
     "q53_decontaminate",
@@ -509,11 +525,18 @@ object TextOps {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"))
           .as("g"))
-        .distinct()
-      val trainGrams = grams(docs.filter(col("doc_id") % 50 =!= 7))
+      // eval side: distinct is fine — it shuffles only the benchmark
+      // corpus, and a smaller broadcast table is worth that one tiny job
       val evalGrams = grams(docs.filter(col("doc_id") % 50 === 7))
+        .distinct()
         .select(col("doc_id").as("eval_id"), col("g"))
-      trainGrams.join(broadcast(evalGrams), "g")
+      // train side: NO distinct — a pre-join .distinct() would shuffle
+      // every distinct 8-gram of the whole train corpus (the largest
+      // shuffle anywhere at 100 TB) only to dedup rows countDistinct
+      // dedups below. Broadcast-join first so non-matching grams die
+      // in the map task that produced them.
+      grams(docs.filter(col("doc_id") % 50 =!= 7))
+        .join(broadcast(evalGrams), "g")
         .groupBy(col("doc_id"))
         .agg(
           countDistinct(col("eval_id")).cast("bigint").as("n_eval_docs"),
