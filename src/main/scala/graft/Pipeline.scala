@@ -97,6 +97,18 @@ object Pipeline {
     * Go's silent `os.Exit(0)` — an operator typo should fail loudly,
     * not no-op. Unselected segments don't appear in the result at all,
     * matching the reference's "only segments from command line" loop.
+    *
+    * `staging`: when set, each segment's files are first materialized
+    * into this directory via [[stageSegmentFiles]] (bounded-retry
+    * fetch — the reference's DownloadFile loop) and the staged copies
+    * are deleted once the segment's completion marker is down; the
+    * Hadoop reader then only ever opens local/staged bytes, so a flaky
+    * object store costs retries, not a failed import.
+    *
+    * `autoFoldEvery`: when > 0, run [[autoFold]] with that threshold
+    * after each segment completes — completed segments fold into the
+    * main store every N segments instead of accumulating for one giant
+    * end-of-manifest fold.
     */
   def importManifest(
       spark: SparkSession,
@@ -105,7 +117,10 @@ object Pipeline {
       ignoreDomains: Seq[String] = Nil,
       baseDir: Option[String] = None,
       maxSegments: Int = Int.MaxValue,
-      segmentSelector: Option[String] = None): ManifestStats = {
+      segmentSelector: Option[String] = None,
+      staging: Option[String] = None,
+      autoFoldEvery: Int = 0,
+      fetch: Option[(String, String) => Unit] = None): ManifestStats = {
     val parsed = SegmentManifest.parse(spark, manifestPath, baseDir)
     require(parsed.nonEmpty, s"empty manifest: $manifestPath")
     val segments = segmentSelector match {
@@ -133,9 +148,21 @@ object Pipeline {
       folded(s.id) || SegmentManifest.isImported(spark, outDir, s.id))
     val (run, rest) = todo.splitAt(maxSegments)
     run.foreach { seg =>
-      importSegments(spark, seg.files, SegmentManifest.segmentDir(outDir, seg.id),
+      val source = staging match {
+        case None => seg
+        case Some(dir) => stageSegmentFiles(spark, seg, dir, fetch = fetch)
+      }
+      importSegments(spark, source.files, SegmentManifest.segmentDir(outDir, seg.id),
         ignoreDomains, stats = false)
       SegmentManifest.markImported(spark, outDir, seg)
+      // staged bytes served their purpose once the marker is down —
+      // drop them so staging stays one-segment-sized, not crawl-sized
+      staging.foreach { dir =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${seg.id}"), true)
+      }
+      if (autoFoldEvery > 0) autoFold(spark, outDir, autoFoldEvery)
     }
     ManifestStats(run.map(_.id), done.map(_.id), rest.map(_.id))
   }
@@ -198,6 +225,17 @@ object Pipeline {
   /** Phase 2: swap the prepared temp in (old → .old, tmp → live, drop
     * .old) — rename-only, so the vulnerable window is milliseconds and
     * every crash point leaves a complete copy on disk.
+    *
+    * REQUIREMENTS (documented, not enforced): (1) atomic directory
+    * rename — true on local disk and HDFS; on S3A-style object stores
+    * "rename" is copy+delete, so the window is data-sized, not
+    * milliseconds — front a real deployment there with a commit-marker
+    * or table-format layer. (2) a single writer — two concurrent
+    * foldSegments/compactStream calls would race the `.old`/`.tmp`
+    * names; serialize folds externally (the autoFold path runs them
+    * inline on the import thread, which satisfies this). Concurrent
+    * READERS are safe: the serving path re-binds and retries on
+    * vanished files (LinkApiServer.queryWithRetry).
     */
   private def swapRewrite(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -319,6 +357,95 @@ object Pipeline {
         SegmentManifest.segmentDir(outDir, id)), true)
   }
 
+  /** Materialize one segment's WAT files into `stagingDir` with bounded
+    * retries and linear backoff — the Spark-side analogue of the
+    * reference's download loop (`fileutils.DownloadFile`,
+    * pkg/fileutils/fileutils.go:37-83: N attempts, sleep between, fail
+    * the segment after the last). Each file lands via a `.part` temp +
+    * rename, so a crash mid-copy never leaves a complete-looking file;
+    * a staged file that already exists with the source's length is
+    * skipped (restart-friendly). Returns the segment re-pointed at the
+    * staged copies, ready for [[importSegments]].
+    *
+    * `fetch` defaults to a Hadoop-FileSystem copy (works for any
+    * scheme the cluster's Hadoop conf can open); tests inject flaky
+    * fetchers, and deployments can swap in an HTTP download.
+    */
+  def stageSegmentFiles(
+      spark: SparkSession,
+      seg: SegmentManifest.Segment,
+      stagingDir: String,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 500L,
+      sleep: Long => Unit = Thread.sleep,
+      fetch: Option[(String, String) => Unit] = None): SegmentManifest.Segment = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dstFs = p(stagingDir).getFileSystem(conf)
+    val segDir = s"$stagingDir/${seg.id}"
+    dstFs.mkdirs(p(segDir))
+    val doFetch = fetch.getOrElse { (src: String, dst: String) =>
+      val srcFs = p(src).getFileSystem(conf)
+      if (!org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, p(src), dstFs, p(dst), false, true, conf))
+        throw new java.io.IOException(s"copy $src -> $dst reported failure")
+    }
+    val staged = seg.files.map { src =>
+      val dst = s"$segDir/${p(src).getName}"
+      val srcLen =
+        try Some(p(src).getFileSystem(conf).getFileStatus(p(src)).getLen)
+        catch { case _: java.io.IOException => None }
+      val alreadyStaged = srcLen.exists(l =>
+        dstFs.exists(p(dst)) && dstFs.getFileStatus(p(dst)).getLen == l)
+      if (!alreadyStaged) {
+        val part = s"$dst.part"
+        var attempt = 1
+        var ok = false
+        while (!ok) {
+          try {
+            dstFs.delete(p(part), false)
+            doFetch(src, part)
+            ok = true
+          } catch {
+            case _: Exception if attempt < maxAttempts =>
+              sleep(backoffMs * attempt)
+              attempt += 1
+            case e: Exception =>
+              throw new java.io.IOException(
+                s"fetching $src failed after $maxAttempts attempts", e)
+          }
+        }
+        dstFs.delete(p(dst), false)
+        if (!dstFs.rename(p(part), p(dst)))
+          throw new java.io.IOException(s"failed to move staged $part to $dst")
+      }
+      dst
+    }
+    SegmentManifest.Segment(seg.id, staged)
+  }
+
+  /** Run [[foldSegments]] iff the number of completed-but-unfolded
+    * segments has reached `threshold` — the incremental-load policy the
+    * reference runs operationally (storelinks per segment,
+    * cmd/storelinks/main.go:45-178), expressed as a size trigger so a
+    * long manifest import folds periodically instead of accumulating
+    * every segment until one giant final fold. Returns whether a fold
+    * ran. The exactly-once `_FOLDED` ledger makes fold timing purely a
+    * performance choice: any schedule of autoFold calls yields the
+    * same final store as one fold at the end.
+    */
+  def autoFold(spark: SparkSession, outDir: String, threshold: Int): Boolean = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val completed = SegmentManifest.completedSegments(spark, outDir)
+    val linksLedger = foldedSegments(spark, s"$outDir/links")
+    val pagesLedger = foldedSegments(spark, s"$outDir/pages")
+    val unfolded = completed.count(id => !linksLedger(id) || !pagesLedger(id))
+    val fold = unfolded >= threshold
+    if (fold) foldSegments(spark, outDir)
+    fold
+  }
+
   /** Continuous ingestion: watch a directory for new WAT files and
     * micro-batch them through the SAME extraction + compaction plan as
     * batch import. Each micro-batch compacts within itself and writes
@@ -415,5 +542,9 @@ object Pipeline {
     * ephemeral port.
     */
   def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer =
-    new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port).start()
+    new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port,
+      // a swap mid-request leaves the shared FileStatusCache holding
+      // the dead store's listing; drop it before the server's rebind
+      // retry (see LinkApiServer.queryWithRetry)
+      onStale = () => spark.catalog.refreshByPath(s"$outDir/links")).start()
 }

@@ -73,7 +73,17 @@ object Tables {
       )
   }
 
-  /** DuckDB CTE mirroring [[links]] exactly — prefix for oracle SQL. */
+  /** DuckDB CTE mirroring [[links]] exactly — prefix for oracle SQL.
+    *
+    * COUPLING (keep in mind when adding fixture hosts): q20's oracle
+    * splits eTLD+1 with a two-suffix rule (`co.uk` else last label)
+    * while the Spark side runs the full public-suffix list. They agree
+    * only because every host this CTE emits ends in `.com`, `.co.uk`
+    * or `.example.org`; a fixture host with any other multi-part or
+    * private suffix (e.g. `.github.io`, `.com.au`) would fail the q20
+    * gate confusingly. Either keep new hosts on these suffixes or move
+    * q20's oracle to declared-expectation VALUES like the PSL vectors.
+    */
   val linksCte: String =
     """WITH links AS (
       |  SELECT

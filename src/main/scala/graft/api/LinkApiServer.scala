@@ -25,13 +25,22 @@ import java.nio.charset.StandardCharsets
   * `r.RemoteAddr`, which includes the EPHEMERAL client port — every
   * fresh connection gets a fresh window. Keying by client IP follows
   * the evident intent (50 requests / 15 min per caller).
+  *
+  * Memory bound: the rate map holds at most ~`sweepThreshold` live
+  * entries plus whatever arrives inside one sweep window — a client
+  * cycling source IPs (trivial over IPv6) can keep that many `Rate`
+  * records resident, ~100 bytes each, so the default threshold caps
+  * the map at ~10s of MB. Size `sweepThreshold` to taste alongside
+  * `rateLimitMax`.
   */
 final class LinkApiServer(
     resolve: String => LinkDb,
     port: Int = 8010,
     rateLimitMax: Int = 50,
     rateWindowMs: Long = 15L * 60 * 1000,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    sweepThreshold: Int = 100000,
+    onStale: () => Unit = () => ()) {
 
   // isRateLimited (controller.go:282-307): fixed window anchored at the
   // first request, counter reset when the window expires
@@ -45,7 +54,7 @@ final class LinkApiServer(
     // The sweep itself is amortized to once per window: when every
     // entry is live (a wide attack), an every-request O(n) scan would
     // turn the rate check itself into the hot-path cost.
-    if (records.size > SweepThreshold) {
+    if (records.size > sweepThreshold) {
       val last = lastSweep.get()
       if (now - last > rateWindowMs && lastSweep.compareAndSet(last, now))
         records.entrySet.removeIf(e => now - e.getValue.first > rateWindowMs)
@@ -58,7 +67,6 @@ final class LinkApiServer(
     limited
   }
 
-  private val SweepThreshold = 100000
   private val lastSweep = new java.util.concurrent.atomic.AtomicLong(Long.MinValue / 2)
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -120,10 +128,55 @@ final class LinkApiServer(
           case DomainInvalid =>
             send(ex, 400, err("ErrorInvalidDomain", "Invalid domain"))
           case DomainOk(domain) =>
-            val out = resolve(domain).query(request(j, domain))
+            val out = queryWithRetry(domain, request(j, domain))
             send(ex, 200, JsonMethods.compact(JArray(out.toList.map(render))))
         }
     }
+  }
+
+  /** A store rewrite (Pipeline.foldSegments/compactStream) that swaps
+    * directories mid-request invalidates the part files an in-flight
+    * scan already listed: the scan throws FileNotFound (or the bind
+    * itself sees a briefly-absent live dir during the rename window).
+    * Both mean the SAME thing — the store moved under us — and the fix
+    * is the same: re-resolve (which binds a FRESH read of the
+    * now-current store) and re-run. Bounded attempts: anything still
+    * failing after the swap settles is a real error and surfaces as
+    * the usual 500.
+    */
+  private def queryWithRetry(domain: String, req: LinkDbRequest): Seq[LinkOut] = {
+    val maxAttempts = 4
+    var attempt = 1
+    var out: Seq[LinkOut] = null
+    while (out == null) {
+      try out = resolve(domain).query(req)
+      catch {
+        case e: Exception if attempt < maxAttempts && isStaleStore(e) =>
+          attempt += 1
+          // re-resolving alone is NOT enough: Spark's shared
+          // FileStatusCache hands a fresh read the PRE-swap listing
+          // (Hadoop-FileSystem renames never invalidate it) — the
+          // binder must refresh its paths (Pipeline.serveLinkApi wires
+          // spark.catalog.refreshByPath here)
+          onStale()
+          Thread.sleep(25L * attempt)
+      }
+    }
+    out
+  }
+
+  /** True when `e`'s cause chain (or executor-side stack flattened into
+    * a message) indicates files/paths that vanished under a reader.
+    */
+  private def isStaleStore(e: Throwable): Boolean = {
+    val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => t.getClass.getName + ": " + String.valueOf(t.getMessage))
+      .mkString("\n")
+    msgs.contains("FileNotFoundException") ||
+      msgs.contains("PATH_NOT_FOUND") ||
+      msgs.contains("FILE_NOT_EXIST") ||
+      msgs.contains("does not exist")
   }
 
   private sealed trait DomainResult

@@ -115,4 +115,45 @@ class LinkApiSpec extends SparkSpec {
       assert(post(port, """{"domain":"d3.com","limit":1}""").statusCode() == 200)
     }
   }
+
+  test("requests spanning a store swap succeed via rebind-and-retry") {
+    // a REAL store served by the REAL binding (fresh partition-pruned
+    // read per request), with compactStream swapping the store
+    // directory out from under in-flight requests — the
+    // concurrent-reader window foldSegments/compactStream opens.
+    val fixture = new WatSourceSpec {}.fixturePath
+    val out = java.nio.file.Files.createTempDirectory("swapstore").toString
+    Pipeline.importSegments(spark, Seq(fixture), out, stats = false)
+    // seed a streamed batch so each compactStream call has input and
+    // performs a full prepare+swap cycle (double-counted qty is fine
+    // here — this test is about availability, not arithmetic)
+    LinkCompaction.compact(graft.sources.WatSource.links(spark, Seq(fixture), Nil))
+      .write.mode("overwrite").parquet(s"$out/links_stream/batch=0")
+    // same binding as Pipeline.serveLinkApi, rate limit out of the way
+    // so EVERY request exercises the store read
+    val srv = new LinkApiServer(domain => Pipeline.linkDb(spark, out, domain),
+      port = 0, rateLimitMax = Int.MaxValue,
+      onStale = () => spark.catalog.refreshByPath(s"$out/links")).start()
+    try {
+      val port = srv.boundPort
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val hammers = (1 to 8).map(_ => new Thread(() => {
+        while (!stop.get()) {
+          try codes.add(post(port, """{"domain":"ext2.co.uk","limit":5}""").statusCode())
+          catch { case _: java.io.IOException => () }
+        }
+      }))
+      hammers.foreach(_.start())
+      // six full prepare+swap cycles while requests are in flight
+      (1 to 6).foreach(_ => Pipeline.compactStream(spark, out))
+      stop.set(true)
+      hammers.foreach(_.join(30000))
+      val seen = codes.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+      assert(seen.size >= 100, s"want >=100 concurrent requests, got ${seen.size}")
+      val bad = seen.filterNot(_ == 200)
+      assert(bad.isEmpty,
+        s"${bad.size} of ${seen.size} requests failed across swaps: ${bad.take(5)}")
+    } finally srv.stop()
+  }
 }

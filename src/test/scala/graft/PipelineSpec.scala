@@ -192,4 +192,118 @@ class PipelineSpec extends SparkSpec {
     assert(viaSub.length == 1, "subdomain-qualified request must hit the eTLD+1 partition")
     assert(viaSub.head.linkUrl == "https://sub.ext2.co.uk/x?q=1")
   }
+
+  test("staged fetch retries a flaky source and completes the import") {
+    import graft.sources.SegmentManifest
+    val fixture = new WatSourceSpec {}.fixturePath
+    val d = Files.createTempDirectory("flakyseg")
+    val f = d.resolve("part.wat.gz")
+    Files.copy(java.nio.file.Paths.get(fixture), f)
+    val out = Files.createTempDirectory("flakystore").toString
+    val staging = Files.createTempDirectory("flakystaging").toString
+    val manifest = Files.createTempFile("flaky", ".paths")
+    Files.writeString(manifest, f.toString + "\n")
+
+    // a source that fails twice then delivers — the DownloadFile loop's
+    // raison d'être. Counts attempts so we can assert the retry count.
+    var attempts = 0
+    val flaky: (String, String) => Unit = (src, dst) => {
+      attempts += 1
+      if (attempts < 3) throw new java.io.IOException(s"transient fetch failure $attempts")
+      Files.copy(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+    }
+    val r = Pipeline.importManifest(spark, manifest.toString, out,
+      staging = Some(staging), fetch = Some(flaky))
+    assert(attempts == 3, "two failures then success")
+    assert(r.imported == Seq(SegmentManifest.segmentId(f.toString)))
+    assert(SegmentManifest.isImported(spark, out, SegmentManifest.segmentId(f.toString)))
+    assert(Pipeline.segmentLinks(spark, out).count() == 6,
+      "import read the STAGED bytes and produced the usual store")
+    // staged copies are dropped once the marker is down
+    assert(!Files.exists(java.nio.file.Paths.get(staging, SegmentManifest.segmentId(f.toString))))
+
+    // a permanently-failing source exhausts its attempts loudly
+    val out2 = Files.createTempDirectory("flakystore2").toString
+    val always: (String, String) => Unit =
+      (_, _) => throw new java.io.IOException("gone")
+    val e = intercept[java.io.IOException] {
+      Pipeline.importManifest(spark, manifest.toString, out2,
+        staging = Some(staging), fetch = Some(always))
+    }
+    assert(e.getMessage.contains("after 3 attempts"))
+    assert(!SegmentManifest.isImported(spark, out2, SegmentManifest.segmentId(f.toString)))
+  }
+
+  test("stageSegmentFiles skips already-staged files and backs off between attempts") {
+    import graft.sources.SegmentManifest
+    val fixture = new WatSourceSpec {}.fixturePath
+    val d = Files.createTempDirectory("stageseg")
+    val f = d.resolve("part.wat.gz")
+    Files.copy(java.nio.file.Paths.get(fixture), f)
+    val seg = SegmentManifest.Segment(SegmentManifest.segmentId(f.toString), Seq(f.toString))
+    val staging = Files.createTempDirectory("stagedir").toString
+
+    var sleeps = List.empty[Long]
+    var attempts = 0
+    val flaky: (String, String) => Unit = (src, dst) => {
+      attempts += 1
+      if (attempts < 3) throw new java.io.IOException("flap")
+      Files.copy(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+    }
+    val staged = Pipeline.stageSegmentFiles(spark, seg, staging,
+      backoffMs = 10, sleep = ms => sleeps ::= ms, fetch = Some(flaky))
+    assert(staged.files.size == 1 && staged.files.head.endsWith("part.wat.gz"))
+    assert(sleeps.reverse == List(10L, 20L), "linear backoff between attempts")
+
+    // second call: the staged file matches the source length → no fetch
+    attempts = 0
+    val again = Pipeline.stageSegmentFiles(spark, seg, staging,
+      fetch = Some((_, _) => { attempts += 1; throw new AssertionError("must not fetch") }))
+    assert(attempts == 0 && again.files == staged.files)
+  }
+
+  test("autoFold folds at the threshold and matches the fold-once store") {
+    import graft.sources.SegmentManifest
+    import org.apache.spark.sql.functions.{col, sum}
+    val fixture = new WatSourceSpec {}.fixturePath
+    def segCopy(name: String): String = {
+      val dd = Files.createTempDirectory(name)
+      val ff = dd.resolve("part.wat.gz")
+      Files.copy(java.nio.file.Paths.get(fixture), ff)
+      ff.toString
+    }
+    val files = Seq(segCopy("afa"), segCopy("afb"), segCopy("afc"))
+    def manifestOf(fs: Seq[String]): String = {
+      val m = Files.createTempFile("af", ".paths")
+      Files.writeString(m, fs.mkString("", "\n", "\n"))
+      m.toString
+    }
+    // periodic: fold after every segment (threshold 1)
+    val outA = Files.createTempDirectory("afper").toString
+    Pipeline.importManifest(spark, manifestOf(files), outA, autoFoldEvery = 1)
+    // every segment folded as it completed → no segment dirs remain
+    assert(SegmentManifest.completedSegments(spark, outA).isEmpty)
+    assert(Pipeline.foldedSegments(spark, s"$outA/links").size == 3)
+    // fold-once: import everything, then one manual fold
+    val outB = Files.createTempDirectory("afonce").toString
+    Pipeline.importManifest(spark, manifestOf(files), outB)
+    Pipeline.foldSegments(spark, outB)
+    def canon(out: String): (Seq[String], Long) = {
+      val df = Pipeline.links(spark, out).drop("domain_bucket")
+      (df.collect().map(_.toString).sorted.toSeq,
+        df.agg(sum(col("qty"))).head().getLong(0))
+    }
+    assert(canon(outA) == canon(outB),
+      "any autoFold schedule must equal the fold-once store")
+    assert(canon(outA)._2 == 18, "3 identical segments x 6 links, nothing double-counted")
+
+    // threshold above the backlog → no fold runs
+    val outC = Files.createTempDirectory("afnone").toString
+    Pipeline.importManifest(spark, manifestOf(Seq(files.head)), outC, autoFoldEvery = 5)
+    assert(Pipeline.foldedSegments(spark, s"$outC/links").isEmpty)
+    assert(SegmentManifest.completedSegments(spark, outC).size == 1)
+    assert(!Pipeline.autoFold(spark, outC, threshold = 2), "below threshold: no-op")
+    assert(Pipeline.autoFold(spark, outC, threshold = 1), "at threshold: folds")
+    assert(Pipeline.foldedSegments(spark, s"$outC/links").size == 1)
+  }
 }
