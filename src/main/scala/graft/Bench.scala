@@ -1,15 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config(Tables.NanosAsLong, "true")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // under spark-submit the submitter owns the master (and may point
+    // at a real cluster); standalone runs build their own local one
+    val spark = (if (sys.props.contains("spark.master")) GraftConf.submitted(cpus)
+                 else GraftConf.local(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one trivial action first so JVM/codegen warm-up isn't billed to
     // whichever query happens to run first
@@ -38,8 +35,13 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for the driver's stdout scrape (r1/r2 both lost the
-    // line to sbt prefixing): the same JSON also lands in a file
+    // line to sbt prefixing): the same JSON also lands in a file — and in
+    // the round-numbered file directly when the round is known, so the
+    // recorded numbers never depend on a scrape at all
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line)
+    sys.env.get("SPARK_GRAFT_ROUND").foreach(r =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_r${r.toInt}%02d.json"), line))
     spark.stop()
   }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The 100-TB posture as code: one place that turns cluster shape into
+  * the session knobs every graft plan assumes, so the same library runs
+  * unchanged from `local[32]` smoke tests to a 1000-executor crawl.
+  *
+  * Usage (cluster, via spark-submit — see README_SUBMIT.md):
+  * {{{
+  *   val spark = GraftConf.cluster(totalCores = 1000 * 4)
+  *     .appName("graft-import").getOrCreate()
+  * }}}
+  *
+  * Usage (local dev/bench):
+  * {{{
+  *   val spark = GraftConf.local(cpus = 32).getOrCreate()
+  * }}}
+  *
+  * Why each knob (the scale rationale SURVEY §5 argues in prose):
+  *
+  *   - `shuffle.partitions = 2 × totalCores` (floor 2× so every core
+  *     gets work even with stragglers; AQE coalesces the excess after
+  *     each exchange, so over-partitioning costs little and
+  *     under-partitioning — the default 200 on a 4000-core cluster —
+  *     serializes the whole job).
+  *   - AQE on, with skew-join splitting: crawl data is Zipfian in
+  *     every key that matters (domain, host, length); static plans
+  *     that were right at sample scale are wrong at crawl scale.
+  *     The salted-join operator (q37) remains for the keys AQE can't
+  *     see (first-stage aggregation skew).
+  *   - `autoBroadcastJoinThreshold = 64m`: the dimension sides here
+  *     (eval-set grams, ignore lists, PSL table, centroids) are
+  *     megabytes — broadcast them even when statistics are stale;
+  *     64m keeps a 4 GiB-heap executor safe (broadcast lives once
+  *     per executor, not per task).
+  *   - `files.maxPartitionBytes = 256m`: parquet scans of ~100 KB rows
+  *     (documents with text) decode to ~2-3× their on-disk size;
+  *     256m input splits keep a task's working set inside a
+  *     per-core share of executor memory while halving the task
+  *     count of the default 128m.
+  *   - `parquet.filterPushdown`/`columnarReaderBatchSize` stay at
+  *     defaults — the plans already push filters and prune columns
+  *     (PLANS.md audits this per query).
+  *   - `GraftExtensions` registered so `minhash_sig`/`etld1`/… work
+  *     from plain SQL and the rank-filter → TopKPerGroup rewrite is
+  *     active everywhere, not just code paths that call the Scala API.
+  *   - `nanosAsLong` + UTC: the events table is TIMESTAMP(NANOS);
+  *     every reader needs the same clock and the same decode.
+  */
+object GraftConf {
+
+  /** Session builder for a real cluster. `totalCores` = executors ×
+    * cores-per-executor; pass the value spark-submit will allocate
+    * (master/deploy-mode/memory come from spark-submit itself and are
+    * deliberately NOT set here).
+    */
+  def cluster(totalCores: Int): SparkSession.Builder = {
+    require(totalCores >= 1, s"totalCores must be >= 1, got $totalCores")
+    common(SparkSession.builder())
+      .config("spark.sql.shuffle.partitions", math.max(2 * totalCores, 64).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+  }
+
+  /** Session builder for local runs (tests, bench, Verify): same
+    * semantics knobs, partition counts sized to the machine instead of
+    * a cluster.
+    */
+  def local(cpus: Int): SparkSession.Builder = {
+    require(cpus >= 1, s"cpus must be >= 1, got $cpus")
+    common(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+  }
+
+  /** Like [[local]] but WITHOUT a master: for mains launched via
+    * spark-submit, which owns master/deploy-mode (`--master local[*]`
+    * for a single-node check, a cluster manager URL in production).
+    */
+  def submitted(shufflePartitions: Int): SparkSession.Builder = {
+    require(shufflePartitions >= 1,
+      s"shufflePartitions must be >= 1, got $shufflePartitions")
+    common(SparkSession.builder())
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+  }
+
+  /** Knobs every profile shares — semantics, not sizing. */
+  private def common(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLong, "true")
+}

@@ -62,45 +62,67 @@ object GraphOps {
     * it). Deterministic given the graph; rows-only because float
     * summation order differs across engines.
     */
+  /** Power-method PageRank with two stopping modes: fixed `maxIters`
+    * (the registered q51 — deterministic job count for bench), and an
+    * optional L1-convergence tolerance. With `tol` set, each iteration
+    * pays ONE extra aggregate action (the L1 delta vs the previous
+    * ranks — cheap: both sides are the already-materialized lazy
+    * checkpoints) and stops as soon as sum(|Δrank|) < tol — on a
+    * converged graph that saves every remaining join+agg round,
+    * which at 100 TB is the whole cost.
+    */
+  private[graft] def pageRank(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxIters: Int = PageRankIters,
+      tol: Option[Double] = None): org.apache.spark.sql.DataFrame = {
+    val e = edges(s, dir).localCheckpoint(false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
+      // mass of dangling hosts as a broadcast 1-row frame: folding it
+      // into the plan keeps each iteration at ONE job (the eager
+      // checkpoint) instead of a separate collect per iteration
+      val danglingMass = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val contribs = withDeg.filter(col("out_deg").isNotNull)
+        .select(col("host"), (col("rank") / col("out_deg")).as("share"))
+        .join(e, col("host") === e("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("in_share"))
+      val next = ranks.select(col("host"))
+        .join(contribs, col("host") === col("dst"), "left")
+        .crossJoin(broadcast(danglingMass))
+        .select(col("host"),
+          (lit(1 - Damping) + lit(Damping) *
+            (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"))
+        // lazy: still truncates lineage (the optimizer sees a leaf),
+        // but merely BUILDING the q51 plan (explain/PlanAudit) no
+        // longer executes the iterations — only nodes.count() runs
+        .localCheckpoint(false)
+      converged = tol.exists { t =>
+        val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "host")
+          .agg(sum(abs(col("rank") - col("prev"))).as("l1"))
+          .head().getDouble(0)
+        delta < t
+      }
+      ranks = next
+      iter += 1
+    }
+    ranks.orderBy(col("rank").desc, col("host").asc).limit(100)
+      .select(col("host"), round(col("rank"), 6).as("rank"))
+  }
+
   val q51_pagerank: GraftQuery = GraftQuery(
     "q51_pagerank",
-    (s, dir) => {
-      val e = edges(s, dir).localCheckpoint(false)
-      val nodes = e.select(col("src").as("host"))
-        .union(e.select(col("dst")))
-        .distinct()
-        .localCheckpoint(false)
-      val n = nodes.count().toDouble
-      val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      var ranks = nodes.withColumn("rank", lit(1.0))
-      var iter = 0
-      while (iter < PageRankIters) {
-        val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
-        // mass of dangling hosts as a broadcast 1-row frame: folding it
-        // into the plan keeps each iteration at ONE job (the eager
-        // checkpoint) instead of a separate collect per iteration
-        val danglingMass = withDeg.filter(col("out_deg").isNull)
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-        val contribs = withDeg.filter(col("out_deg").isNotNull)
-          .select(col("host"), (col("rank") / col("out_deg")).as("share"))
-          .join(e, col("host") === e("src"))
-          .groupBy(col("dst"))
-          .agg(sum(col("share")).as("in_share"))
-        ranks = ranks.select(col("host"))
-          .join(contribs, col("host") === col("dst"), "left")
-          .crossJoin(broadcast(danglingMass))
-          .select(col("host"),
-            (lit(1 - Damping) + lit(Damping) *
-              (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"))
-          // lazy: still truncates lineage (the optimizer sees a leaf),
-          // but merely BUILDING the q51 plan (explain/PlanAudit) no
-          // longer executes the iterations — only nodes.count() runs
-          .localCheckpoint(false)
-        iter += 1
-      }
-      ranks.orderBy(col("rank").desc, col("host").asc).limit(100)
-        .select(col("host"), round(col("rank"), 6).as("rank"))
-    },
+    (s, dir) => pageRank(s, dir),
     None // float summation order is engine-specific; invariants in GraphOpsSpec
   )
 

