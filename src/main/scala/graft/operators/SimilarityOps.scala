@@ -124,11 +124,16 @@ object SimilarityOps {
     None // LSH banding is not ANSI-SQL-expressible; exactness covered by SimilaritySpec
   )
 
-  /** Fixed dump location for q30_verify's candidate pairs — the oracle
-    * SQL reads it back, so the path must be absolute and stable across
-    * the Verify run and the driver's DuckDB pass (same machine).
+  /** Dump location for q30_verify's candidate pairs, KEYED BY INPUT
+    * DIR: the oracle SQL reads the sf0.01 dump back (the driver always
+    * verifies at sf0.01), and keying by dir means a Bench run at
+    * another scale can never overwrite the verify-scale candidates
+    * between the Verify dump and the driver's DuckDB pass.
     */
-  private[graft] val Q30CandidateDump = "/tmp/graft_oracle/q30_candidates"
+  private[graft] def q30CandidateDump(dir: String): String = {
+    val norm = dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_oracle/q30_candidates_$norm"
+  }
 
   /** q30's VERIFICATION stage under a full DuckDB oracle. The banding
     * stage is probabilistic-by-design (P(candidate|j=0.8) ≈ 0.52 — a
@@ -142,18 +147,19 @@ object SimilarityOps {
   val q30_verify: GraftQuery = GraftQuery(
     "q30_verify",
     (s, dir) => {
+      val dump = q30CandidateDump(dir)
       minhashCandidatePairs(s, dir)
-        .write.mode("overwrite").parquet(Q30CandidateDump)
-      verifyJaccard(s, dir, s.read.parquet(Q30CandidateDump))
+        .write.mode("overwrite").parquet(dump)
+      verifyJaccard(s, dir, s.read.parquet(dump))
     },
     Some(Tables.docsNearDupsCte +
-      """, shingled AS (
+      s""", shingled AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |                  i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
         |  FROM alldocs),
         |cand AS (
-        |  SELECT a_id, b_id FROM read_parquet('/tmp/graft_oracle/q30_candidates/*.parquet'))
+        |  SELECT a_id, b_id FROM read_parquet('${q30CandidateDump("/root/testdata/sf0.01")}/*.parquet'))
         |SELECT c.a_id, c.b_id,
         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard

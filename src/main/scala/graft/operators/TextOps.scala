@@ -508,27 +508,32 @@ object TextOps {
     * docs it overlaps and how many distinct grams are shared.
     *
     * Scale shape: the EVAL side is small by construction (benchmark
-    * suites are thousands of docs, not billions), so its distinct grams
-    * broadcast; the train side explodes grams and joins the broadcast
-    * IMMEDIATELY — no distinct, no exchange below the join — because
-    * the final countDistinct aggregate dedups repeats anyway. The only
-    * shuffle is the per-doc aggregate over eval-MATCHING grams, a
-    * benchmark-sized trickle regardless of corpus size. Exact integer
-    * outputs → DuckDB oracle reproduces them from the same substring
-    * grams.
+    * suites are thousands of docs, not billions), so its grams
+    * broadcast; the train side explodes gram HASHES and joins the
+    * broadcast IMMEDIATELY — no distinct, no exchange below the join —
+    * because the final countDistinct aggregate dedups repeats anyway.
+    * The only shuffle is the per-doc aggregate over eval-MATCHING
+    * grams, a benchmark-sized trickle regardless of corpus size.
+    *
+    * Grams travel as 64-bit XXH64 hashes via the codegen'd
+    * `GramHashes` expression (per-doc distinct, sorted): no per-gram
+    * string allocation, no interpreted HOF lambda, an 8-byte join key —
+    * and per-doc dedup happens inside the scan stage for free. The
+    * DuckDB oracle keeps substring grams; a hash collision perturbing
+    * a countDistinct has probability ~1e-15 per pair (the q29
+    * precedent). Exact integer outputs either way.
     */
   val q53_decontaminate: GraftQuery = GraftQuery(
     "q53_decontaminate",
     (s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"))
-          .as("g"))
-      // eval side: distinct is fine — it shuffles only the benchmark
-      // corpus, and a smaller broadcast table is worth that one tiny job
+        .select(col("doc_id"),
+          explode(graft.plans.GramHashes.of(col("text"), 8)).as("g"))
+      // eval side: GramHashes already dedups within each doc and
+      // eval_id stays in the row, so there is NOTHING left to
+      // distinct — the broadcast input needs no shuffle at all
       val evalGrams = grams(docs.filter(col("doc_id") % 50 === 7))
-        .distinct()
         .select(col("doc_id").as("eval_id"), col("g"))
       // train side: NO distinct — a pre-join .distinct() would shuffle
       // every distinct 8-gram of the whole train corpus (the largest

@@ -172,7 +172,17 @@ object Signatures {
     * slice (one XXH64 per gram, no substring allocation). Strings
     * shorter than 3 code points hash as one whole-string gram.
     */
-  def shingleHashes(s: UTF8String): ArrayData = {
+  def shingleHashes(s: UTF8String): ArrayData = gramHashes(s, 3)
+
+  /** Distinct k-CHARACTER-gram hashes of a string, SORTED (sort+dedupe
+    * beats a hash set at these sizes; callers only use set semantics).
+    * Grams span code points, not bytes, so counts agree with a
+    * `substring(text, i, k)` oracle formulation on non-ASCII text too;
+    * each gram is hashed over its UTF-8 byte slice (one XXH64 per
+    * gram, no substring allocation). Strings shorter than k code
+    * points hash as one whole-string gram.
+    */
+  def gramHashes(s: UTF8String, k: Int): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes()
@@ -188,12 +198,12 @@ object Signatures {
         org.apache.spark.unsafe.Platform.getByte(base, off + i))
     }
     starts(cnt) = n
-    val count = math.max(cnt - 2, if (cnt > 0) 1 else 0)
+    val count = math.max(cnt - (k - 1), if (cnt > 0) 1 else 0)
     if (count == 0) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](count)
     var g = 0
     while (g < count) {
-      val end = if (g + 3 <= cnt) starts(g + 3) else n
+      val end = if (g + k <= cnt) starts(g + k) else n
       hs(g) = XXH64.hashUnsafeBytes(base, off + starts(g), end - starts(g), 42L)
       g += 1
     }
@@ -272,6 +282,31 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 
 object ShingleHashes {
   def of(c: Column): Column = CB.column(ShingleHashes(CB.expression(c)))
+}
+
+/** `gram_hashes(text, k)` → sorted distinct array<bigint> of k-gram
+  * hashes — the length-parameterized sibling of [[ShingleHashes]]
+  * (q53 joins 8-gram hashes instead of 8-char strings: same set
+  * semantics, no per-gram string allocation, cheaper join hashing;
+  * collision odds ~1e-15 per pair are the q29 precedent).
+  */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  def of(c: Column, k: Int): Column = CB.column(GramHashes(CB.expression(c), k))
 }
 
 /** `compression_ratio(text)` → double in (0, ~1.1]: deflated size over
