@@ -383,8 +383,87 @@ object LinkOps {
         |GROUP BY p.link_domain""".stripMargin)
   )
 
+  /** URL canonicalization dedup — the crawl-side twin of q24's content
+    * dedup: the same resource reached via case-different hosts,
+    * trailing slashes, and tracking parameters (`utm_*`, `fbclid`,
+    * `gclid`) must count as ONE url before any per-url statistic means
+    * anything. Canonical form: lowercase host, trailing slash stripped,
+    * tracking params dropped, surviving params sorted. The fixture
+    * plants all three variant kinds on every 7th link (the
+    * docsWithNearDups pattern: plant the phenomenon, then detect it);
+    * the oracle re-plants and re-canonicalizes in SQL.
+    *
+    * Scale shape: canonicalization is row-local; the only shuffle is
+    * the final groupBy(canonical_url). The filter/sort lambdas run
+    * interpreted, but over PARAMS PER URL (≤ a handful) — not corpus
+    * text — so they stay off the critical path; at 100 TB this is one
+    * map + one hash aggregate.
+    */
+  val q56_url_canonical: GraftQuery = GraftQuery(
+    "q56_url_canonical",
+    (s, dir) => {
+      val base = Tables.links(s, dir).select(
+        when(col("link_scheme") === "2", lit("https")).otherwise(lit("http")).as("scheme"),
+        concat(
+          when(col("link_subdomain") === "", lit(""))
+            .otherwise(concat(col("link_subdomain"), lit("."))),
+          col("link_domain")).as("host"),
+        col("link_path").as("path"),
+        col("link_rawquery").as("q"),
+        col("qty"), col("src_key"))
+      val variants = base.filter(col("src_key") % 7 === 0).select(
+        col("scheme"),
+        upper(col("host")).as("host"),
+        concat(col("path"), lit("/")).as("path"),
+        when(col("q") === "", lit("utm_source=feed&utm_campaign=x"))
+          .otherwise(concat(col("q"), lit("&utm_source=feed&utm_campaign=x"))).as("q"),
+        col("qty"), col("src_key"))
+      base.unionByName(variants)
+        .withColumn("cq", expr(
+          "array_join(array_sort(filter(split(q, '&'), p -> NOT (" +
+            "startswith(p, 'utm_') OR startswith(p, 'fbclid=') OR startswith(p, 'gclid=')))), '&')"))
+        .withColumn("canonical_url", concat(
+          col("scheme"), lit("://"), lower(col("host")),
+          regexp_replace(col("path"), "/+$", ""),
+          when(col("cq") === "", lit("")).otherwise(concat(lit("?"), col("cq")))))
+        .groupBy(col("canonical_url"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_variants"),
+          sum(col("qty")).cast("bigint").as("qty_sum"))
+    },
+    Some(Tables.linksCte +
+      """, base AS (
+        |  SELECT CASE WHEN link_scheme = '2' THEN 'https' ELSE 'http' END AS scheme,
+        |    (CASE WHEN link_subdomain = '' THEN '' ELSE link_subdomain || '.' END)
+        |      || link_domain AS host,
+        |    link_path AS path, link_rawquery AS q, qty, src_key
+        |  FROM links
+        |), withvar AS (
+        |  SELECT scheme, host, path, q, qty FROM base
+        |  UNION ALL
+        |  SELECT scheme, upper(host), path || '/',
+        |    CASE WHEN q = '' THEN 'utm_source=feed&utm_campaign=x'
+        |         ELSE q || '&utm_source=feed&utm_campaign=x' END, qty
+        |  FROM base WHERE src_key % 7 = 0
+        |), canon AS (
+        |  SELECT scheme || '://' || lower(host)
+        |    || regexp_replace(path, '/+$', '')
+        |    || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical_url, qty
+        |  FROM (
+        |    SELECT scheme, host, path, qty,
+        |      -- COALESCE: DuckDB's array_to_string([]) is NULL, not ''
+        |      COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |        p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+        |                  OR starts_with(p, 'gclid=')))), '&'), '') AS cq
+        |    FROM withvar) t
+        |)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM canon GROUP BY canonical_url""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q15_json_extract, q16_sessionize, q17_compact_links, q18_linkdb_query,
     q19_url_parse, q20_etld_domain, q21_url_quality, q22_ignore_lists,
-    q23_page_stats, q54_anchor_profile)
+    q23_page_stats, q54_anchor_profile, q56_url_canonical)
 }

@@ -111,7 +111,10 @@ object SimilarityOps {
     pairs
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      // two-pointer merge over the sorted hash arrays — array_intersect
+      // would build a hash set per candidate pair (see SortedIntersectCount)
+      .withColumn("inter",
+        graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
       .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.8)

@@ -159,7 +159,9 @@ object TextOps {
       val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
       val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
       a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        // two-pointer merge over the sorted hash arrays (SortedIntersectCount)
+        .withColumn("inter",
+          graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
         .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .filter(col("jaccard") >= 0.8)
@@ -564,9 +566,60 @@ object TextOps {
            |GROUP BY tg.doc_id""".stripMargin)
   )
 
+  /** Sequence packing (concat-and-chunk): the batch-prep step between
+    * a filtered corpus and a trainer — concatenate each source shard's
+    * documents in doc_id order and cut the token stream every C=2048
+    * tokens; a document belongs to the chunk where it STARTS. Output:
+    * per (source, chunk) the packed doc count, token sum, and first
+    * doc — the packing manifest a loader would consume.
+    *
+    * Scale shape: ONE hash partition by source + an in-partition sort
+    * (the window never crosses sources, so no global ordering is
+    * materialized — at 100 TB each source shard packs independently,
+    * exactly how a sharded loader wants it). Token counts reuse q26's
+    * whitespace convention; all-integer outputs → exact oracle.
+    */
+  val q55_pack_sequences: GraftQuery = GraftQuery(
+    "q55_pack_sequences",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("chunk", expr("CAST(cum_before DIV 2048 AS BIGINT)"))
+        .groupBy(col("source"), col("chunk"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, doc_id,
+           |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+           |  FROM documents
+           |), packed AS (
+           |  SELECT source, doc_id, n_tokens,
+           |    COALESCE(SUM(n_tokens) OVER (
+           |      PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM toks
+           |)
+           |SELECT source, CAST(cum_before // 2048 AS BIGINT) AS chunk,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+           |  MIN(doc_id) AS first_doc
+           |FROM packed GROUP BY source, CAST(cum_before // 2048 AS BIGINT)""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
-    q49_token_histogram, q50_inverted_index, q53_decontaminate)
+    q49_token_histogram, q50_inverted_index, q53_decontaminate,
+    q55_pack_sequences)
 }

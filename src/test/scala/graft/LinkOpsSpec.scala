@@ -74,4 +74,25 @@ class LinkOpsSpec extends SparkSpec {
     assert(!domains.exists(Set("d3.com", "d5.com", "d7.co.uk")))
     assert(domains.nonEmpty)
   }
+
+  test("q56 canonicalization folds every planted variant into its base URL") {
+    val rows = LinkOps.q56_url_canonical.run(spark, sfDir).collect()
+    val urls = rows.map(_.getAs[String]("canonical_url"))
+    // no canonical URL retains a variant artifact
+    urls.foreach { u =>
+      assert(u == u.toLowerCase, s"uppercase survived: $u")
+      assert(!u.contains("utm_") && !u.contains("fbclid") && !u.contains("gclid"),
+        s"tracking param survived: $u")
+      assert(!u.stripPrefix("https://").stripPrefix("http://").endsWith("/"),
+        s"trailing slash survived: $u")
+    }
+    // every row of the (base + planted-variant) input is accounted for:
+    // variants exist for src_key % 7 == 0, so totals must match
+    val base = Tables.links(spark, sfDir)
+    val expected = base.count() + base.filter(col("src_key") % 7 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_variants")).sum == expected)
+    // and a URL that HAS a query keeps it (params other than tracking
+    // survive canonicalization)
+    assert(urls.exists(_.contains("?id=")), "legitimate params must survive")
+  }
 }

@@ -103,4 +103,26 @@ class SignaturesSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
     assert(!rows(1).isNullAt(0))
   }
+
+  test("sorted_intersect_count equals array_intersect on sorted distinct arrays") {
+    import spark.implicits._
+    import graft.plans.{GramHashes, SortedIntersectCount}
+    // random-ish text pairs through the REAL producer (GramHashes emits
+    // sorted distinct arrays — the expression's input contract)
+    val texts = (0 until 50).map(i =>
+      (s"the quick ${i % 7} fox jumps over ${i % 3} dogs " * (1 + i % 4),
+        s"the quick ${(i + 1) % 7} fox leaps over ${i % 3} dogs " * (1 + i % 5)))
+    val df = texts.toDF("a", "b").select(
+      GramHashes.of(col("a"), 3).as("ah"), GramHashes.of(col("b"), 3).as("bh"))
+    val got = df.select(
+      SortedIntersectCount.of(col("ah"), col("bh")).as("fast"),
+      size(array_intersect(col("ah"), col("bh"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    assert(got.exists(_.getInt(0) > 0), "fixture must produce real overlaps")
+    // empty side and identical side
+    val edge = Seq(("", "abc"), ("abc", "abc")).toDF("a", "b").select(
+      SortedIntersectCount.of(GramHashes.of(col("a"), 3), GramHashes.of(col("b"), 3)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(edge(1) == 1, "identical 3-char texts share their single gram")
+  }
 }

@@ -107,4 +107,35 @@ class TextOpsSpec extends SparkSpec {
     val labels = df.select(col("cluster_id")).collect().map(_.getLong(0)).toSet
     assert(labels.subsetOf(ids))
   }
+
+  test("q55 packing conserves tokens and chunks start where cum crosses 2048") {
+    val packed = TextOps.q55_pack_sequences.run(spark, sfDir).collect()
+    assert(packed.nonEmpty)
+    // token conservation: chunk sums over each source == corpus sum
+    val bySource = packed.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("chunk_tokens")).sum).toMap
+    val expected = Tables.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .as("t"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    assert(bySource == expected, "every token lands in exactly one chunk")
+    val maxDoc = Tables.table(spark, sfDir, "documents")
+      .agg(max(length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("bigint"))
+      .head().getLong(0)
+    // chunk ids are dense from 0 within each source — valid whenever no
+    // single doc spans a whole chunk (then every boundary is crossed
+    // by a doc that STARTS in the preceding chunk)
+    if (maxDoc < 2048)
+      packed.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+        val chunks = rows.map(_.getAs[Long]("chunk")).sorted
+        assert(chunks.head == 0L, s"$src must start at chunk 0")
+        assert(chunks.toSeq == (0L until chunks.length).toSeq, s"$src chunks not dense")
+      }
+    // sanity: no chunk claims more tokens than C + one max-length doc
+    packed.foreach(r =>
+      assert(r.getAs[Long]("chunk_tokens") <= 2048 + maxDoc,
+        s"chunk overfilled: ${r}"))
+  }
 }
