@@ -196,85 +196,34 @@ object Pipeline {
         s"${SegmentManifest.segmentDir(outDir, id)}/pages").drop("domain_bucket"))
       .reduce(_ unionByName _)
 
-  /** Write through a temp directory and SWAP it into `path` — the main
-    * stores are rebuilt FROM their previous contents, so an in-place
-    * overwrite would delete the only copy before the new one is known
-    * good. The swap renames the old store aside first (old → .old,
-    * tmp → live, drop .old), so every crash point leaves a complete
-    * copy on disk; [[recoverStore]] heals the one window where the
-    * live name is briefly absent.
+  /** Rewrite a main store through the generation commit protocol
+    * ([[graft.sinks.StoreGen]]): write the next `_gen-<n>` dir, then
+    * atomically move the `_CURRENT` pointer — the main stores are
+    * rebuilt FROM their previous contents, so an in-place overwrite
+    * would delete the only copy before the new one is known good, and
+    * the old rename-swap invalidated in-flight readers. The previous
+    * generation stays on disk until the NEXT commit, so a reader that
+    * resolved it always finishes against intact files; readers that
+    * outlive two folds are healed by the serving layer's rebind-retry
+    * (LinkApiServer.queryWithRetry). Single writer per store root,
+    * as before (autoFold runs folds inline on the import thread).
     */
   private def safeRewrite(spark: SparkSession, path: String,
-      write: String => Unit): Unit = {
-    prepareRewrite(spark, path, write)
-    swapRewrite(spark, path)
-  }
-
-  /** Phase 1: produce the rewritten store at `path`.rewrite.tmp without
-    * touching the live store.
-    */
-  private def prepareRewrite(spark: SparkSession, path: String,
-      write: String => Unit): Unit = {
-    recoverStore(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path.rewrite.tmp"), true)
-    write(s"$path.rewrite.tmp")
-  }
-
-  /** Phase 2: swap the prepared temp in (old → .old, tmp → live, drop
-    * .old) — rename-only, so the vulnerable window is milliseconds and
-    * every crash point leaves a complete copy on disk.
-    *
-    * REQUIREMENTS (documented, not enforced): (1) atomic directory
-    * rename — true on local disk and HDFS; on S3A-style object stores
-    * "rename" is copy+delete, so the window is data-sized, not
-    * milliseconds — front a real deployment there with a commit-marker
-    * or table-format layer. (2) a single writer — two concurrent
-    * foldSegments/compactStream calls would race the `.old`/`.tmp`
-    * names; serialize folds externally (the autoFold path runs them
-    * inline on the import thread, which satisfies this). Concurrent
-    * READERS are safe: the serving path re-binds and retries on
-    * vanished files (LinkApiServer.queryWithRetry).
-    */
-  private def swapRewrite(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val tmp = s"$path.rewrite.tmp"
-    val old = s"$path.old"
-    fs.delete(p(old), true)
-    val hadOld = fs.exists(p(path)) && { fs.rename(p(path), p(old)); true }
-    if (!fs.rename(p(tmp), p(path))) {
-      if (hadOld) fs.rename(p(old), p(path)) // roll back to the old store
-      throw new java.io.IOException(
-        s"failed to move rewritten store $tmp into place at $path")
-    }
-    fs.delete(p(old), true)
-  }
-
-  /** Heal a crash between safeRewrite's two renames: if the live store
-    * name is missing but its `.old` sibling exists, restore it.
-    */
-  private def recoverStore(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    if (!fs.exists(p(path)) && fs.exists(p(s"$path.old")))
-      fs.rename(p(s"$path.old"), p(path))
-  }
+      write: String => Unit): Unit =
+    graft.sinks.StoreGen.publish(spark, path, write)
 
   /** Segment ids already folded into a main store: the `_FOLDED`
-    * ledger file the fold writes INTO the store directory (underscore
-    * prefix = invisible to parquet readers, like `_SUCCESS`). Because
-    * the ledger travels inside the store, the atomic store swap updates
-    * data and ledger together — there is no window where one exists
-    * without the other.
+    * ledger file the fold writes INTO the generation's data directory
+    * (underscore prefix = invisible to parquet readers, like
+    * `_SUCCESS`). Because the ledger travels inside the generation,
+    * the atomic pointer swap updates data and ledger together — there
+    * is no window where one exists without the other.
     */
   def foldedSegments(spark: SparkSession, storePath: String): Set[String] = {
-    val fs = new org.apache.hadoop.fs.Path(storePath)
+    val resolved = graft.sinks.StoreGen.resolve(spark, storePath)
+    val fs = new org.apache.hadoop.fs.Path(resolved)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new org.apache.hadoop.fs.Path(storePath, FoldLedger)
+    val ledger = new org.apache.hadoop.fs.Path(resolved, FoldLedger)
     if (!fs.exists(ledger)) Set.empty
     else {
       val in = fs.open(ledger)
@@ -315,17 +264,19 @@ object Pipeline {
     val linksToFold = completed.filterNot(linksLedger)
     val pagesToFold = completed.filterNot(pagesLedger)
 
+    var linksGen = -1L
     if (linksToFold.nonEmpty) {
       val segs = segmentLinksOf(spark, outDir, linksToFold)
       val existing =
         try Some(LinkStore.read(spark, s"$outDir/links").drop("domain_bucket"))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       val all = existing.fold(segs)(e => segs.unionByName(e))
-      prepareRewrite(spark, s"$outDir/links", tmp => {
+      linksGen = graft.sinks.StoreGen.prepare(spark, s"$outDir/links", tmp => {
         LinkStore.write(LinkCompaction.compact(all), tmp)
         writeLedger(spark, tmp, linksLedger ++ linksToFold)
       })
     }
+    var pagesGen = -1L
     if (pagesToFold.nonEmpty) {
       val pages = segmentPagesOf(spark, outDir, pagesToFold)
       val existingPages =
@@ -334,17 +285,18 @@ object Pipeline {
       // page records carry no qty: an identical row from two folds is
       // the same crawl record twice, so the fold dedups exactly
       val allPages = existingPages.fold(pages)(e => pages.unionByName(e)).distinct()
-      prepareRewrite(spark, s"$outDir/pages", tmp => {
+      pagesGen = graft.sinks.StoreGen.prepare(spark, s"$outDir/pages", tmp => {
         graft.sinks.PageStore.write(allPages, tmp)
         writeLedger(spark, tmp, pagesLedger ++ pagesToFold)
       })
     }
-    // BOTH rewrites are prepared before EITHER store is swapped: a
+    // BOTH generations are prepared before EITHER pointer moves: a
     // failure during the (long) write phase leaves both live stores
-    // untouched. The rewrites read the old stores while writing the
-    // temps, so no checkpoint is needed.
-    if (linksToFold.nonEmpty) swapRewrite(spark, s"$outDir/links")
-    if (pagesToFold.nonEmpty) swapRewrite(spark, s"$outDir/pages")
+    // untouched (the stray generation dirs are swept by the next
+    // prepare). The rewrites read the old generations while writing
+    // the new ones, so no checkpoint is needed.
+    if (linksToFold.nonEmpty) graft.sinks.StoreGen.commit(spark, s"$outDir/links", linksGen)
+    if (pagesToFold.nonEmpty) graft.sinks.StoreGen.commit(spark, s"$outDir/pages", pagesGen)
 
     // cleanup LAST, and only for segments both ledgers now cover: a
     // crash anywhere above leaves the segment dirs in place and the

@@ -145,7 +145,11 @@ final class LinkApiServer(
     * the usual 500.
     */
   private def queryWithRetry(domain: String, req: LinkDbRequest): Seq[LinkOut] = {
-    val maxAttempts = 4
+    // 8 attempts: under a fold, serving jobs can queue behind the
+    // fold's own jobs long enough to outlive the store's two-generation
+    // retention — each retry rebinds to the then-current generation,
+    // so attempts only need to outnumber plausible consecutive misses
+    val maxAttempts = 8
     var attempt = 1
     var out: Seq[LinkOut] = null
     while (out == null) {

@@ -70,8 +70,11 @@ object LinkStore {
       .parquet(path)
   }
 
+  /** Reads resolve the generation pointer first (plain dirs — segment
+    * stores, pre-migration data — resolve to themselves; see StoreGen).
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(StoreGen.resolve(spark, path))
 
   /** Domain-filtered read: the bucket predicate prunes partitions (only
     * 1/NumBuckets of files are listed/read), the domain predicate

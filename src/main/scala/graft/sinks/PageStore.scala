@@ -25,8 +25,9 @@ object PageStore {
       .mode("overwrite")
       .parquet(path)
 
+  /** Reads resolve the generation pointer first (see StoreGen). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(StoreGen.resolve(spark, path))
 
   /** eTLD+1-filtered read with partition + row-group pruning. */
   def readDomain(spark: SparkSession, path: String, domain: String): DataFrame =
