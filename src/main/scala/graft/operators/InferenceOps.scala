@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** §2C (continued) — the model-scoring pass of a training-data
+  * pipeline: every corpus is gated by a learned quality classifier
+  * (fastText-style) before training, and on a cluster that pass is
+  * BATCHED INFERENCE inside the executors — a model session per task,
+  * records fed in fixed-size batches, no shuffle, no driver.
+  *
+  * Like the multimodal decode (MultimodalPipeline), the MODEL here is
+  * a deterministic stand-in (this container ships no inference
+  * runtime) — an integer-weight linear scorer whose arithmetic is
+  * exact, so the full pass carries a hash-exact DuckDB oracle. What is
+  * real, and what the oracle + spec pin: the feature extraction, the
+  * Dataset/Encoder round-trip, the batch accumulation shape
+  * (`grouped(BatchSize)` per partition — the Arrow-batch analogue),
+  * partition-preserving execution, and the keep/drop gate downstream
+  * pipelines consume.
+  */
+object InferenceOps {
+
+  /** Per-doc features the "model" consumes (all exact integers). */
+  final case class DocFeatures(
+      doc_id: Long, n_tokens: Int, n_chars: Int, stop_hits: Int)
+
+  /** Scored output row. */
+  final case class DocScore(doc_id: Long, score: Double, keep: Int)
+
+  /** Batch size per model call — the Arrow-batch analogue. */
+  val BatchSize = 64
+
+  // ----------------------------------------------------------------
+  // REAL MODEL GOES HERE (ONNX session, JNI fastText, …): one call
+  // per batch, executor-side. The stand-in is an integer linear
+  // scorer squashed by the RATIONAL s/(1+|s|) (not a logistic —
+  // exp() is not bit-identical across engines, integer ratios are),
+  // so the DuckDB oracle reproduces every double exactly.
+  private[graft] def scoreBatch(batch: Seq[DocFeatures]): Seq[DocScore] =
+    batch.map { f =>
+      val s = 3L * f.n_tokens - f.n_chars + 40L * f.stop_hits - 25L
+      DocScore(f.doc_id, s.toDouble / (1L + math.abs(s)).toDouble,
+        if (s > 0L) 1 else 0)
+    }
+  // ----------------------------------------------------------------
+
+  /** Score a features dataset batch-wise within each partition: no
+    * shuffle, bounded memory (one batch per task at a time).
+    */
+  def score(features: Dataset[DocFeatures]): Dataset[DocScore] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions(_.grouped(BatchSize).flatMap(scoreBatch))
+  }
+
+  /** Classifier quality gate over `documents`: columnar feature
+    * extraction → batched executor-side scoring → keep/drop verdicts.
+    * The only shuffle in the whole pass is whatever the SOURCE scan
+    * needs — scoring is partition-preserving map work, which is the
+    * property that matters at 100 TB (the corpus streams through the
+    * model exactly once, co-partitioned with its input).
+    */
+  val q57_classifier_filter: GraftQuery = GraftQuery(
+    "q57_classifier_filter",
+    (s, dir) => {
+      import s.implicits._
+      val features = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast("int").as("n_tokens"),
+          length(col("text")).cast("int").as("n_chars"),
+          expr("CAST(size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS INT)")
+            .as("stop_hits"))
+        .as[DocFeatures]
+      score(features).toDF()
+    },
+    Some("""SELECT doc_id,
+           |  CAST(s AS DOUBLE) / CAST(1 + ABS(s) AS DOUBLE) AS score,
+           |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    3 * (length(text) - length(replace(text, ' ', '')) + 1)
+           |      - length(text)
+           |      + 40 * len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))
+           |      - 25 AS s
+           |  FROM documents) t""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(q57_classifier_filter)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.InferenceOps
+import graft.operators.InferenceOps.{DocFeatures, DocScore}
+import org.apache.spark.sql.functions._
+
+class InferenceOpsSpec extends SparkSpec {
+
+  test("batched scoring equals record-at-a-time scoring (batching is transparent)") {
+    import spark.implicits._
+    val fs = (1 to 200).map(i =>
+      DocFeatures(i.toLong, n_tokens = i * 3 % 97, n_chars = i * 17 % 503,
+        stop_hits = i % 11))
+    val batched = InferenceOps.score(fs.toDS()).collect().sortBy(_.doc_id).toSeq
+    val oneAtATime = fs.flatMap(f => InferenceOps.scoreBatch(Seq(f)))
+    assert(batched == oneAtATime)
+    // the squash stays in (-1, 1) and keep matches the score's sign
+    batched.foreach { s =>
+      assert(s.score > -1.0 && s.score < 1.0)
+      assert((s.keep == 1) == (s.score > 0.0))
+    }
+  }
+
+  test("q57 scores every document, produces both classes, and never shuffles") {
+    val out = InferenceOps.q57_classifier_filter.run(spark, sfDir)
+    val rows = out.collect()
+    val total = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == total, "one verdict per document")
+    val keeps = rows.map(_.getAs[Int]("keep")).toSet
+    assert(keeps == Set(0, 1), s"fixture must exercise both classes, got $keeps")
+    // partition-preserving: no Exchange anywhere in the scoring plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("scores are the exact integer rational (cross-engine reproducible)") {
+    // s = 3*n_tokens - n_chars + 40*stop_hits - 25; score = s/(1+|s|)
+    val f = DocFeatures(1L, n_tokens = 10, n_chars = 20, stop_hits = 1)
+    val Seq(s) = InferenceOps.scoreBatch(Seq(f)): @unchecked
+    assert(s == DocScore(1L, 25.0 / 26.0, 1))
+    val Seq(z) = InferenceOps.scoreBatch(
+      Seq(DocFeatures(2L, 0, 0, 0))): @unchecked
+    assert(z.score == -25.0 / 26.0 && z.keep == 0)
+  }
+}
