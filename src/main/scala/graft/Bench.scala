@@ -39,9 +39,12 @@ object Bench {
     // the round-numbered file directly when the round is known, so the
     // recorded numbers never depend on a scrape at all
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line)
-    sys.env.get("SPARK_GRAFT_ROUND").foreach(r =>
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"BENCH_r${r.toInt}%02d.json"), line))
+    // tolerate junk in the env var — a bad round label must not turn a
+    // completed bench into a nonzero exit after the numbers are in
+    sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(r => scala.util.Try(r.trim.stripPrefix("r").toInt).toOption)
+      .foreach(n => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_r$n%02d.json"), line))
     spark.stop()
   }
 }

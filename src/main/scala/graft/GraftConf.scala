@@ -59,9 +59,6 @@ object GraftConf {
     require(totalCores >= 1, s"totalCores must be >= 1, got $totalCores")
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", math.max(2 * totalCores, 64).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
   }
@@ -90,9 +87,18 @@ object GraftConf {
       .config("spark.ui.enabled", "false")
   }
 
-  /** Knobs every profile shares — semantics, not sizing. */
+  /** Knobs every profile shares. AQE + skew-join live here, not just
+    * in [[cluster]]: they are semantics-neutral and a Bench/main
+    * submitted straight to a cluster through [[submitted]] must not
+    * silently lose the adaptive posture (they are also Spark-4
+    * defaults — setting them makes the posture explicit and immune to
+    * site-level conf overrides).
+    */
   private def common(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config(Tables.NanosAsLong, "true")
 }

@@ -148,14 +148,20 @@ final class LinkApiServer(
     // 8 attempts: under a fold, serving jobs can queue behind the
     // fold's own jobs long enough to outlive the store's two-generation
     // retention — each retry rebinds to the then-current generation,
-    // so attempts only need to outnumber plausible consecutive misses
+    // so attempts only need to outnumber plausible consecutive misses.
+    // A bind-time missing ROOT (PATH_NOT_FOUND) gets only one retry: a
+    // store that was never created can't appear by waiting, and 8
+    // sleep-retry loops per request against a misconfigured path would
+    // let a modest request rate pin the whole worker pool
     val maxAttempts = 8
+    val missingRootAttempts = 2
     var attempt = 1
     var out: Seq[LinkOut] = null
     while (out == null) {
       try out = resolve(domain).query(req)
       catch {
-        case e: Exception if attempt < maxAttempts && isStaleStore(e) =>
+        case e: Exception if isStaleStore(e) &&
+            attempt < (if (isMissingRoot(e)) missingRootAttempts else maxAttempts) =>
           attempt += 1
           // re-resolving alone is NOT enough: Spark's shared
           // FileStatusCache hands a fresh read the PRE-swap listing
@@ -169,19 +175,25 @@ final class LinkApiServer(
     out
   }
 
+  private def isMissingRoot(e: Throwable): Boolean =
+    causeChainText(e).contains("PATH_NOT_FOUND")
+
   /** True when `e`'s cause chain (or executor-side stack flattened into
     * a message) indicates files/paths that vanished under a reader.
     */
   private def isStaleStore(e: Throwable): Boolean = {
-    val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
-      .takeWhile(_ != null).take(10)
-      .map(t => t.getClass.getName + ": " + String.valueOf(t.getMessage))
-      .mkString("\n")
+    val msgs = causeChainText(e)
     msgs.contains("FileNotFoundException") ||
       msgs.contains("PATH_NOT_FOUND") ||
       msgs.contains("FILE_NOT_EXIST") ||
       msgs.contains("does not exist")
   }
+
+  private def causeChainText(e: Throwable): String =
+    Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => t.getClass.getName + ": " + String.valueOf(t.getMessage))
+      .mkString("\n")
 
   private sealed trait DomainResult
   private case object DomainMissing extends DomainResult

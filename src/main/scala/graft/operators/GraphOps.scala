@@ -108,8 +108,10 @@ object GraphOps {
         // longer executes the iterations — only nodes.count() runs
         .localCheckpoint(false)
       converged = tol.exists { t =>
+        // coalesce: sum over ZERO rows (empty graph) is null, and
+        // getDouble would NPE instead of reporting convergence
         val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "host")
-          .agg(sum(abs(col("rank") - col("prev"))).as("l1"))
+          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)).as("l1"))
           .head().getDouble(0)
         delta < t
       }

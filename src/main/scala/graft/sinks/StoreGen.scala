@@ -85,6 +85,13 @@ object StoreGen {
   def prepare(spark: SparkSession, root: String,
       write: String => Unit): Long = {
     val f = fs(spark, root)
+    // heal a store crashed mid-swap under the PRE-generation rename
+    // protocol (live renamed to .old, replacement never landed): the
+    // .old sibling holds the only complete copy — restore it before
+    // rebuilding, or the rewrite would silently rebuild from segments
+    // alone and drop everything previously folded
+    if (!f.exists(new Path(root)) && f.exists(new Path(s"$root.old")))
+      f.rename(new Path(s"$root.old"), new Path(root))
     f.mkdirs(new Path(root))
     val cur = currentGenName(spark, root).map(genId).getOrElse(0L)
     listGens(f, root).filter(_ > cur)
