@@ -175,17 +175,29 @@ final class LinkApiServer(
     out
   }
 
-  private def isMissingRoot(e: Throwable): Boolean =
-    causeChainText(e).contains("PATH_NOT_FOUND")
+  /** Missing ROOT only: a PATH_NOT_FOUND naming a `_gen-` directory is
+    * a pruned GENERATION (the store moved on while we were binding) —
+    * fully retryable, not a misconfigured path. Only a vanished path
+    * OUTSIDE the generation protocol means the store was never created.
+    */
+  private def isMissingRoot(e: Throwable): Boolean = {
+    val msgs = causeChainText(e)
+    msgs.contains("PATH_NOT_FOUND") && !msgs.contains("_gen-")
+  }
 
   /** True when `e`'s cause chain (or executor-side stack flattened into
     * a message) indicates files/paths that vanished under a reader.
+    * UNABLE_TO_INFER_SCHEMA is in the list because a generation dir
+    * mid-prune can still EXIST while its part files are already gone —
+    * the read then fails schema inference instead of file listing.
     */
   private def isStaleStore(e: Throwable): Boolean = {
     val msgs = causeChainText(e)
     msgs.contains("FileNotFoundException") ||
       msgs.contains("PATH_NOT_FOUND") ||
       msgs.contains("FILE_NOT_EXIST") ||
+      msgs.contains("UNABLE_TO_INFER_SCHEMA") ||
+      msgs.contains("ChecksumException") ||
       msgs.contains("does not exist")
   }
 
