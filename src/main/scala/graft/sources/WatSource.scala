@@ -81,7 +81,7 @@ object WatSource {
     * .streamImport).
     */
   def pagesFromLines(lines: DataFrame): DataFrame =
-    lines
+    refinePages(lines
       .filter(col("line").startsWith("{"))
       .select(from_json(col("line"), watSchema).as("w"))
       .select(
@@ -91,7 +91,17 @@ object WatSource {
         col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Title").as("title"),
         col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Metas").as("metas"),
         col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Link").as("head_links"),
-        col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links").as("links"))
+        col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links").as("links")))
+
+  /** The record-level page gates shared by every ingestion format: WAT
+    * metadata (above) and raw-WARC HTML reconstruction
+    * ([[WarcSource.pages]]) both produce the raw contract
+    * `(page_url, ip, crawl_date, title, metas, head_links, links)` and
+    * flow through THIS one chain, so format parity is structural, not
+    * duplicated logic.
+    */
+  private[sources] def refinePages(raw: DataFrame): DataFrame =
+    raw
       .filter(col("page_url").isNotNull && col("page_url").startsWith("http"))
       // robots meta flags (wat.go getNoFollowNoIndex)
       .withColumn("noindex",
@@ -156,7 +166,7 @@ object WatSource {
   def linksFromLines(lines: DataFrame, ignoreDomains: Seq[String] = Nil): DataFrame =
     linksFromPages(pagesFromLines(lines), ignoreDomains)
 
-  private def linksFromPages(p: DataFrame, ignoreDomains: Seq[String]): DataFrame = {
+  private[sources] def linksFromPages(p: DataFrame, ignoreDomains: Seq[String]): DataFrame = {
     val exploded = p.select(
       col("page_host"), col("page_domain"), col("page_path"),
       col("page_rawquery"), col("page_scheme"), col("ip"),
