@@ -61,20 +61,26 @@ object InferenceOps {
     * property that matters at 100 TB (the corpus streams through the
     * model exactly once, co-partitioned with its input).
     */
+  /** The full scoring pass (feature extraction → batched inference) as
+    * a reusable frame: q57 exposes it raw, q58 samples from it.
+    */
+  private[graft] def scoredDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val features = Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("int").as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars"),
+        expr("CAST(size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS INT)")
+          .as("stop_hits"))
+      .as[DocFeatures]
+    score(features).toDF()
+  }
+
   val q57_classifier_filter: GraftQuery = GraftQuery(
     "q57_classifier_filter",
-    (s, dir) => {
-      import s.implicits._
-      val features = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
-            .cast("int").as("n_tokens"),
-          length(col("text")).cast("int").as("n_chars"),
-          expr("CAST(size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS INT)")
-            .as("stop_hits"))
-        .as[DocFeatures]
-      score(features).toDF()
-    },
+    (s, dir) => scoredDocs(s, dir),
     Some("""SELECT doc_id,
            |  CAST(s AS DOUBLE) / CAST(1 + ABS(s) AS DOUBLE) AS score,
            |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
@@ -87,5 +93,64 @@ object InferenceOps {
            |  FROM documents) t""".stripMargin)
   )
 
-  val all: Seq[GraftQuery] = Seq(q57_classifier_filter)
+  /** Classifier-scored stratified sampling — the step after the gate:
+    * bucket the corpus into quality STRATA by classifier score, then
+    * draw a deterministic per-stratum sample with quality-weighted
+    * caps (better strata keep more). This is how a curated training
+    * mix is actually drawn — sample within quality bands, not
+    * uniformly — and the whole pass is ONE corpus scan: scoring is
+    * partition-preserving map work, and the bounded-heap TopKPerGroup
+    * moves at most `maxCap` rows per stratum per partition through the
+    * single shuffle (no window sort, no full-corpus exchange).
+    *
+    * Scores and boundaries are exact doubles (the rational squash),
+    * and the in-stratum order is the same md5 draw as q45, so the full
+    * sample carries a hash-exact DuckDB oracle.
+    */
+  val q58_classifier_strata: GraftQuery = {
+    val caps = Seq(3 -> 40, 2 -> 30, 1 -> 20, 0 -> 10)
+    val maxCap = caps.map(_._2).max
+    GraftQuery(
+      "q58_classifier_strata",
+      (s, dir) => {
+        val strata = scoredDocs(s, dir)
+          .withColumn("stratum",
+            when(col("score") >= 0.5, 3)
+              .when(col("score") >= 0.0, 2)
+              .when(col("score") >= -0.5, 1)
+              .otherwise(0))
+          .withColumn("rnd", md5(col("doc_id").cast("string")))
+        val cap = caps.tail.foldLeft(when(col("stratum") === caps.head._1,
+          caps.head._2)) { case (c, (st, k)) => c.when(col("stratum") === st, k) }
+        graft.plans.TopKPerGroup(strata,
+          Seq(col("stratum")), Seq(col("rnd").asc, col("doc_id").asc), maxCap,
+          rank = Some("rk"))
+          .filter(col("rk") <= cap)
+          .select(col("stratum"), col("doc_id"), col("score"), col("rk"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    CAST(s AS DOUBLE) / CAST(1 + ABS(s) AS DOUBLE) AS score
+             |  FROM (
+             |    SELECT doc_id,
+             |      3 * (length(text) - length(replace(text, ' ', '')) + 1)
+             |        - length(text)
+             |        + 40 * len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))
+             |        - 25 AS s
+             |    FROM documents) t),
+             |st AS (
+             |  SELECT doc_id, score,
+             |    CASE WHEN score >= 0.5 THEN 3 WHEN score >= 0.0 THEN 2
+             |         WHEN score >= -0.5 THEN 1 ELSE 0 END AS stratum
+             |  FROM scored)
+             |SELECT stratum, doc_id, score, rk FROM (
+             |  SELECT stratum, doc_id, score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+             |  FROM st) r
+             |WHERE rk <= CASE stratum WHEN 3 THEN 40 WHEN 2 THEN 30
+             |                         WHEN 1 THEN 20 ELSE 10 END""".stripMargin))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q57_classifier_filter, q58_classifier_strata)
 }

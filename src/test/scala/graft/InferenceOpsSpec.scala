@@ -33,6 +33,32 @@ class InferenceOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
 
+  test("q58 respects per-stratum caps and is deterministic") {
+    val out = InferenceOps.q58_classifier_strata.run(spark, sfDir).collect()
+    val caps = Map(3 -> 40, 2 -> 30, 1 -> 20, 0 -> 10)
+    val byStratum = out.groupBy(_.getAs[Int]("stratum"))
+    assert(byStratum.nonEmpty)
+    byStratum.foreach { case (st, rows) =>
+      assert(caps.contains(st), s"unexpected stratum $st")
+      assert(rows.length <= caps(st), s"stratum $st over cap: ${rows.length}")
+      // ranks are 1..n within the stratum
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length))
+      // every sampled row's score is inside its stratum's band
+      rows.foreach { r =>
+        val sc = r.getAs[Double]("score")
+        st match {
+          case 3 => assert(sc >= 0.5)
+          case 2 => assert(sc >= 0.0 && sc < 0.5)
+          case 1 => assert(sc >= -0.5 && sc < 0.0)
+          case 0 => assert(sc < -0.5)
+        }
+      }
+    }
+    // determinism: the md5 draw makes re-runs identical
+    val again = InferenceOps.q58_classifier_strata.run(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("scores are the exact integer rational (cross-engine reproducible)") {
     // s = 3*n_tokens - n_chars + 40*stop_hits - 25; score = s/(1+|s|)
     val f = DocFeatures(1L, n_tokens = 10, n_chars = 20, stop_hits = 1)
