@@ -74,15 +74,57 @@ object GraphOps {
   private[graft] def pageRank(
       s: org.apache.spark.sql.SparkSession, dir: String,
       maxIters: Int = PageRankIters,
-      tol: Option[Double] = None): org.apache.spark.sql.DataFrame = {
-    val e = edges(s, dir).localCheckpoint(false)
+      tol: Option[Double] = None): org.apache.spark.sql.DataFrame =
+    top100(pageRankWithStats(s, dir, maxIters, tol, init = None)._1)
+
+  /** The q51 serving projection over a full ranks frame. */
+  private[graft] def top100(ranks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ranks.orderBy(col("rank").desc, col("host").asc).limit(100)
+      .select(col("host"), round(col("rank"), 6).as("rank"))
+
+  /** Full-control variant: `init` warm-starts the power method from a
+    * previous (host, rank) frame — the INCREMENTAL path when segments
+    * arrive as deltas. New hosts enter at the cold-start 1.0, vanished
+    * hosts drop out via the inner join to the current node set, and
+    * because the damped update is a contraction no rescaling is needed:
+    * a warm start near the fixed point just converges in FEWER
+    * iterations (with `tol` set, each saved iteration is a saved
+    * join+agg over the whole graph — at 100 TB that is the entire cost
+    * of rank maintenance under incremental import). Returns the ranks
+    * and the number of iterations actually run.
+    */
+  private[graft] def pageRankWithStats(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxIters: Int = PageRankIters,
+      tol: Option[Double] = None,
+      init: Option[org.apache.spark.sql.DataFrame] = None)
+      : (org.apache.spark.sql.DataFrame, Int) =
+    pageRankOnEdges(edges(s, dir), maxIters, tol, init)
+
+  /** Core power method over an arbitrary (src, dst) edge frame — the
+    * incremental path feeds it the CURRENT store's edges and the
+    * PREVIOUS run's ranks.
+    */
+  private[graft] def pageRankOnEdges(
+      edgeFrame: org.apache.spark.sql.DataFrame,
+      maxIters: Int = PageRankIters,
+      tol: Option[Double] = None,
+      init: Option[org.apache.spark.sql.DataFrame] = None)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val e = edgeFrame.localCheckpoint(false)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst")))
       .distinct()
       .localCheckpoint(false)
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    var ranks = nodes.withColumn("rank", lit(1.0))
+    var ranks = init.fold(nodes.withColumn("rank", lit(1.0))) { prev =>
+      nodes.join(prev.select(col("host").as("ph"), col("rank").as("prank")),
+        col("host") === col("ph"), "left")
+        .select(col("host"), coalesce(col("prank"), lit(1.0)).as("rank"))
+        .localCheckpoint(false)
+    }
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -118,8 +160,7 @@ object GraphOps {
       ranks = next
       iter += 1
     }
-    ranks.orderBy(col("rank").desc, col("host").asc).limit(100)
-      .select(col("host"), round(col("rank"), 6).as("rank"))
+    (ranks, iter) // FULL frame — reusable as the next run's `init`
   }
 
   val q51_pagerank: GraftQuery = GraftQuery(

@@ -62,6 +62,34 @@ class GraphOpsSpec extends SparkSpec {
     loose.foreach(r => assert(r.getAs[Double]("rank") >= 0.15 - 1e-9))
   }
 
+  test("incremental PageRank: warm start converges in fewer iterations, same ranking") {
+    import spark.implicits._
+    // base graph: a chain with a hub, then a small delta (two new edges,
+    // one new host) — the shape of one incoming segment
+    val base = Seq(
+      "a" -> "hub", "b" -> "hub", "c" -> "hub", "hub" -> "d",
+      "d" -> "e", "e" -> "a", "f" -> "hub", "g" -> "f").toDF("src", "dst")
+    val delta = Seq("h" -> "hub", "d" -> "h").toDF("src", "dst")
+    val grown = base.union(delta)
+    val tol = Some(1e-9)
+    // previous ranks: converge on the base graph
+    val (prev, _) = GraphOps.pageRankOnEdges(base, maxIters = 200, tol = tol)
+    val prevMat = prev.localCheckpoint() // freeze: init must not re-iterate
+    // cold vs warm on the grown graph
+    val (coldRanks, coldIters) =
+      GraphOps.pageRankOnEdges(grown, maxIters = 200, tol = tol)
+    val (warmRanks, warmIters) =
+      GraphOps.pageRankOnEdges(grown, maxIters = 200, tol = tol, init = Some(prevMat))
+    assert(warmIters < coldIters,
+      s"warm start must save iterations: warm=$warmIters cold=$coldIters")
+    // identical fixed point (rounded serving projection)
+    val cold = GraphOps.top100(coldRanks).collect().map(_.toString).toSeq
+    val warm = GraphOps.top100(warmRanks).collect().map(_.toString).toSeq
+    assert(cold == warm, "warm and cold runs must agree at the fixed point")
+    // the new host entered the ranking
+    assert(cold.exists(_.contains("h")), "delta host must appear")
+  }
+
   test("q51 ranks sinks above isolated expectation when they attract links") {
     // hosts that many pages link to must outrank the teleport floor
     val out = GraphOps.q51_pagerank.run(spark, sfDir).collect()
