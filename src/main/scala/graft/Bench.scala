@@ -16,23 +16,33 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     // two timed runs per query, best-of: first execution pays JIT +
     // codegen compilation that a long-lived cluster amortizes away
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // best-of-two, retrying even after a first-run failure (a transient
-      // error shouldn't mark the query failed if the retry succeeds);
-      // when the two runs disagree wildly on a non-trivial query the
-      // machine was likely contended — spend ONE more rep so a single
-      // noisy window can't sign the recorded number
-      val b = (once(), once()) match {
-        case (a, r) if a < 0 || r < 0 => math.max(a, r) // at most one good run
-        case (a, r) if math.min(a, r) > 0.5 &&
-          math.abs(a - r) > math.min(a, r) => math.min(math.min(a, r), once())
-        case (a, r) => math.min(a, r)
-      }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // INTERLEAVED passes: the full suite runs twice end-to-end, so the
+    // two samples of any one query are minutes apart — a contended
+    // stretch of the sweep (r5 recorded q41 at 3.8x steady-state from
+    // two back-to-back reps inside one noisy window) can no longer
+    // sign BOTH samples of the same query. Per-query minima across
+    // passes; a transient failure in one pass must not mark a query
+    // failed if the other pass succeeded.
+    val pass1 = named.map { case (n, fn) => n -> once(fn) }.toMap
+    val pass2 = named.map { case (n, fn) => n -> once(fn) }.toMap
+    val results = named.map { case (name, fn) =>
+      val (a, r) = (pass1(name), pass2(name))
+      val b =
+        if (a < 0 || r < 0) math.max(a, r) // at most one good run
+        else if (math.min(a, r) > 0.5 && math.abs(a - r) > math.min(a, r)) {
+          // residual cross-pass disagreement on a non-trivial query:
+          // spend ONE tie-break rep — but a failed rep returns the -1
+          // sentinel, which must not demote two good samples to "failed"
+          val c = once(fn)
+          if (c < 0) math.min(a, r) else math.min(math.min(a, r), c)
+        } else math.min(a, r)
       name -> b
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -182,8 +182,14 @@ final class LinkApiServer(
     */
   private def isMissingRoot(e: Throwable): Boolean = {
     val msgs = causeChainText(e)
-    msgs.contains("PATH_NOT_FOUND") && !msgs.contains("_gen-")
+    // the generation dir must appear as an actual PATH SEGMENT
+    // (/_gen-<n> followed by a non-word char or end): a plain
+    // substring test would let a misconfigured root whose own path
+    // contains "_gen-" eat the full retry budget on every request
+    msgs.contains("PATH_NOT_FOUND") && !GenSegment.matcher(msgs).find()
   }
+
+  private val GenSegment = java.util.regex.Pattern.compile("[/\\\\]_gen-\\d+\\b")
 
   /** True when `e`'s cause chain (or executor-side stack flattened into
     * a message) indicates files/paths that vanished under a reader.

@@ -64,6 +64,12 @@ object WarcSource {
           // transparently — exactly WARC's member-per-record layout
           if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
           else raw
+        // parseWarc closes on exhaustion; a PARTIALLY consumed iterator
+        // (a limit/take over records) would otherwise hold the file
+        // handle for the task's lifetime — close on task completion too
+        // (InputStream.close is idempotent, double-close is safe)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         parseWarc(file, in, maxBodyBytes)
       }
       .toDF()
@@ -184,9 +190,12 @@ object WarcSource {
   private val HeadLinkRe = "(?is)<link\\b[^>]*>"
 
   private def attr(frag: org.apache.spark.sql.Column, name: String) = {
-    val dquoted = "(?is)\\b" + name + "\\s*=\\s*\"([^\"]*)\""
-    val squoted = "(?is)\\b" + name + "\\s*=\\s*'([^']*)'"
-    val bare = "(?is)\\b" + name + "\\s*=\\s*([^\\s>\"']+)"
+    // (?<![\w-]) not \b: '-' is a word BOUNDARY, so \b would let a
+    // hyphenated attribute match its suffix (<meta data-name="x">
+    // extracted as name="x", misattributing robots metas / rel gates)
+    val dquoted = "(?is)(?<![\\w-])" + name + "\\s*=\\s*\"([^\"]*)\""
+    val squoted = "(?is)(?<![\\w-])" + name + "\\s*=\\s*'([^']*)'"
+    val bare = "(?is)(?<![\\w-])" + name + "\\s*=\\s*([^\\s>\"']+)"
     coalesce(
       nullifEmpty(regexp_extract(frag, dquoted, 1)),
       nullifEmpty(regexp_extract(frag, squoted, 1)),

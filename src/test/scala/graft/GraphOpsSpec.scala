@@ -86,8 +86,10 @@ class GraphOpsSpec extends SparkSpec {
     val cold = GraphOps.top100(coldRanks).collect().map(_.toString).toSeq
     val warm = GraphOps.top100(warmRanks).collect().map(_.toString).toSeq
     assert(cold == warm, "warm and cold runs must agree at the fixed point")
-    // the new host entered the ranking
-    assert(cold.exists(_.contains("h")), "delta host must appear")
+    // the new host entered the ranking — on the exact host field (a
+    // substring test would be trivially satisfied by "hub")
+    val coldHosts = GraphOps.top100(coldRanks).collect().map(_.getString(0)).toSet
+    assert(coldHosts.contains("h"), "delta host must appear")
   }
 
   test("q51 ranks sinks above isolated expectation when they attract links") {
