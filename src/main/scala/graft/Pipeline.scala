@@ -206,11 +206,15 @@ object Pipeline {
     * resolved it always finishes against intact files; readers that
     * outlive two folds are healed by the serving layer's rebind-retry
     * (LinkApiServer.queryWithRetry). Single writer per store root,
-    * as before (autoFold runs folds inline on the import thread).
+    * ENFORCED by the [[graft.sinks.StoreLease]] writer lease: a second
+    * scheduled rewrite refuses loudly instead of racing
+    * StoreGen.prepare's stray-generation prune.
     */
   private def safeRewrite(spark: SparkSession, path: String,
       write: String => Unit): Unit =
-    graft.sinks.StoreGen.publish(spark, path, write)
+    graft.sinks.StoreLease.withLease(spark, path) {
+      graft.sinks.StoreGen.publish(spark, path, write)
+    }
 
   /** Segment ids already folded into a main store: the `_FOLDED`
     * ledger file the fold writes INTO the generation's data directory
@@ -253,9 +257,30 @@ object Pipeline {
     * rerun after a crash at ANY point folds only what's missing and
     * never double-counts qty; segment directories are deleted only
     * after BOTH stores' ledgers cover them. Calling this with nothing
-    * new to fold is a no-op, so it can run on a schedule.
+    * new to fold is a no-op, so it can run on a schedule — and because
+    * "run on a schedule" invites a SECOND scheduler, the whole fold
+    * runs under the [[graft.sinks.StoreLease]] writer leases of both
+    * stores (links acquired first, then pages — every multi-lease
+    * caller must keep that order): a concurrent fold gets a loud
+    * [[graft.sinks.LeaseHeldException]] before touching anything,
+    * instead of racing StoreGen.prepare's prune of the other writer's
+    * in-flight generation. A holder that dies mid-fold goes stale
+    * after [[graft.sinks.StoreLease.DefaultStaleMs]] and the ledger
+    * protocol makes the rerun fold exactly what's missing.
+    *
+    * `onLeased` is a test seam (and natural progress hook) invoked
+    * once both leases are held, before any data moves.
     */
-  def foldSegments(spark: SparkSession, outDir: String): Unit = {
+  def foldSegments(spark: SparkSession, outDir: String,
+      onLeased: () => Unit = () => ()): Unit =
+    graft.sinks.StoreLease.withLease(spark, s"$outDir/links") {
+      graft.sinks.StoreLease.withLease(spark, s"$outDir/pages") {
+        onLeased()
+        foldSegmentsLeased(spark, outDir)
+      }
+    }
+
+  private def foldSegmentsLeased(spark: SparkSession, outDir: String): Unit = {
     val completed = SegmentManifest.completedSegments(spark, outDir)
     val linksLedger = foldedSegments(spark, s"$outDir/links")
     val pagesLedger = foldedSegments(spark, s"$outDir/pages")

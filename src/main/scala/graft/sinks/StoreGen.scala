@@ -33,10 +33,12 @@ import org.apache.spark.sql.SparkSession
   *     root itself until a pointer exists (layout auto-migrates on the
   *     first publish, which prunes the legacy files after the pointer
   *     lands).
-  *   - Single writer (unchanged from rename-swap, and satisfied by the
-  *     import thread running folds inline): concurrent publishes to
-  *     one root would race the generation numbering, not corrupt a
-  *     committed generation.
+  *   - Single writer (unchanged from rename-swap): concurrent publishes
+  *     to one root would race the generation numbering, not corrupt a
+  *     committed generation. ENFORCED by the callers through
+  *     [[StoreLease]] (create-exclusive `_LEASE` + heartbeat):
+  *     Pipeline.foldSegments / compactStream / safeRewrite refuse
+  *     loudly instead of racing [[prepare]]'s stray-generation prune.
   *
   * Crash points: before [[commit]]'s pointer rename the live store is
   * untouched (a stray prepared `_gen-*` is deleted by the next
@@ -121,14 +123,20 @@ object StoreGen {
       .foreach(g => f.delete(new Path(root, s"$GenPrefix$g"), true))
     // prune legacy plain-layout remains (part files, domain_bucket=*,
     // _SUCCESS, a root-level _FOLDED): everything that is neither a
-    // generation dir, the pointer, nor a dot-prefixed checksum sidecar
+    // generation dir, the pointer, a dot-prefixed checksum sidecar
     // (deleting ._CURRENT.crc would fail later checksummed reads of
-    // the pointer on local filesystems). In-flight legacy readers
+    // the pointer on local filesystems), nor the writer lease (the
+    // committing writer HOLDS it — deleting it here would hand the
+    // root to a second writer mid-commit). In-flight legacy readers
     // rebind via the serving retry; after this, root holds only the
-    // protocol entries.
+    // protocol entries. NOTE this loop is an ALLOWLIST: any future
+    // root-level sibling artifact must either ride INSIDE the
+    // generation dir (like _FOLDED and _RANKS do) or be added here,
+    // or the first commit will silently delete it.
     f.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
-      if (!n.startsWith(GenPrefix) && n != Pointer && !n.startsWith("."))
+      if (!n.startsWith(GenPrefix) && n != Pointer && !n.startsWith(".") &&
+          n != StoreLease.LeaseFile)
         f.delete(st.getPath, true)
     }
   }

@@ -1,0 +1,131 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** A concurrent writer asked for a store root another writer holds. */
+final class LeaseHeldException(msg: String) extends RuntimeException(msg)
+
+/** Writer lease on a store root — the multi-writer guard the generation
+  * protocol itself deliberately does not provide ([[StoreGen]] scaladoc:
+  * "single writer"). Without it, two scheduled `foldSegments` /
+  * `compactStream` writers both compute `next = cur + 1` and each
+  * `prepare` deletes generations above `_CURRENT` — i.e. the OTHER
+  * writer's in-flight `_gen` dir — so the race ends in a deleted-dir
+  * job failure or a last-commit-wins pointer.
+  *
+  * Protocol: a `root/_LEASE` file created EXCLUSIVELY (create with
+  * overwrite=false — atomic on local/HDFS) holding the owner id; a
+  * daemon heartbeat refreshes the file's mtime every `staleMs / 3`, so
+  * a lease whose mtime is older than `staleMs` belongs to a DEAD holder
+  * (crashed before release) and may be broken by the next acquirer.
+  * A live lease is refused LOUDLY ([[LeaseHeldException]]) — a refused
+  * fold is a scheduling no-op to retry, never silent corruption.
+  *
+  * Object-store caveat (same family as StoreGen's pointer-swap note):
+  * S3-style stores implement create-exclusive as check-then-write, so
+  * two writers racing within one round-trip can both "win"; there, back
+  * this file with the store's conditional-put primitive. On
+  * local/HDFS — and for the real failure mode here, two SCHEDULED folds
+  * minutes apart — the exclusive create is authoritative.
+  */
+object StoreLease {
+
+  val LeaseFile = "_LEASE"
+
+  /** Default staleness: generous against long GC pauses (the heartbeat
+    * only has to land once per window), short against a crashed holder
+    * blocking the schedule for hours.
+    */
+  val DefaultStaleMs: Long = 10L * 60 * 1000
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def defaultHolder(): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    s"$host:pid-${ProcessHandle.current().pid()}:t-${Thread.currentThread().getId}"
+  }
+
+  /** A held lease: heartbeats until [[release]]. Always release in a
+    * `finally` (or use [[withLease]]); an unreleased lease parks the
+    * root until staleness.
+    */
+  final class Lease private[StoreLease] (
+      f: FileSystem, val path: Path, val holder: String, staleMs: Long) {
+    @volatile private var released = false
+    private val beat = new Thread(() => {
+      try while (!released) {
+        Thread.sleep(math.max(staleMs / 3, 50L))
+        // mtime refresh, not a rewrite: readers of the lease file never
+        // observe a partially written holder id
+        if (!released) f.setTimes(path, System.currentTimeMillis(), -1)
+      } catch {
+        case _: InterruptedException => () // release() woke us
+        case _: java.io.IOException => () // root vanished: stop beating
+      }
+    }, s"graft-lease-heartbeat:$path")
+    beat.setDaemon(true)
+    beat.start()
+
+    def release(): Unit = {
+      released = true
+      beat.interrupt()
+      try f.delete(path, false)
+      catch { case _: java.io.IOException => () } // already gone: released either way
+    }
+  }
+
+  /** Acquire the writer lease on `root`, breaking a stale one; throws
+    * [[LeaseHeldException]] when a live holder has it.
+    */
+  def acquire(spark: SparkSession, root: String,
+      holder: String = defaultHolder(),
+      staleMs: Long = DefaultStaleMs): Lease = {
+    require(staleMs > 0, s"staleMs must be positive, got $staleMs")
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val p = new Path(root, LeaseFile)
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(p, false) // overwrite=false: create-EXCLUSIVE
+        try out.write(s"$holder\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false } // incl. FileAlreadyExists
+    def refuse(): Nothing = {
+      val who =
+        try {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .nextOption().getOrElse("unknown")
+          finally in.close()
+        } catch { case _: java.io.IOException => "unknown" }
+      throw new LeaseHeldException(
+        s"store root $root is write-leased by '$who' ($LeaseFile present and " +
+          s"fresh within ${staleMs}ms) — concurrent fold/compact refused; " +
+          "retry after the holder releases or goes stale")
+    }
+    if (!tryCreate()) {
+      val stale =
+        try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime > staleMs
+        catch { case _: java.io.FileNotFoundException => true } // released between checks
+      if (!stale) refuse()
+      // dead holder: break the lease. Two breakers both reach the
+      // delete, but only ONE wins the exclusive re-create.
+      try f.delete(p, false) catch { case _: java.io.IOException => () }
+      if (!tryCreate()) refuse()
+    }
+    new Lease(f, p, holder, staleMs)
+  }
+
+  /** Run `body` under the writer lease on `root`; release on all exits. */
+  def withLease[A](spark: SparkSession, root: String,
+      holder: String = defaultHolder(),
+      staleMs: Long = DefaultStaleMs)(body: => A): A = {
+    val lease = acquire(spark, root, holder, staleMs)
+    try body finally lease.release()
+  }
+}

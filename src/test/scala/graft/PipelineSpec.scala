@@ -306,4 +306,68 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.autoFold(spark, outC, threshold = 1), "at threshold: folds")
     assert(Pipeline.foldedSegments(spark, s"$outC/links").size == 1)
   }
+
+  test("concurrent folds: one winner, one clean refusal, sequential-equivalent store") {
+    import graft.sinks.LeaseHeldException
+    import org.apache.spark.sql.functions.{col, sum}
+    val fixture = new WatSourceSpec {}.fixturePath
+    def segCopy(name: String): String = {
+      val dd = Files.createTempDirectory(name)
+      val ff = dd.resolve("part.wat.gz")
+      Files.copy(java.nio.file.Paths.get(fixture), ff)
+      ff.toString
+    }
+    def manifestOf(fs: Seq[String]): String = {
+      val m = Files.createTempFile("cf", ".paths")
+      Files.writeString(m, fs.mkString("", "\n", "\n"))
+      m.toString
+    }
+    val filesA = Seq(segCopy("cfa"), segCopy("cfb"))
+    val out = Files.createTempDirectory("cfstore").toString
+    Pipeline.importManifest(spark, manifestOf(filesA), out)
+
+    // writer A: a fold held open mid-flight (leases down, no data moved
+    // yet) — the window where a second scheduler would previously race
+    // StoreGen.prepare's prune of A's in-flight generation
+    val leased = new java.util.concurrent.CountDownLatch(1)
+    val unblock = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aFailure: Throwable = null
+    val a = new Thread(() => {
+      try Pipeline.foldSegments(spark, out,
+        onLeased = () => { leased.countDown(); unblock.await() })
+      catch { case t: Throwable => aFailure = t }
+    }, "writer-a")
+    a.start()
+    assert(leased.await(30, java.util.concurrent.TimeUnit.SECONDS), "A must lease")
+
+    // writer B: refused LOUDLY while A holds the lease, before touching
+    // anything — no stray generation dirs, no pointer movement
+    intercept[LeaseHeldException](Pipeline.foldSegments(spark, out))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/links/_CURRENT")),
+      "the refused fold must not have published anything")
+
+    unblock.countDown()
+    a.join(120000)
+    assert(aFailure == null, s"winner must complete cleanly: $aFailure")
+
+    // B's retry after the winner: the ledger covers both segments → no-op
+    Pipeline.foldSegments(spark, out)
+
+    // the contended store equals a sequential fold of identical segments
+    val filesB = Seq(segCopy("cfc"), segCopy("cfd"))
+    val outSeq = Files.createTempDirectory("cfseq").toString
+    Pipeline.importManifest(spark, manifestOf(filesB), outSeq)
+    Pipeline.foldSegments(spark, outSeq)
+    def canon(o: String): (Seq[String], Long) = {
+      val df = Pipeline.links(spark, o).drop("domain_bucket")
+      (df.collect().map(_.toString).sorted.toSeq,
+        df.agg(sum(col("qty"))).head().getLong(0))
+    }
+    assert(canon(out) == canon(outSeq),
+      "contended fold + refused retry must equal sequential folding")
+    // leases released: a later scheduled fold is free to run
+    Pipeline.foldSegments(spark, out)
+  }
 }
