@@ -270,17 +270,51 @@ object Pipeline {
     *
     * `onLeased` is a test seam (and natural progress hook) invoked
     * once both leases are held, before any data moves.
+    *
+    * `maintainRanks`: carry host PageRank across folds incrementally.
+    * The ranks live INSIDE the links generation dir (`_RANKS` parquet —
+    * underscore-prefixed like `_FOLDED`, so data readers never see it
+    * and the atomic pointer swap publishes data, ledger and ranks
+    * together). Each fold warm-starts the power method from the
+    * PREVIOUS generation's ranks on the NEW edge set
+    * ([[graft.operators.GraphOps.pageRankOnEdges]] `init`): the damped
+    * update is a contraction, so a start near the fixed point converges
+    * to the same ranking in FEWER iterations — and each saved iteration
+    * is a saved join+agg over the whole graph, which at 100 TB is the
+    * entire cost of rank maintenance under incremental import. Read
+    * them back with [[hostRanks]]. Pass it on EVERY scheduled fold:
+    * a fold without it publishes a generation with no `_RANKS`, and
+    * the next maintaining fold cold-starts.
     */
   def foldSegments(spark: SparkSession, outDir: String,
-      onLeased: () => Unit = () => ()): Unit =
+      onLeased: () => Unit = () => (),
+      maintainRanks: Boolean = false,
+      rankTol: Double = 1e-6,
+      rankMaxIters: Int = 200): FoldStats =
     graft.sinks.StoreLease.withLease(spark, s"$outDir/links") {
       graft.sinks.StoreLease.withLease(spark, s"$outDir/pages") {
         onLeased()
-        foldSegmentsLeased(spark, outDir)
+        foldSegmentsLeased(spark, outDir, maintainRanks, rankTol, rankMaxIters)
       }
     }
 
-  private def foldSegmentsLeased(spark: SparkSession, outDir: String): Unit = {
+  final case class FoldStats(
+      foldedLinks: Seq[String], foldedPages: Seq[String], rankIters: Option[Int])
+
+  /** The `_RANKS` artifact of the LIVE links generation, if a
+    * maintainRanks fold has published one.
+    */
+  def hostRanks(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val resolved = graft.sinks.StoreGen.resolve(spark, s"$outDir/links")
+    val p = new org.apache.hadoop.fs.Path(resolved, RanksArtifact)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private val RanksArtifact = "_RANKS"
+
+  private def foldSegmentsLeased(spark: SparkSession, outDir: String,
+      maintainRanks: Boolean, rankTol: Double, rankMaxIters: Int): FoldStats = {
     val completed = SegmentManifest.completedSegments(spark, outDir)
     val linksLedger = foldedSegments(spark, s"$outDir/links")
     val pagesLedger = foldedSegments(spark, s"$outDir/pages")
@@ -290,6 +324,7 @@ object Pipeline {
     val pagesToFold = completed.filterNot(pagesLedger)
 
     var linksGen = -1L
+    var rankIters: Option[Int] = None
     if (linksToFold.nonEmpty) {
       val segs = segmentLinksOf(spark, outDir, linksToFold)
       val existing =
@@ -299,6 +334,19 @@ object Pipeline {
       linksGen = graft.sinks.StoreGen.prepare(spark, s"$outDir/links", tmp => {
         LinkStore.write(LinkCompaction.compact(all), tmp)
         writeLedger(spark, tmp, linksLedger ++ linksToFold)
+        if (maintainRanks) {
+          // edges from the MATERIALIZED new generation (cheaper than
+          // recompacting), warm-started from the LIVE generation's
+          // ranks — both exist simultaneously only here, between the
+          // data write and the pointer swap
+          val edges = graft.operators.GraphOps.edgesOf(
+            LinkStore.read(spark, tmp).drop("domain_bucket"))
+          val (ranks, iters) = graft.operators.GraphOps.pageRankOnEdges(
+            edges, maxIters = rankMaxIters, tol = Some(rankTol),
+            init = hostRanks(spark, outDir))
+          ranks.write.mode("overwrite").parquet(s"$tmp/$RanksArtifact")
+          rankIters = Some(iters)
+        }
       })
     }
     var pagesGen = -1L
@@ -332,6 +380,7 @@ object Pipeline {
     for (id <- completed if inBoth(id))
       fs.delete(new org.apache.hadoop.fs.Path(
         SegmentManifest.segmentDir(outDir, id)), true)
+    FoldStats(linksToFold, pagesToFold, rankIters)
   }
 
   /** Materialize one segment's WAT files into `stagingDir` with bounded

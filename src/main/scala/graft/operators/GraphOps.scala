@@ -11,15 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Distinct (src page host → dst link host) edges. */
-  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.links(s, dir)
+  /** Distinct (src page host → dst link host) edges from any frame in
+    * the compacted-link schema — the testdata `links` table and the
+    * pipeline's folded store share it, so the SAME extraction feeds
+    * q51/q52 and the store-maintained incremental ranks
+    * (Pipeline.foldSegments(maintainRanks = true)).
+    */
+  private[graft] def edgesOf(links: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    links
       .select(col("page_host").as("src"),
         concat(
           when(col("link_subdomain") === "", lit(""))
             .otherwise(concat(col("link_subdomain"), lit("."))),
           col("link_domain")).as("dst"))
       .distinct()
+
+  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    edgesOf(Tables.links(s, dir))
 
   /** In-degree distribution — the power-law histogram every link-graph
     * audit starts with: for each in-degree (distinct linking hosts),

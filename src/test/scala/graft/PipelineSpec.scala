@@ -370,4 +370,71 @@ class PipelineSpec extends SparkSpec {
     // leases released: a later scheduled fold is free to run
     Pipeline.foldSegments(spark, out)
   }
+
+  test("maintainRanks folds carry PageRank across deltas: same ranking, fewer iterations") {
+    import graft.operators.GraphOps
+    // delta 2 is a DIFFERENT segment: two new pages linking to new
+    // hosts, so the second fold genuinely grows the graph
+    def watSeg(name: String, lines: Seq[String]): String = {
+      val d = Files.createTempDirectory(name)
+      val f = d.resolve("part.wat.gz").toFile
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f)), "UTF-8"))
+      lines.foreach(l => w.write(l + "\n"))
+      w.close()
+      f.getAbsolutePath
+    }
+    def page(uri: String, links: Seq[(String, String)]): String = {
+      val linksJson = links.map { case (url, text) =>
+        s"""{"path":"A@/href","url":"$url","text":"$text","rel":""}"""
+      }.mkString("[", ",", "]")
+      s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-IP-Address":"1.1.1.1","WARC-Date":"2024-05-01T12:00:00Z"},""" +
+        s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[],"Link":[]},"Links":$linksJson}}}}}"""
+    }
+    val seg1 = watSeg("rkseg1", Seq(
+      page("http://www.alpha.com/a", Seq(
+        "http://hub.example.com/x" -> "h", "http://beta.org/b" -> "b")),
+      page("http://beta.org/idx", Seq(
+        "http://hub.example.com/y" -> "h", "http://gamma.net/g" -> "g"))))
+    val seg2 = watSeg("rkseg2", Seq(
+      page("http://www.delta.io/d", Seq(
+        "http://hub.example.com/z" -> "h", "http://newhost.com/n" -> "n")),
+      page("http://gamma.net/p", Seq("http://newhost.com/m" -> "n"))))
+    val out = Files.createTempDirectory("rkstore").toString
+    def manifestOf(fs: Seq[String]): String = {
+      val m = Files.createTempFile("rk", ".paths")
+      Files.writeString(m, fs.mkString("", "\n", "\n"))
+      m.toString
+    }
+    val tol = 1e-9
+
+    // delta 1: cold start (no previous _RANKS artifact)
+    assert(Pipeline.hostRanks(spark, out).isEmpty)
+    Pipeline.importManifest(spark, manifestOf(Seq(seg1)), out)
+    val f1 = Pipeline.foldSegments(spark, out, maintainRanks = true, rankTol = tol)
+    assert(f1.rankIters.nonEmpty && f1.rankIters.get > 1, "cold start iterates")
+    val r1 = Pipeline.hostRanks(spark, out).get
+    assert(r1.columns.toSeq == Seq("host", "rank"))
+
+    // delta 2: warm start from the published generation's ranks
+    Pipeline.importManifest(spark, manifestOf(Seq(seg1, seg2)), out)
+    val f2 = Pipeline.foldSegments(spark, out, maintainRanks = true, rankTol = tol)
+    val maintained = Pipeline.hostRanks(spark, out).get
+
+    // cold recompute over the SAME final store edges, same tol
+    val (coldRanks, coldIters) = GraphOps.pageRankOnEdges(
+      GraphOps.edgesOf(Pipeline.links(spark, out).drop("domain_bucket")),
+      maxIters = 500, tol = Some(tol))
+    assert(f2.rankIters.get < coldIters,
+      s"warm-start fold must save iterations: warm=${f2.rankIters.get} cold=$coldIters")
+    val warmTop = GraphOps.top100(maintained).collect().map(_.toString).toSeq
+    val coldTop = GraphOps.top100(coldRanks).collect().map(_.toString).toSeq
+    assert(warmTop == coldTop, "maintained ranks must match a cold recompute at tol")
+    // the second delta's new host is ranked
+    assert(maintained.collect().map(_.getString(0)).contains("newhost.com"))
+
+    // a fold with nothing new to fold leaves the ranks artifact intact
+    val f3 = Pipeline.foldSegments(spark, out, maintainRanks = true, rankTol = tol)
+    assert(f3.rankIters.isEmpty && Pipeline.hostRanks(spark, out).nonEmpty)
+  }
 }
