@@ -107,27 +107,46 @@ object InferenceOps {
     * and the in-stratum order is the same md5 draw as q45, so the full
     * sample carries a hash-exact DuckDB oracle.
     */
-  val q58_classifier_strata: GraftQuery = {
-    val caps = Seq(3 -> 40, 2 -> 30, 1 -> 20, 0 -> 10)
-    val maxCap = caps.map(_._2).max
+  /** Strata config: `boundaries` are DESCENDING score cut points,
+    * `caps(i)` is the sample cap for stratum `i` — stratum ids run
+    * `boundaries.length` (best, score >= boundaries.head) down to `0`
+    * (worst, below every boundary), so `caps.length ==
+    * boundaries.length + 1`. Swapping the model (a real fastText /
+    * ONNX session in [[scoreBatch]]) or re-tuning the curation mix
+    * changes ONE call site — the plan shape (single corpus scan,
+    * bounded-heap TopKPerGroup) is invariant to the config.
+    */
+  def classifierStrata(s: org.apache.spark.sql.SparkSession, dir: String,
+      boundaries: Seq[Double], caps: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(boundaries.nonEmpty && caps.length == boundaries.length + 1,
+      s"need boundaries.length + 1 caps, got ${boundaries.length} boundaries / ${caps.length} caps")
+    require(boundaries == boundaries.sorted(Ordering[Double].reverse),
+      s"boundaries must be strictly descending: $boundaries")
+    val top = boundaries.length // best stratum id
+    val strata = scoredDocs(s, dir)
+      .withColumn("stratum",
+        boundaries.zipWithIndex.tail.foldLeft(
+          when(col("score") >= boundaries.head, top)) {
+          case (c, (b, i)) => c.when(col("score") >= b, top - i)
+        }.otherwise(0))
+      .withColumn("rnd", md5(col("doc_id").cast("string")))
+    val capCol = caps.zipWithIndex.tail.foldLeft(
+      when(col("stratum") === 0, caps.head)) {
+      case (c, (k, st)) => c.when(col("stratum") === st, k)
+    }
+    graft.plans.TopKPerGroup(strata,
+      Seq(col("stratum")), Seq(col("rnd").asc, col("doc_id").asc), caps.max,
+      rank = Some("rk"))
+      .filter(col("rk") <= capCol)
+      .select(col("stratum"), col("doc_id"), col("score"), col("rk"))
+  }
+
+  val q58_classifier_strata: GraftQuery =
     GraftQuery(
       "q58_classifier_strata",
-      (s, dir) => {
-        val strata = scoredDocs(s, dir)
-          .withColumn("stratum",
-            when(col("score") >= 0.5, 3)
-              .when(col("score") >= 0.0, 2)
-              .when(col("score") >= -0.5, 1)
-              .otherwise(0))
-          .withColumn("rnd", md5(col("doc_id").cast("string")))
-        val cap = caps.tail.foldLeft(when(col("stratum") === caps.head._1,
-          caps.head._2)) { case (c, (st, k)) => c.when(col("stratum") === st, k) }
-        graft.plans.TopKPerGroup(strata,
-          Seq(col("stratum")), Seq(col("rnd").asc, col("doc_id").asc), maxCap,
-          rank = Some("rk"))
-          .filter(col("rk") <= cap)
-          .select(col("stratum"), col("doc_id"), col("score"), col("rk"))
-      },
+      // caps are WORST-first (stratum 0 → 10 … stratum 3 → 40)
+      (s, dir) => classifierStrata(s, dir,
+        boundaries = Seq(0.5, 0.0, -0.5), caps = Seq(10, 20, 30, 40)),
       Some("""WITH scored AS (
              |  SELECT doc_id,
              |    CAST(s AS DOUBLE) / CAST(1 + ABS(s) AS DOUBLE) AS score
@@ -150,7 +169,6 @@ object InferenceOps {
              |  FROM st) r
              |WHERE rk <= CASE stratum WHEN 3 THEN 40 WHEN 2 THEN 30
              |                         WHEN 1 THEN 20 ELSE 10 END""".stripMargin))
-  }
 
   val all: Seq[GraftQuery] = Seq(q57_classifier_filter, q58_classifier_strata)
 }

@@ -59,6 +59,24 @@ class InferenceOpsSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("classifierStrata honors arbitrary boundaries/caps (model-swap path)") {
+    // a 2-strata config: good (score >= 0) capped at 7, bad capped at 3
+    val out = InferenceOps.classifierStrata(spark, sfDir,
+      boundaries = Seq(0.0), caps = Seq(3, 7)).collect()
+    val byStratum = out.groupBy(_.getAs[Int]("stratum"))
+    assert(byStratum.keySet.subsetOf(Set(0, 1)))
+    assert(byStratum.getOrElse(1, Array.empty).length <= 7)
+    assert(byStratum.getOrElse(0, Array.empty).length <= 3)
+    out.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      if (r.getAs[Int]("stratum") == 1) assert(sc >= 0.0) else assert(sc < 0.0)
+    }
+    // misconfiguration fails loudly, not with a wrong sample
+    intercept[IllegalArgumentException] {
+      InferenceOps.classifierStrata(spark, sfDir, Seq(0.0, 0.5), Seq(1, 2, 3))
+    }
+  }
+
   test("scores are the exact integer rational (cross-engine reproducible)") {
     // s = 3*n_tokens - n_chars + 40*stop_hits - 25; score = s/(1+|s|)
     val f = DocFeatures(1L, n_tokens = 10, n_chars = 20, stop_hits = 1)

@@ -156,6 +156,26 @@ class WarcSourceSpec extends SparkSpec {
       ("ext2.co.uk", "sub", "deep x", 1)))
   }
 
+  test("q59: fixture WARC chain yields the exact expected link rollup") {
+    import graft.sources.WarcFixture
+    val out = graft.operators.WarcOps.q59_warc_links.run(spark, sfDir).collect()
+    // every kept link is one of the fixture's external anchors; chaff
+    // records (warcinfo/request/404/json/noindex/canonical) add zero
+    assert(out.map(_.getAs[Long]("qty")).sum == WarcFixture.ExpectedLinks.toLong)
+    // one output row per distinct external domain the formula reaches
+    val domains = (for {
+      f <- 0 until WarcFixture.Files
+      i <- 0 until WarcFixture.PagesPerFile
+      k <- 0 until WarcFixture.LinksPerPage
+    } yield (i * 7 + f * 11 + k) % WarcFixture.ExtDomains).toSet
+    assert(out.length == domains.size)
+    assert(out.map(_.getAs[String]("link_domain")).toSet ==
+      domains.map(d => s"ext$d.org"))
+    // rebuild-once: a second run reuses the materialized fixture
+    val again = graft.operators.WarcOps.q59_warc_links.run(spark, sfDir).collect()
+    assert(again.map(_.toString).sorted.toSeq == out.map(_.toString).sorted.toSeq)
+  }
+
   test("text: tags, script/style and entities stripped for the documents pipeline") {
     val html = record("response", "http://t.example.com/", "2024-01-01T00:00:00Z", "1.1.1.1",
       httpHtml("<html><head><style>p{color:red}</style><script>var x=1;</script></head>" +
