@@ -52,9 +52,34 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // env facts ride along so a degraded run (contended driver box,
     // unset cpu env) is attributable from the artifact alone
+    // ANN quality rides with the timing artifact: a regression in the
+    // LSH banding / IVF centroid constants must be visible across
+    // rounds as a recorded number, not only as a ScalaTest threshold.
+    // q40 is graded recall@10 against q32's exact top-k; q34 by its
+    // planted near-identical pairs (the embWithNearDups fixture).
+    val recallJson = (try {
+      def idPairs(name: String, a: String, b: String) =
+        SparkEntry.queries(name)(spark, sfDir).collect()
+          .map(r => (r.getAs[Long](a), r.getAs[Long](b))).toSet
+      val exact = idPairs("q32_cosine_topk", "q_id", "n_id")
+      val ivf = idPairs("q40_ivf_cosine", "q_id", "n_id")
+      val planted = Tables.table(spark, sfDir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)
+        .select("vec_id").collect().map(_.getLong(0))
+        .map(v => (v, v + 1000000L)).toSet
+      val lsh = idPairs("q34_lsh_cosine", "a_id", "b_id")
+      if (exact.isEmpty || planted.isEmpty) None
+      else Some(
+        s""""q40_ivf_recall_at10":${ivf.intersect(exact).size.toDouble / exact.size},""" +
+          s""""q34_lsh_planted_recall":${planted.intersect(lsh).size.toDouble / planted.size}""")
+    } catch { case _: Throwable => None }) // never fail the bench over the quality probe
+      .map(r => s"{$r}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      recallJson.fold("")(r => s""""recall":$r,""") +
       s""""sf":"$sfDir","master":"${spark.sparkContext.master}",""" +
       s""""parallelism":${spark.sparkContext.defaultParallelism}}"""
+    recallJson.foreach(r => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("RECALL.json"), r))
     println(line)
     // belt-and-braces for the driver's stdout scrape (r1/r2 both lost the
     // line to sbt prefixing): the same JSON also lands in a file — and in
