@@ -21,6 +21,17 @@ object PlanAudit {
       .config(Tables.NanosAsLong, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    write(spark, sfDir, out)
+    spark.stop()
+  }
+
+  /** Dump every registered query's formatted plan to `out`. Also
+    * called from [[Verify]] at the end of the driver's correctness run
+    * — regeneration is part of the round loop, so the audit cannot
+    * silently drift from HEAD when operators land (it did in r5:
+    * q57/q58/WARC were outside it).
+    */
+  def write(spark: SparkSession, sfDir: String, out: String): Unit = {
     val sb = new StringBuilder
     sb.append("# Physical plan audit (explain formatted)\n\n")
     sb.append(s"Generated against `$sfDir`. Things to check per plan:\n")
@@ -36,6 +47,5 @@ object PlanAudit {
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
-    spark.stop()
   }
 }

@@ -31,6 +31,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // regenerate the plan audit every verify run, so it cannot drift
+    // from HEAD when operators land (r5 shipped a stale PLANS.md) —
+    // best-effort: an audit failure must not zero the correctness dump
+    try PlanAudit.write(spark, sfDir, "PLANS.md")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] plan audit failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
