@@ -550,7 +550,83 @@ object SimilarityOps {
       .select(col("a_domain"), col("b_domain"), col("est_jaccard"))
   }
 
+  /** Incremental (delta-vs-corpus) near-dup detection — the dedup
+    * shape a production pipeline actually runs at 100 TB: a new crawl
+    * batch arrives and must be checked against the EXISTING corpus
+    * without ever re-pairing the corpus with itself. Cost scales with
+    * |delta| × bucket density, not |corpus|²:
+    *
+    *   - corpus side: row-local codegen'd [[graft.plans.SimHashSig]]
+    *     → 4 pigeonhole chunks per doc (at scale this is the stored
+    *     dedup INDEX, built once per fold and reused every batch);
+    *     one map-side-combined count caps degenerate hot chunks
+    *     (`MaxBucket`, same guard as q31);
+    *   - delta side: same signature chunks, then a BROADCAST join
+    *     against the corpus chunks (a daily batch is small; if a
+    *     batch ever rivals the corpus, drop the broadcast hint and
+    *     the same plan shuffles on (chunk_id, chunk_val));
+    *   - verify: both signatures ride the candidate row, so exact
+    *     hamming is a row-local `bit_count` — NO re-join with either
+    *     side (q31 must re-join because its bucket collects ids only).
+    *
+    * The 4-chunk pigeonhole is lossless at hamming ≤ 3, so the banded
+    * plan emits exactly the brute-force delta×corpus pair set and the
+    * DuckDB oracle is hash-exact (same argument as q31; the only
+    * modeled divergence is the MaxBucket guard, which the fixture
+    * stays far below).
+    */
+  val q60_delta_dedup: GraftQuery = GraftQuery(
+    "q60_delta_dedup",
+    (s, dir) => {
+      val all = Tables.docsWithNearDups(s, dir)
+      def chunked(df: org.apache.spark.sql.DataFrame, id: String, sig: String) =
+        df.select(col("doc_id").as(id),
+          graft.plans.SimHashSig.of(col("text")).as(sig))
+          .select(col(id), col(sig),
+            posexplode(expr(
+              s"transform(sequence(0, 3), i -> shiftright($sig, i * 16) & 65535)"))
+              .as(Seq("chunk_id", "chunk_val")))
+      // the planted +2000000 variants play the incoming batch
+      val baseCh = chunked(all.filter(col("doc_id") < 2000000L), "base_id", "base_sig")
+      val deltaCh = chunked(all.filter(col("doc_id") >= 2000000L), "delta_id", "delta_sig")
+      val hot = baseCh.groupBy(col("chunk_id"), col("chunk_val")).count()
+        .filter(col("count") > MaxBucket).drop("count")
+      baseCh
+        .join(broadcast(hot), Seq("chunk_id", "chunk_val"), "left_anti")
+        .join(broadcast(deltaCh), Seq("chunk_id", "chunk_val"))
+        .select(col("delta_id"), col("base_id"), col("delta_sig"), col("base_sig"))
+        .distinct() // sig is a function of id — distinct collapses to id pairs
+        .withColumn("hamming", expr("cast(bit_count(delta_sig ^ base_sig) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("delta_id"), col("base_id"), col("hamming"))
+    },
+    Some(Tables.docsNearDupsCte +
+      """, th AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM alldocs) t
+        |), sigbits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN SUM(CASE WHEN
+        |             (CASE WHEN b < 32 THEN lo >> CAST(b AS INTEGER)
+        |                   ELSE hi >> CAST(b - 32 AS INTEGER) END) & 1 = 1
+        |           THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS sb
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, b
+        |), ham AS (
+        |  SELECT c.doc_id AS delta_id, a.doc_id AS base_id,
+        |         SUM(CASE WHEN a.sb <> c.sb THEN 1 ELSE 0 END) AS hamming
+        |  FROM sigbits a JOIN sigbits c ON a.b = c.b
+        |  WHERE a.doc_id < 2000000 AND c.doc_id >= 2000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT delta_id, base_id, CAST(hamming AS INT) AS hamming
+        |FROM ham WHERE hamming <= 3""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q33_embed_stats,
-    q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch)
+    q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch,
+    q60_delta_dedup)
 }

@@ -104,6 +104,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q60 delta dedup equals q31's pair set restricted to delta x corpus") {
+    // q31 brute-pairs the combined corpus; q60's incremental plan must
+    // reproduce exactly its cross-partition (base, planted-delta)
+    // subset — same pigeonhole, different (delta-scaled) join shape
+    val q31pairs = SimilarityOps.q31_simhash.run(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("a_id") < 2000000L && r.getAs[Long]("b_id") >= 2000000L)
+      .map(r => (r.getAs[Long]("b_id"), r.getAs[Long]("a_id"), r.getAs[Int]("hamming")))
+      .toSet
+    val q60pairs = SimilarityOps.q60_delta_dedup.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(q60pairs.nonEmpty, "fixture must plant detectable delta dups")
+    assert(q60pairs == q31pairs)
+    // every pair really is delta-vs-corpus, never corpus-vs-corpus
+    q60pairs.foreach { case (d, b, h) =>
+      assert(d >= 2000000L && b < 2000000L && h <= 3)
+    }
+  }
+
   test("q41 banded sketch join finds planted near-dup domains only") {
     import spark.implicits._
     // 40 domains x 20 texts: dom{d} and dom{d+20} (d < 2) share 18 of 20
