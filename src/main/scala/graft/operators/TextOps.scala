@@ -616,10 +616,88 @@ object TextOps {
            |FROM packed GROUP BY source, CAST(cum_before // 2048 AS BIGINT)""".stripMargin)
   )
 
+  /** BM25 query terms — fixed here (a search API would bind them per
+    * request; the PLAN is term-count-independent).
+    */
+  val Bm25Terms: Seq[String] = Seq("vector", "stream", "merge")
+
+  /** BM25 relevance scoring (Robertson/Sparck Jones; k1=1.2, b=0.75) —
+    * keyword retrieval over the corpus, the classic lexical
+    * counterpart to the ANN ops (q32/q34/q40). Scale shape:
+    *
+    *   - term filter BEFORE any shuffle: tokens explode inside the
+    *     scan stage and non-query terms die immediately, so the tf
+    *     aggregate's exchange carries ≤ |terms| rows per doc — at
+    *     100 TB the full token stream never shuffles;
+    *   - df and the (N, Σdl) corpus stats are tiny aggregates joined
+    *     back by BROADCAST (df has ≤ |terms| rows, stats exactly 1);
+    *   - doc length rides the tf row (`first(dl)` — constant per doc),
+    *     so scoring is row-local arithmetic, no join back to docs.
+    *
+    * Every input to the score is exact-integer-derived (tf, df, N,
+    * Σdl, dl), constants are written as identical double literals on
+    * both sides, and per-term contributions round to 6 decimals into
+    * a DECIMAL sum (order-independent, q33's trick) — so the oracle
+    * is hash-exact despite floating-point `ln`.
+    */
+  val q61_bm25: GraftQuery = GraftQuery(
+    "q61_bm25",
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr(WordTokens).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).cast("double").as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isInCollection(Bm25Terms))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(stats)) // 1 row — a broadcast scalar, not a shuffle
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("tfw",
+          col("tf") * lit(2.2) / (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
+        .withColumn("contrib", round(col("idf") * col("tfw"), 6))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("contrib").cast("decimal(20,6)")).cast("double").as("bm25"),
+          count(lit(1)).cast("int").as("n_terms"))
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           |  FROM documents
+           |), lens AS (
+           |  SELECT doc_id, len(toks) AS dl FROM docs
+           |), stats AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           |         CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM lens
+           |), tf AS (
+           |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) u
+           |  WHERE tok IN ('vector', 'stream', 'merge')
+           |  GROUP BY 1, 2
+           |), df AS (
+           |  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+           |)
+           |SELECT t.doc_id,
+           |  CAST(SUM(CAST(ROUND(
+           |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           |    (t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl / s.n_docs))))
+           |  , 6) AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+           |  CAST(COUNT(*) AS INT) AS n_terms
+           |FROM tf t JOIN df d USING (tok) JOIN lens l USING (doc_id) CROSS JOIN stats s
+           |GROUP BY 1""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
-    q55_pack_sequences)
+    q55_pack_sequences, q61_bm25)
 }

@@ -138,4 +138,36 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("chunk_tokens") <= 2048 + maxDoc,
         s"chunk overfilled: ${r}"))
   }
+
+  test("q61 BM25 matches an independent driver-side recompute") {
+    val terms = graft.operators.TextOps.Bm25Terms
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toSeq)
+      .toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / n
+    val tf = for {
+      (id, toks) <- docs.toSeq; t <- terms
+      c = toks.count(_ == t) if c > 0
+    } yield (id, t, c.toDouble)
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toDouble }
+    val want = tf.groupBy(_._1).map { case (id, xs) =>
+      val contribs = xs.map { case (_, t, f) =>
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        val tfw = f * 2.2 / (f + 1.2 * (0.25 + 0.75 * docs(id).size / avgdl))
+        BigDecimal(idf * tfw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      id -> (contribs.sum.toDouble, xs.size)
+    }
+    val got = graft.operators.TextOps.q61_bm25.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Int]("n_terms"))).toMap
+    assert(got.nonEmpty && got.keySet == want.keySet)
+    want.foreach { case (id, (score, nt)) =>
+      assert(got(id)._2 == nt, s"doc $id n_terms")
+      assert(math.abs(got(id)._1 - score) < 1e-9, s"doc $id: ${got(id)._1} vs $score")
+    }
+  }
 }
