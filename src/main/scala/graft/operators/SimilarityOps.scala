@@ -625,8 +625,57 @@ object SimilarityOps {
         |FROM ham WHERE hamming <= 3""".stripMargin)
   )
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * memory/IO compression an ANN index runs at 100 TB (the float32
+    * corpus stays in cold storage; search scans int8 codes). Per
+    * vector: scale = max|x| / 127, codes = round(x / scale) — all
+    * ROW-LOCAL arithmetic inside the scan stage, no shuffle, no UDF.
+    *
+    * Every step is deterministic double math from exact float inputs
+    * (float→double promotion is exact; both engines round ties away
+    * from zero), so integer summaries of the codes carry a hash-exact
+    * DuckDB oracle — the cross-engine pin that the two quantizers
+    * would build byte-identical int8 indexes.
+    */
+  val q63_quantize_int8: GraftQuery = GraftQuery(
+    "q63_quantize_int8",
+    (s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .withColumn("mx", expr("array_max(transform(embedding, x -> abs(x)))"))
+        // all-zero vector → scale 1.0 (codes all zero), not a 0-division
+        .withColumn("sc", when(col("mx") === 0.0f, lit(1.0))
+          .otherwise(col("mx").cast("double") / lit(127.0)))
+        .withColumn("codes", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) / sc) as int))"))
+      e.select(
+        col("vec_id"),
+        expr("cast(aggregate(codes, 0L, (a, c) -> a + c) as bigint)").as("sum_codes"),
+        expr("cast(aggregate(codes, 0L, (a, c) -> a + abs(c)) as bigint)").as("sum_abs"),
+        expr("cast(size(filter(codes, c -> abs(c) = 127)) as int)").as("n_sat"),
+        expr("cast(size(filter(codes, c -> c = 0)) as int)").as("n_zero"))
+    },
+    Some("""SELECT vec_id,
+           |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS sum_abs,
+           |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INT) AS n_sat,
+           |  CAST(len(list_filter(codes, c -> c = 0)) AS INT) AS n_zero
+           |FROM (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INTEGER)) AS codes
+           |  FROM (
+           |    SELECT vec_id, embedding,
+           |      CASE WHEN mx = 0 THEN 1.0 ELSE CAST(mx AS DOUBLE) / 127.0 END AS sc
+           |    FROM (
+           |      SELECT vec_id, embedding,
+           |        list_max(list_transform(embedding, x -> abs(x))) AS mx
+           |      FROM embeddings) a
+           |  ) b
+           |) c""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q33_embed_stats,
     q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch,
-    q60_delta_dedup)
+    q60_delta_dedup, q63_quantize_int8)
 }

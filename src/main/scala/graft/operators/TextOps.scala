@@ -694,10 +694,72 @@ object TextOps {
            |GROUP BY 1""".stripMargin)
   )
 
+  // PII patterns — conservative constructs (\b, \d, char classes)
+  // whose semantics agree between Java regex and DuckDB's RE2, so the
+  // scrub carries a hash-exact oracle. Applied email → ip → phone on
+  // both sides (order matters once text is being rewritten).
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrub — the redaction pass a training pipeline runs before
+    * any text leaves the curation boundary: emails, IPv4s and phone
+    * numbers replaced with typed placeholder tokens, with per-doc
+    * match counts and an md5 of the redacted text (the value
+    * downstream exact-dedup keys on). Entirely ROW-LOCAL codegen'd
+    * regexp work inside the scan stage — no shuffle anywhere, which
+    * is the property that matters when the pass fronts 100 TB.
+    *
+    * The corpus fixture has no organic PII, so every 10th doc gets a
+    * deterministic planted line (same CASE on both sides) — the
+    * oracle then pins both the hit counts AND the rewritten bytes.
+    */
+  val q62_pii_scrub: GraftQuery = GraftQuery(
+    "q62_pii_scrub",
+    (s, dir) => {
+      val planted = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
+          lit("@ex.org ip 10.0.0."), (col("doc_id") % 250).cast("string"),
+          lit(" call 555-123-4567"))).otherwise(col("text"))
+      // counts are taken on the stage each pattern actually scans
+      // (email on raw, ip after email-redaction, phone after both),
+      // mirroring the rewrite order exactly
+      val t2 = regexp_replace(planted, EmailRe, "<EMAIL>")
+      val t3 = regexp_replace(t2, Ipv4Re, "<IP>")
+      Tables.table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(planted, lit(EmailRe), lit(0)))
+            .cast("int").as("n_emails"),
+          size(regexp_extract_all(t2, lit(Ipv4Re), lit(0)))
+            .cast("int").as("n_ips"),
+          size(regexp_extract_all(t3, lit(PhoneRe), lit(0)))
+            .cast("int").as("n_phones"),
+          md5(regexp_replace(t3, PhoneRe, "<PHONE>")).as("redacted_md5"))
+    },
+    Some(s"""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(t1, '$EmailRe')) AS INT) AS n_emails,
+            |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS INT) AS n_ips,
+            |  CAST(len(regexp_extract_all(t3, '$PhoneRe')) AS INT) AS n_phones,
+            |  md5(regexp_replace(t3, '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+            |FROM (
+            |  SELECT doc_id, t1,
+            |    regexp_replace(t1, '$EmailRe', '<EMAIL>', 'g') AS t2,
+            |    regexp_replace(regexp_replace(t1, '$EmailRe', '<EMAIL>', 'g'),
+            |                   '$Ipv4Re', '<IP>', 'g') AS t3
+            |  FROM (SELECT doc_id, ${plantedSqlDuck} AS t1 FROM documents) p
+            |) q""".stripMargin)
+  )
+
+  // the planted-PII expression for the DuckDB side of the oracle
+  private def plantedSqlDuck: String =
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' mail u' || doc_id || " +
+      "'@ex.org ip 10.0.0.' || (doc_id % 250) || ' call 555-123-4567' ELSE text END"
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
-    q55_pack_sequences, q61_bm25)
+    q55_pack_sequences, q61_bm25, q62_pii_scrub)
 }

@@ -123,6 +123,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q63 int8 quantization matches a driver-side recompute exactly") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val got = SimilarityOps.q63_quantize_int8.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("sum_codes"), r.getAs[Long]("sum_abs"),
+          r.getAs[Int]("n_sat"), r.getAs[Int]("n_zero"))).toMap
+    assert(got.nonEmpty && got.keySet == vecs.keySet)
+    vecs.foreach { case (id, emb) =>
+      val mx = emb.map(x => math.abs(x)).max
+      val sc = if (mx == 0f) 1.0 else mx.toDouble / 127.0
+      val codes = emb.map(x =>
+        BigDecimal(x.toDouble / sc).setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+      // every code in int8 range; the max component saturates exactly
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (mx > 0f) assert(codes.exists(c => math.abs(c) == 127))
+      assert(got(id) == ((codes.map(_.toLong).sum, codes.map(c => math.abs(c).toLong).sum,
+        codes.count(c => math.abs(c) == 127), codes.count(_ == 0))), s"vec $id")
+    }
+  }
+
   test("q41 banded sketch join finds planted near-dup domains only") {
     import spark.implicits._
     // 40 domains x 20 texts: dom{d} and dom{d+20} (d < 2) share 18 of 20

@@ -139,6 +139,30 @@ class TextOpsSpec extends SparkSpec {
         s"chunk overfilled: ${r}"))
   }
 
+  test("q62 scrubs exactly the planted PII and leaves clean docs byte-identical") {
+    import org.apache.spark.sql.functions.md5
+    val out = graft.operators.TextOps.q62_pii_scrub.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rawMd5 = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("h")).toMap
+    assert(out.nonEmpty && out.keySet == rawMd5.keySet)
+    out.foreach { case (id, r) =>
+      if (id % 10 == 0) {
+        // one planted email, ip and phone each — all found and rewritten
+        assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_ips") == 1 &&
+          r.getAs[Int]("n_phones") == 1, s"doc $id: $r")
+        assert(r.getAs[String]("redacted_md5") != rawMd5(id))
+      } else {
+        // the corpus has no organic PII; a clean doc must pass through
+        // BYTE-IDENTICAL (no accidental rewrites)
+        assert(r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_ips") == 0 &&
+          r.getAs[Int]("n_phones") == 0, s"doc $id: $r")
+        assert(r.getAs[String]("redacted_md5") == rawMd5(id))
+      }
+    }
+  }
+
   test("q61 BM25 matches an independent driver-side recompute") {
     val terms = graft.operators.TextOps.Bm25Terms
     val docs = Tables.table(spark, sfDir, "documents")
