@@ -756,10 +756,81 @@ object TextOps {
     "CASE WHEN doc_id % 10 = 0 THEN text || ' mail u' || doc_id || " +
       "'@ex.org ip 10.0.0.' || (doc_id % 250) || ' call 555-123-4567' ELSE text END"
 
+  /** CCNet-style (Wenzek et al. 2020) perplexity bucketing — the
+    * language-model quality pass that splits a crawl into head /
+    * middle / tail before training. The LM here is an add-one-smoothed
+    * unigram model FIT ON THE CORPUS ITSELF (CCNet ships a fixed
+    * KenLM artifact; at 100 TB ours would too — either way the model
+    * reaches the executors as a BROADCAST side, never a shuffle).
+    * Scale shape: one token explode feeding two map-side-combined
+    * aggregates (LM counts, then per-doc score), the LM joined back by
+    * broadcast, bucketing row-local.
+    *
+    * Determinism: ln() inputs are exact integer ratios, per-token
+    * log-probs round to 6 decimals into a DECIMAL sum (the q33/q61
+    * trick), and the bucket thresholds compare the ROUNDED average —
+    * hash-exact oracle.
+    */
+  val q64_perplexity_bucket: GraftQuery = GraftQuery(
+    "q64_perplexity_bucket",
+    (s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(WordTokens)).as("tok"))
+      val totals = toks.agg(
+        count(lit(1)).cast("double").as("n_tok"),
+        countDistinct(col("tok")).cast("double").as("vocab"))
+      val lm = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .crossJoin(broadcast(totals))
+        // add-one smoothing; negative log-prob, rounded while per-token
+        .select(col("tok"),
+          round(-log((col("cnt") + lit(1.0)) / (col("n_tok") + col("vocab"))), 6)
+            .as("nlp"))
+      toks.join(broadcast(lm), "tok")
+        .groupBy(col("doc_id"))
+        .agg(
+          (sum(col("nlp").cast("decimal(20,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_nlp"),
+          count(lit(1)).cast("int").as("n_tok"))
+        // thresholds sit in the fixture's tercile region (CCNet cuts
+        // at corpus quantiles; fixed constants keep the oracle exact —
+        // nearest doc score is ≥1e-5 from a cut, far beyond ulp noise)
+        .withColumn("bucket",
+          when(col("avg_nlp") < 3.40, "head")
+            .when(col("avg_nlp") < 3.41, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), round(col("avg_nlp"), 6).as("avg_nlp"),
+          col("n_tok"), col("bucket"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+           |  FROM documents
+           |), totals AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok,
+           |         CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab FROM toks
+           |), lm AS (
+           |  SELECT tok,
+           |    ROUND(-ln((CAST(COUNT(*) AS DOUBLE) + 1.0) / (s.n_tok + s.vocab)), 6) AS nlp
+           |  FROM toks CROSS JOIN totals s
+           |  GROUP BY tok, s.n_tok, s.vocab
+           |), scored AS (
+           |  SELECT t.doc_id,
+           |    CAST(SUM(CAST(l.nlp AS DECIMAL(20,6))) AS DOUBLE) /
+           |      CAST(COUNT(*) AS DOUBLE) AS avg_nlp,
+           |    CAST(COUNT(*) AS INT) AS n_tok
+           |  FROM toks t JOIN lm l USING (tok)
+           |  GROUP BY t.doc_id
+           |)
+           |SELECT doc_id, ROUND(avg_nlp, 6) AS avg_nlp, n_tok,
+           |  CASE WHEN avg_nlp < 3.40 THEN 'head'
+           |       WHEN avg_nlp < 3.41 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM scored""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
-    q55_pack_sequences, q61_bm25, q62_pii_scrub)
+    q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket)
 }

@@ -163,6 +163,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q64 perplexity buckets cover all three bands and match a recompute") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toSeq)
+      .toMap
+    val nTok = docs.values.map(_.size.toLong).sum.toDouble
+    val counts = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val vocab = counts.size.toDouble
+    def nlp(t: String) =
+      BigDecimal(-math.log((counts(t) + 1.0) / (nTok + vocab)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = graft.operators.TextOps.q64_perplexity_bucket.run(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_nlp"), r.getAs[Int]("n_tok"), r.getAs[String]("bucket")))
+      .toMap
+    assert(got.keySet == docs.keySet)
+    // the fixture spans all three quality bands — else the thresholds
+    // are degenerate and the operator proves nothing
+    assert(got.values.map(_._3).toSet == Set("head", "middle", "tail"))
+    docs.foreach { case (id, toks) =>
+      val avg = toks.map(nlp).sum.toDouble / toks.size
+      val want = if (avg < 3.40) "head" else if (avg < 3.41) "middle" else "tail"
+      assert(got(id)._2 == toks.size, s"doc $id n_tok")
+      assert(math.abs(got(id)._1 - avg) < 1e-6, s"doc $id avg_nlp")
+      assert(got(id)._3 == want, s"doc $id bucket")
+    }
+  }
+
   test("q61 BM25 matches an independent driver-side recompute") {
     val terms = graft.operators.TextOps.Bm25Terms
     val docs = Tables.table(spark, sfDir, "documents")
