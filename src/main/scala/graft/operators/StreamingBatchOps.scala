@@ -78,6 +78,31 @@ object StreamingBatchOps {
            |GROUP BY c_nationkey""".stripMargin)
   )
 
+  /** Batch form of the streaming near-dup detector (state starts
+    * empty, everything is one batch) — certified by q31's brute-force
+    * SimHash oracle, since over a full corpus the accumulated stream
+    * output IS the batch pair set. `distinct` collapses cross-chunk
+    * repeats (a pair within hamming ≤ 1 can share two buckets).
+    */
+  val s05_stream_neardup: GraftQuery = GraftQuery(
+    "s05_stream_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val chunks = Tables.docsWithNearDups(s, dir)
+        .select(col("doc_id"), graft.plans.SimHashSig.of(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(expr(
+            "transform(sequence(0, 3), i -> shiftright(sig, i * 16) & 65535)"))
+            .as(Seq("chunk_id", "chunk_val")))
+        .select(col("chunk_id").cast("int").as("chunk_id"), col("chunk_val"),
+          col("doc_id"), col("sig"))
+        .as[StreamOps.ChunkDoc]
+      StreamOps.nearDupPairs(chunks).toDF().distinct()
+    },
+    SimilarityOps.q31_simhash.oracle
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich)
+    Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich,
+      s05_stream_neardup)
 }

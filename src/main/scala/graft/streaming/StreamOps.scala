@@ -72,6 +72,58 @@ object StreamOps {
         expr("ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6)").as("sum_value"))
   }
 
+  /** One SimHash pigeonhole chunk of one document (4 per doc). */
+  final case class ChunkDoc(chunk_id: Int, chunk_val: Long, doc_id: Long, sig: Long)
+
+  final case class NearDupPair(a_id: Long, b_id: Long, hamming: Int)
+
+  final case class BucketState(docs: List[(Long, Long)])
+
+  /** Per-bucket cap, mirroring SimilarityOps.MaxBucket: a degenerate
+    * hot bucket stops ACCUMULATING state (existing members still
+    * match), so streaming state stays bounded per key.
+    */
+  private val MaxBucketState = 64
+
+  /** s05: STREAMING near-dup detection — the incremental-dedup shape
+    * (q60) running continuously: documents arrive chunked by their
+    * SimHash 4-chunk pigeonhole, each (chunk_id, chunk_val) bucket
+    * keeps its members in `flatMapGroupsWithState` state, and an
+    * arriving doc emits a pair for every state member within hamming
+    * ≤ 3. The pigeonhole guarantees any qualifying pair shares a
+    * bucket, so whichever doc arrives later emits it — the
+    * accumulated output over any prefix of the stream is EXACTLY the
+    * batch pair set over the same docs (modulo cross-chunk repeats; a
+    * pair within hamming ≤ 1 can share two buckets — dedup
+    * downstream). State per key is a bounded list; on batch input the
+    * same code runs with empty initial state, which is what the
+    * DuckDB brute-force oracle certifies.
+    */
+  def nearDupPairs(chunks: Dataset[ChunkDoc]): Dataset[NearDupPair] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(c => (c.chunk_id, c.chunk_val))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var seen = if (state.exists) state.get.docs else Nil
+          val out = List.newBuilder[NearDupPair]
+          // deterministic intra-batch order (iterator order is not)
+          it.toSeq.sortBy(_.doc_id).foreach { c =>
+            seen.foreach { case (id, sg) =>
+              if (id != c.doc_id) {
+                val h = java.lang.Long.bitCount(sg ^ c.sig)
+                if (h <= 3)
+                  out += NearDupPair(math.min(id, c.doc_id), math.max(id, c.doc_id), h)
+              }
+            }
+            if (seen.size < MaxBucketState) seen = (c.doc_id, c.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+
   private val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Split events (sorted by (us, event_id)) into gap-delimited sessions. */

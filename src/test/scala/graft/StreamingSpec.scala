@@ -108,6 +108,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s05 streaming near-dup finds cross-batch pairs and matches the batch form") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.ChunkDoc
+    // hand-built signatures: docs 1 and 2 differ in 2 bits (near-dup,
+    // share chunks 1-3), doc 3 is far from both
+    def chunksOf(id: Long, sig: Long): Seq[ChunkDoc] =
+      (0 until 4).map(i => ChunkDoc(i, (sig >>> (i * 16)) & 0xFFFFL, id, sig))
+    val sigA = 0x0123456789ABCDEFL
+    val sigB = sigA ^ 0x3L // hamming 2, same chunks 1..3
+    val sigC = -1L
+    val mem = MemoryStream[ChunkDoc]
+    val q = StreamOps.nearDupPairs(mem.toDS())
+      .writeStream.format("memory").queryName("s05_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(chunksOf(1L, sigA) ++ chunksOf(3L, sigC): _*)
+      q.processAllAvailable()
+      assert(spark.table("s05_out").count() == 0, "no near-dups yet")
+      // doc 2 arrives LATER — must pair with doc 1 already in state
+      mem.addData(chunksOf(2L, sigB): _*)
+      q.processAllAvailable()
+      val got = spark.table("s05_out").collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(got == Set((1L, 2L, 2)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("s05 batch form equals q31's brute-force pair set") {
+    val got = graft.operators.StreamingBatchOps.s05_stream_neardup
+      .run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming"))).toSet
+    val want = graft.operators.SimilarityOps.q31_simhash.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("s02 batch form equals the window-function sessionization") {
     import spark.implicits._
     val evs = Tables.table(spark, sfDir, "events")
