@@ -120,7 +120,9 @@ object InferenceOps {
       boundaries: Seq[Double], caps: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(boundaries.nonEmpty && caps.length == boundaries.length + 1,
       s"need boundaries.length + 1 caps, got ${boundaries.length} boundaries / ${caps.length} caps")
-    require(boundaries == boundaries.sorted(Ordering[Double].reverse),
+    // STRICTLY descending — a duplicated boundary would silently make
+    // one stratum unreachable and mis-align every cap below it
+    require(boundaries.zip(boundaries.tail).forall { case (a, b) => a > b },
       s"boundaries must be strictly descending: $boundaries")
     val top = boundaries.length // best stratum id
     val strata = scoredDocs(s, dir)

@@ -189,8 +189,7 @@ object SimilarityOps {
       val sigs = base.select(col("doc_id"),
         graft.plans.SimHashSig.of(col("text")).as("sig"))
       val chunks = sigs.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 3), i -> shiftright(sig, i * 16) & 65535)"))
+        posexplode(graft.plans.SimHashSig.pigeonholeChunks("sig"))
           .as(Seq("chunk_id", "chunk_val")))
       val pairs = chunks
         .groupBy(col("chunk_id"), col("chunk_val"))
@@ -583,13 +582,18 @@ object SimilarityOps {
         df.select(col("doc_id").as(id),
           graft.plans.SimHashSig.of(col("text")).as(sig))
           .select(col(id), col(sig),
-            posexplode(expr(
-              s"transform(sequence(0, 3), i -> shiftright($sig, i * 16) & 65535)"))
+            posexplode(graft.plans.SimHashSig.pigeonholeChunks(sig))
               .as(Seq("chunk_id", "chunk_val")))
       // the planted +2000000 variants play the incoming batch
       val baseCh = chunked(all.filter(col("doc_id") < 2000000L), "base_id", "base_sig")
       val deltaCh = chunked(all.filter(col("doc_id") >= 2000000L), "delta_id", "delta_sig")
-      val hot = baseCh.groupBy(col("chunk_id"), col("chunk_val")).count()
+      // hot-bucket guard over COMBINED membership (q31's semantics —
+      // its between(2, MaxBucket) counts every doc in the bucket), so
+      // a hot DELTA chunk is bounded too and the q60 ≡ q31-restricted
+      // spec invariant holds even when a bucket runs hot
+      val hot = baseCh.select(col("chunk_id"), col("chunk_val"))
+        .unionAll(deltaCh.select(col("chunk_id"), col("chunk_val")))
+        .groupBy(col("chunk_id"), col("chunk_val")).count()
         .filter(col("count") > MaxBucket).drop("count")
       baseCh
         .join(broadcast(hot), Seq("chunk_id", "chunk_val"), "left_anti")

@@ -91,8 +91,7 @@ object StreamingBatchOps {
       val chunks = Tables.docsWithNearDups(s, dir)
         .select(col("doc_id"), graft.plans.SimHashSig.of(col("text")).as("sig"))
         .select(col("doc_id"), col("sig"),
-          posexplode(expr(
-            "transform(sequence(0, 3), i -> shiftright(sig, i * 16) & 65535)"))
+          posexplode(graft.plans.SimHashSig.pigeonholeChunks("sig"))
             .as(Seq("chunk_id", "chunk_val")))
         .select(col("chunk_id").cast("int").as("chunk_id"), col("chunk_val"),
           col("doc_id"), col("sig"))

@@ -406,4 +406,16 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 object SimHashSig {
   def of(c: Column): Column =
     CB.column(SimHashSig(CB.expression(c)))
+
+  /** The 4×16-bit pigeonhole chunk array of a signature column — THE
+    * shared banding for every SimHash consumer (q31, q60, s05): two
+    * signatures within hamming ≤ 3 must agree on at least one chunk
+    * (4 chunks, ≤ 3 differing bits), so chunk-bucket candidate
+    * generation is LOSSLESS at that radius. The losslessness argument
+    * and the cross-operator equivalence specs (q60 ≡ q31 restricted,
+    * s05 ≡ q31) all assume this exact chunking — change it HERE only.
+    */
+  def pigeonholeChunks(sigCol: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"transform(sequence(0, 3), i -> shiftright($sigCol, i * 16) & 65535)")
 }

@@ -22,12 +22,20 @@ final class LeaseHeldException(msg: String) extends RuntimeException(msg)
   * A live lease is refused LOUDLY ([[LeaseHeldException]]) — a refused
   * fold is a scheduling no-op to retry, never silent corruption.
   *
+  * Atomicity, by filesystem: on LOCAL roots the create goes through
+  * `java.nio` `createFile` (true O_EXCL — Hadoop's local
+  * `create(overwrite=false)` is only check-then-act); on HDFS,
+  * `create(overwrite=false)` is namenode-atomic. A STALE lease is
+  * broken by atomic RENAME to a unique tombstone — of two concurrent
+  * breakers only one renames successfully, so the loser falls through
+  * to the exclusive create and is refused; a delete-then-recreate
+  * break would let the loser delete the winner's fresh lease.
   * Object-store caveat (same family as StoreGen's pointer-swap note):
-  * S3-style stores implement create-exclusive as check-then-write, so
+  * S3-style stores implement both primitives as check-then-write, so
   * two writers racing within one round-trip can both "win"; there, back
   * this file with the store's conditional-put primitive. On
   * local/HDFS — and for the real failure mode here, two SCHEDULED folds
-  * minutes apart — the exclusive create is authoritative.
+  * minutes apart — the protocol is authoritative.
   */
 object StoreLease {
 
@@ -56,16 +64,29 @@ object StoreLease {
   final class Lease private[StoreLease] (
       f: FileSystem, val path: Path, val holder: String, staleMs: Long) {
     @volatile private var released = false
+    private def stillMine(): Option[Boolean] =
+      try Some(readHolder(f, path).contains(holder))
+      catch { case _: java.io.IOException => None } // transient: unknown
     private val beat = new Thread(() => {
-      try while (!released) {
-        Thread.sleep(math.max(staleMs / 3, 50L))
-        // mtime refresh, not a rewrite: readers of the lease file never
-        // observe a partially written holder id
-        if (!released) f.setTimes(path, System.currentTimeMillis(), -1)
-      } catch {
-        case _: InterruptedException => () // release() woke us
-        case _: java.io.IOException => () // root vanished: stop beating
-      }
+      try {
+        var mine = true
+        while (!released && mine) {
+          Thread.sleep(math.max(staleMs / 3, 50L))
+          // a transient refresh failure must NOT kill the heartbeat for
+          // the lease's lifetime (a long fold would silently go stale
+          // and invite a concurrent breaker) — retry next tick; stop
+          // only when the file verifiably names another holder (our
+          // lease was broken while this process was suspended)
+          if (!released) stillMine() match {
+            case Some(false) => mine = false
+            case _ =>
+              // mtime refresh, not a rewrite: readers of the lease file
+              // never observe a partially written holder id
+              try f.setTimes(path, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () }
+          }
+        }
+      } catch { case _: InterruptedException => () } // release() woke us
     }, s"graft-lease-heartbeat:$path")
     beat.setDaemon(true)
     beat.start()
@@ -73,10 +94,21 @@ object StoreLease {
     def release(): Unit = {
       released = true
       beat.interrupt()
-      try f.delete(path, false)
+      // delete only OUR lease: after a stale break the file may be a
+      // successor's live lease (a narrow read-then-delete window
+      // remains — closing it needs a conditional delete the FS API
+      // doesn't offer — but an unconditional delete loses always)
+      try if (readHolder(f, path).contains(holder)) f.delete(path, false)
       catch { case _: java.io.IOException => () } // already gone: released either way
     }
   }
+
+  private def readHolder(f: FileSystem, p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().nextOption()
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Acquire the writer lease on `root`, breaking a stale one; throws
     * [[LeaseHeldException]] when a live holder has it.
@@ -88,21 +120,29 @@ object StoreLease {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val p = new Path(root, LeaseFile)
+    val bytes = s"$holder\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val localFile = "file" == Option(f.getScheme).getOrElse("")
     def tryCreate(): Boolean =
       try {
-        val out = f.create(p, false) // overwrite=false: create-EXCLUSIVE
-        try out.write(s"$holder\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        if (localFile) {
+          // Hadoop's local create(overwrite=false) is exists()-then-open
+          // (check-then-act); java.nio createFile is true O_EXCL
+          val nio = java.nio.file.Paths.get(p.toUri.getPath)
+          java.nio.file.Files.createFile(nio)
+          java.nio.file.Files.write(nio, bytes)
+        } else {
+          val out = f.create(p, false) // overwrite=false: namenode-atomic on HDFS
+          try out.write(bytes) finally out.close()
+        }
         true
-      } catch { case _: java.io.IOException => false } // incl. FileAlreadyExists
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false // incl. Hadoop FileAlreadyExists
+      }
     def refuse(): Nothing = {
       val who =
-        try {
-          val in = f.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .nextOption().getOrElse("unknown")
-          finally in.close()
-        } catch { case _: java.io.IOException => "unknown" }
+        try readHolder(f, p).getOrElse("unknown")
+        catch { case _: java.io.IOException => "unknown" }
       throw new LeaseHeldException(
         s"store root $root is write-leased by '$who' ($LeaseFile present and " +
           s"fresh within ${staleMs}ms) — concurrent fold/compact refused; " +
@@ -113,9 +153,15 @@ object StoreLease {
         try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime > staleMs
         catch { case _: java.io.FileNotFoundException => true } // released between checks
       if (!stale) refuse()
-      // dead holder: break the lease. Two breakers both reach the
-      // delete, but only ONE wins the exclusive re-create.
-      try f.delete(p, false) catch { case _: java.io.IOException => () }
+      // dead holder: break the lease by ATOMIC RENAME to a unique
+      // tombstone — of two concurrent breakers only one rename
+      // succeeds, and the loser's exclusive create below then refuses;
+      // a bare delete here could remove the WINNER's fresh lease
+      val tomb = new Path(root,
+        s".$LeaseFile.broken.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+      val broke =
+        try f.rename(p, tomb) catch { case _: java.io.IOException => false }
+      if (broke) { try f.delete(tomb, false) catch { case _: java.io.IOException => () } }
       if (!tryCreate()) refuse()
     }
     new Lease(f, p, holder, staleMs)

@@ -75,6 +75,11 @@ class InferenceOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InferenceOps.classifierStrata(spark, sfDir, Seq(0.0, 0.5), Seq(1, 2, 3))
     }
+    // a DUPLICATED boundary would make a stratum unreachable and
+    // mis-align its cap — must also be loud
+    intercept[IllegalArgumentException] {
+      InferenceOps.classifierStrata(spark, sfDir, Seq(0.5, 0.5), Seq(1, 2, 3))
+    }
   }
 
   test("scores are the exact integer rational (cross-engine reproducible)") {

@@ -60,6 +60,26 @@ class StoreLeaseSpec extends SparkSpec {
     StoreLease.acquire(spark, root, holder = "after", staleMs = 400L).release()
   }
 
+  test("a zombie holder's late release cannot delete its successor's lease") {
+    val root = tmpRoot("lease5")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, StoreLease.LeaseFile)
+    // zombie = a holder whose lease went stale mid-hold (suspended VM);
+    // long staleMs keeps its heartbeat from re-freshening during the test
+    val zombie = StoreLease.acquire(spark, root, holder = "zombie", staleMs = 600000L)
+    fs.setTimes(p, System.currentTimeMillis() - 120000L, -1) // force staleness
+    val successor = StoreLease.acquire(spark, root, holder = "successor", staleMs = 30000L)
+    // the zombie wakes up and releases — the SUCCESSOR's lease must survive
+    zombie.release()
+    assert(fs.exists(p), "successor's lease deleted by zombie's release")
+    val e = intercept[LeaseHeldException](
+      StoreLease.acquire(spark, root, holder = "third", staleMs = 30000L))
+    assert(e.getMessage.contains("successor"))
+    successor.release()
+    assert(!fs.exists(p), "owner's own release must delete its lease")
+  }
+
   test("withLease releases on exception and StoreGen.commit keeps the lease file") {
     val root = tmpRoot("lease4")
     intercept[RuntimeException] {
