@@ -827,10 +827,80 @@ object TextOps {
            |FROM scored""".stripMargin)
   )
 
+  /** Source-mixing draw — the data-mixing step after curation: sample
+    * `MixTarget` docs across sources with temperature-smoothed weights
+    * w_s ∝ n_s^0.5 (α = 0.5 upweights rare sources, the standard
+    * mixture move), integerized by largest-remainder allocation so the
+    * quotas sum EXACTLY to the target. Scale shape: the whole weight /
+    * quota computation runs on the tiny per-source count frame (its
+    * window sorts |sources| rows, not the corpus); the corpus is
+    * touched by ONE scan feeding the bounded-heap TopKPerGroup (≤
+    * target rows per source per partition), quotas joined by
+    * broadcast.
+    *
+    * Determinism: sqrt is IEEE-correctly-rounded in both engines (the
+    * one float function that is), weights round to 6 decimals into a
+    * DECIMAL total, and remainder ties break on the source name — so
+    * the allocation, and therefore the sample, is hash-exact.
+    */
+  val MixTarget = 100
+
+  val q65_source_mix: GraftQuery = GraftQuery(
+    "q65_source_mix",
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val w = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("sw", round(sqrt(col("n_docs").cast("double")), 6))
+      val tot = w.agg(
+        sum(col("sw").cast("decimal(20,6)")).cast("double").as("tsw"))
+      val q = w.crossJoin(broadcast(tot))
+        .withColumn("ideal", lit(MixTarget).cast("double") * col("sw") / col("tsw"))
+        .withColumn("base", floor(col("ideal")).cast("int"))
+        .withColumn("frac", col("ideal") - floor(col("ideal")))
+      val short = q.agg((lit(MixTarget) - sum(col("base"))).cast("int").as("k"))
+      // |sources|-row frame: this window sorts sources, never the corpus
+      val remainderOrder = org.apache.spark.sql.expressions.Window
+        .orderBy(col("frac").desc, col("source").asc)
+      val alloc = q.crossJoin(broadcast(short))
+        .withColumn("rr", row_number().over(remainderOrder))
+        .withColumn("quota",
+          (col("base") + when(col("rr") <= col("k"), 1).otherwise(0)).cast("int"))
+        .select(col("source"), col("quota"))
+      val ranked = graft.plans.TopKPerGroup(
+        docs.withColumn("rnd", md5(col("doc_id").cast("string"))),
+        Seq(col("source")), Seq(col("rnd").asc, col("doc_id").asc), MixTarget,
+        rank = Some("rk"))
+      ranked.join(broadcast(alloc), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+    },
+    Some(s"""WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+            |w AS (SELECT source, n_docs,
+            |        ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS sw FROM n),
+            |tot AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(20,6))) AS DOUBLE) AS tsw FROM w),
+            |q AS (SELECT source, n_docs, CAST($MixTarget AS DOUBLE) * sw / t.tsw AS ideal
+            |      FROM w CROSS JOIN tot t),
+            |q2 AS (SELECT *, CAST(FLOOR(ideal) AS INT) AS base,
+            |         ideal - FLOOR(ideal) AS frac FROM q),
+            |short AS (SELECT CAST($MixTarget - SUM(base) AS INT) AS k FROM q2),
+            |alloc AS (SELECT source,
+            |    CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+            |                       <= (SELECT k FROM short) THEN 1 ELSE 0 END AS INT) AS quota
+            |  FROM q2),
+            |ranked AS (SELECT source, doc_id,
+            |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+            |  FROM documents)
+            |SELECT r.source, r.doc_id, r.rk, a.quota
+            |FROM ranked r JOIN alloc a USING (source) WHERE r.rk <= a.quota""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
-    q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket)
+    q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
+    q65_source_mix)
 }

@@ -163,6 +163,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q65 source mix: quotas sum to the target and follow sqrt weights") {
+    val out = graft.operators.TextOps.q65_source_mix.run(spark, sfDir).collect()
+    val byz = out.groupBy(_.getAs[String]("source"))
+    // total drawn = exactly the target (largest-remainder exactness)
+    assert(out.length == graft.operators.TextOps.MixTarget)
+    byz.foreach { case (src, rows) =>
+      val quota = rows.head.getAs[Int]("quota")
+      assert(rows.forall(_.getAs[Int]("quota") == quota))
+      assert(rows.length == quota, s"$src drew ${rows.length} != quota $quota")
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length))
+    }
+    // allocation matches an independent largest-remainder recompute
+    val counts = Tables.table(spark, sfDir, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val sw = counts.map { case (s, n) =>
+      s -> BigDecimal(math.sqrt(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+    val tsw = sw.values.sum.toDouble
+    val ideal = sw.map { case (s, v) =>
+      s -> graft.operators.TextOps.MixTarget.toDouble * v.toDouble / tsw }
+    val base = ideal.map { case (s, v) => s -> v.floor.toInt }
+    val k = graft.operators.TextOps.MixTarget - base.values.sum
+    val topUp = ideal.toSeq.map { case (s, v) => (s, v - v.floor) }
+      .sortBy { case (s, f) => (-f, s) }.take(k).map(_._1).toSet
+    val want = base.map { case (s, b) => s -> (b + (if (topUp(s)) 1 else 0)) }
+    assert(byz.keySet == want.filter(_._2 > 0).keySet)
+    byz.foreach { case (s, rows) => assert(rows.length == want(s), s"quota for $s") }
+  }
+
   test("q64 perplexity buckets cover all three bands and match a recompute") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
