@@ -54,6 +54,36 @@ class StoreGenHostileFsSpec extends SparkSpec {
       "copy+delete rename shim was never exercised")
   }
 
+  test("a leased two-delta fold pipeline runs end-to-end on copy+delete renames") {
+    // the full production write path — manifest import, lease acquire,
+    // segment fold, generation publish, rank maintenance, LinkDb
+    // serving — with EVERY rename (Spark job commits, StoreGen's
+    // pointer swap, lease tombstones) degraded to copy+delete
+    val fixture = new WatSourceSpec {}.fixturePath
+    val out = s"copydel://${Files.createTempDirectory("pipe_hostile")}/store"
+    val manifest = Files.createTempFile("hostile", ".paths")
+    Files.writeString(manifest, fixture + "\n")
+    Pipeline.importManifest(spark, manifest.toString, out)
+    val f1 = Pipeline.foldSegments(spark, out, maintainRanks = true, rankTol = 1e-9)
+    assert(f1.foldedLinks.nonEmpty)
+    assert(Pipeline.hostRanks(spark, out).nonEmpty, "ranks artifact published")
+    val links1 = Pipeline.links(spark, out).count()
+    assert(links1 > 0)
+    // second delta: the same segment copied under a new id, re-fold
+    val seg2 = Files.createTempDirectory("hostile2").resolve("part.wat.gz")
+    Files.copy(java.nio.file.Paths.get(fixture), seg2)
+    Files.writeString(manifest, fixture + "\n" + seg2 + "\n")
+    Pipeline.importManifest(spark, manifest.toString, out)
+    val f2 = Pipeline.foldSegments(spark, out, maintainRanks = true, rankTol = 1e-9)
+    assert(f2.foldedLinks.nonEmpty, "second delta folds")
+    assert(Pipeline.links(spark, out).count() == links1,
+      "duplicate segment compacts to the same store")
+    // the folded store serves the API contract through the shim
+    val db = Pipeline.linkDb(spark, out, "ext2.co.uk")
+    val rows = db.query(graft.api.LinkDbRequest("ext2.co.uk"))
+    assert(rows.length == 1 && rows.head.noFollow == 1)
+  }
+
   test("a reader inside the pointer-missing swap window heals by re-resolving") {
     StoreGen.publish(spark, root, tmp => writeNums(tmp, Seq(7)))
     val f = new org.apache.hadoop.fs.Path(root)
