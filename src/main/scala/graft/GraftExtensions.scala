@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Etld1
-import graft.plans.{CompressionRatio, MinHashAgg, MinHashSig, SimHashSig}
+import graft.plans.{CompressionRatio, GramHashes, MinHashAgg, MinHashSig, SimHashSig, SortedIntersectCount}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -56,6 +56,18 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("etld1(host) expects 1 argument")
   }
 
+  private def gramHashesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c, Literal(k: Int, _)) => GramHashes(c, k)
+    case _ => throw new IllegalArgumentException(
+      "gram_hashes(text, k literal) expects (column, int literal)")
+  }
+
+  private def sortedIntersectBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => SortedIntersectCount(a, b)
+    case _ => throw new IllegalArgumentException(
+      "sorted_intersect_count(a, b) expects 2 sorted-array arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
@@ -71,7 +83,13 @@ object GraftExtensions {
       compressionRatioBuilder _),
     (FunctionIdentifier("etld1"),
       new ExpressionInfo(classOf[Etld1].getName, "etld1"),
-      etld1Builder _))
+      etld1Builder _),
+    (FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      gramHashesBuilder _),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      sortedIntersectBuilder _))
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit =

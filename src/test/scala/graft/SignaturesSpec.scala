@@ -36,6 +36,16 @@ class SignaturesSpec extends SparkSpec {
       .collect().head
     assert(viaSql.getLong(0) == Signatures.simhash(UTF8String.fromString("a b c")))
     assert(viaSql.getSeq[Long](1).length == 8)
+    // the full custom-expression surface is SQL-reachable
+    val more = spark.sql(
+      "SELECT gram_hashes('abcdefgh', 8) AS g, " +
+        "sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS i, " +
+        "compression_ratio('aaaaaaaaaaaaaaaa') AS c, " +
+        "etld1('sub.example.co.uk') AS e").collect().head
+    assert(more.getSeq[Long](0).nonEmpty)
+    assert(more.getInt(1) == 2)
+    assert(more.getDouble(2) > 0.0)
+    assert(more.getString(3) == "example.co.uk")
     // the generated Java must call straight into the static helpers —
     // proof the expression codegens instead of interpreted fallback
     val code = org.apache.spark.sql.execution.debug.codegenString(
