@@ -49,6 +49,21 @@ object ScaleRehearsal {
       (0 until 10).map(_ => Tables.links(spark, "/root/testdata/sf0.1"))
         .reduce(_ unionAll _)).count())
     time("q53_decontaminate")(operators.TextOps.q53_decontaminate.run(spark, "/tmp/sfx10").count())
+    // q60's production shape at 10x: a ~2k-doc delta against the 50k
+    // corpus — wall-clock must track the DELTA-side join (the corpus
+    // contributes one signature scan + one bucket count, never pairs
+    // with itself)
+    val base10 = spark.read.parquet("/tmp/sfx10/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val delta10 = base10.filter(col("doc_id") % 250 === 0)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(lit("Z"), expr("substr(text, 2)")).as("text"))
+    time("q60_delta_10x")(
+      operators.SimilarityOps.deltaDedupPairs(base10, delta10).count())
+    // the single-scan text passes must stay ~linear in the corpus
+    time("q61_bm25")(operators.TextOps.q61_bm25.run(spark, "/tmp/sfx10").count())
+    time("q62_pii_scrub")(operators.TextOps.q62_pii_scrub.run(spark, "/tmp/sfx10").count())
+    time("q64_perplexity")(operators.TextOps.q64_perplexity_bucket.run(spark, "/tmp/sfx10").count())
     spark.stop()
   }
 

@@ -574,35 +574,47 @@ object SimilarityOps {
     * modeled divergence is the MaxBucket guard, which the fixture
     * stays far below).
     */
+  /** The delta-vs-corpus candidate join, parameterized by the two
+    * `(doc_id, text)` frames (ids must be disjoint across them — the
+    * caller's batch-id convention guarantees it). Exposed so the
+    * scale rehearsal can drive a 10× corpus against a small delta.
+    */
+  private[graft] def deltaDedupPairs(base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def chunked(df: org.apache.spark.sql.DataFrame, id: String, sig: String) =
+      df.select(col("doc_id").as(id),
+        graft.plans.SimHashSig.of(col("text")).as(sig))
+        .select(col(id), col(sig),
+          posexplode(graft.plans.SimHashSig.pigeonholeChunks(sig))
+            .as(Seq("chunk_id", "chunk_val")))
+    val baseCh = chunked(base, "base_id", "base_sig")
+    val deltaCh = chunked(delta, "delta_id", "delta_sig")
+    // hot-bucket guard over COMBINED membership (q31's semantics —
+    // its between(2, MaxBucket) counts every doc in the bucket), so
+    // a hot DELTA chunk is bounded too and the q60 ≡ q31-restricted
+    // spec invariant holds even when a bucket runs hot
+    val hot = baseCh.select(col("chunk_id"), col("chunk_val"))
+      .unionAll(deltaCh.select(col("chunk_id"), col("chunk_val")))
+      .groupBy(col("chunk_id"), col("chunk_val")).count()
+      .filter(col("count") > MaxBucket).drop("count")
+    baseCh
+      .join(broadcast(hot), Seq("chunk_id", "chunk_val"), "left_anti")
+      .join(broadcast(deltaCh), Seq("chunk_id", "chunk_val"))
+      .select(col("delta_id"), col("base_id"), col("delta_sig"), col("base_sig"))
+      .distinct() // sig is a function of id — distinct collapses to id pairs
+      .withColumn("hamming", expr("cast(bit_count(delta_sig ^ base_sig) as int)"))
+      .filter(col("hamming") <= 3)
+      .select(col("delta_id"), col("base_id"), col("hamming"))
+  }
+
   val q60_delta_dedup: GraftQuery = GraftQuery(
     "q60_delta_dedup",
     (s, dir) => {
       val all = Tables.docsWithNearDups(s, dir)
-      def chunked(df: org.apache.spark.sql.DataFrame, id: String, sig: String) =
-        df.select(col("doc_id").as(id),
-          graft.plans.SimHashSig.of(col("text")).as(sig))
-          .select(col(id), col(sig),
-            posexplode(graft.plans.SimHashSig.pigeonholeChunks(sig))
-              .as(Seq("chunk_id", "chunk_val")))
       // the planted +2000000 variants play the incoming batch
-      val baseCh = chunked(all.filter(col("doc_id") < 2000000L), "base_id", "base_sig")
-      val deltaCh = chunked(all.filter(col("doc_id") >= 2000000L), "delta_id", "delta_sig")
-      // hot-bucket guard over COMBINED membership (q31's semantics —
-      // its between(2, MaxBucket) counts every doc in the bucket), so
-      // a hot DELTA chunk is bounded too and the q60 ≡ q31-restricted
-      // spec invariant holds even when a bucket runs hot
-      val hot = baseCh.select(col("chunk_id"), col("chunk_val"))
-        .unionAll(deltaCh.select(col("chunk_id"), col("chunk_val")))
-        .groupBy(col("chunk_id"), col("chunk_val")).count()
-        .filter(col("count") > MaxBucket).drop("count")
-      baseCh
-        .join(broadcast(hot), Seq("chunk_id", "chunk_val"), "left_anti")
-        .join(broadcast(deltaCh), Seq("chunk_id", "chunk_val"))
-        .select(col("delta_id"), col("base_id"), col("delta_sig"), col("base_sig"))
-        .distinct() // sig is a function of id — distinct collapses to id pairs
-        .withColumn("hamming", expr("cast(bit_count(delta_sig ^ base_sig) as int)"))
-        .filter(col("hamming") <= 3)
-        .select(col("delta_id"), col("base_id"), col("hamming"))
+      deltaDedupPairs(
+        all.filter(col("doc_id") < 2000000L),
+        all.filter(col("doc_id") >= 2000000L))
     },
     Some(Tables.docsNearDupsCte +
       """, th AS (
