@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("the classifier gate's batched inference runs unchanged over a stream") {
+    // q57's scoring pass is partition-preserving map work, so the SAME
+    // InferenceOps.score runs over readStream micro-batches with no
+    // state store — the streaming curation gate is the batch code
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.InferenceOps
+    import graft.operators.InferenceOps.DocFeatures
+    val mem = MemoryStream[DocFeatures]
+    val q = InferenceOps.score(mem.toDS())
+      .writeStream.format("memory").queryName("s_cls_out")
+      .outputMode(OutputMode.Append).start()
+    val fs = (1 to 150).map(i =>
+      DocFeatures(i.toLong, n_tokens = i % 50, n_chars = i * 7 % 211, stop_hits = i % 5))
+    try {
+      mem.addData(fs.take(70): _*)
+      q.processAllAvailable()
+      mem.addData(fs.drop(70): _*) // a second micro-batch scores independently
+      q.processAllAvailable()
+      val got = spark.table("s_cls_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Int]("keep")))
+        .sortBy(_._1).toSeq
+      val want = InferenceOps.score(fs.toDS()).collect()
+        .map(s => (s.doc_id, s.score, s.keep)).sortBy(_._1).toSeq
+      assert(got == want, "streamed scores must equal the batch pass")
+    } finally q.stop()
+  }
+
   test("s02 batch form equals the window-function sessionization") {
     import spark.implicits._
     val evs = Tables.table(spark, sfDir, "events")
