@@ -587,8 +587,12 @@ object SimilarityOps {
         .select(col(id), col(sig),
           posexplode(graft.plans.SimHashSig.pigeonholeChunks(sig))
             .as(Seq("chunk_id", "chunk_val")))
-    val baseCh = chunked(base, "base_id", "base_sig")
-    val deltaCh = chunked(delta, "delta_id", "delta_sig")
+    // each side is referenced twice (hot-bucket count + candidate
+    // join); the checkpoint pins ONE signature scan per side — the
+    // chunk rows (id, sig, chunk) are far smaller than the text they
+    // derive from, and at scale the base side is the stored index
+    val baseCh = chunked(base, "base_id", "base_sig").localCheckpoint(false)
+    val deltaCh = chunked(delta, "delta_id", "delta_sig").localCheckpoint(false)
     // hot-bucket guard over COMBINED membership (q31's semantics —
     // its between(2, MaxBucket) counts every doc in the bucket), so
     // a hot DELTA chunk is bounded too and the q60 ≡ q31-restricted

@@ -643,15 +643,22 @@ object TextOps {
   val q61_bm25: GraftQuery = GraftQuery(
     "q61_bm25",
     (s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
+      // ONE corpus scan: per-doc length + the (≤ |terms|-element)
+      // query-term hits land in a lazily-checkpointed frame that
+      // stats, df and scoring all branch from — without it Catalyst
+      // plans three independent full scans of the corpus (AQE does
+      // not reuse them), which at 100 TB is the whole query cost
+      val keep = Bm25Terms.map(t => s"t = '$t'").mkString(" OR ")
+      val perDoc = Tables.table(s, dir, "documents")
         .select(col("doc_id"), expr(WordTokens).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-      val stats = docs.agg(
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          expr(s"filter(toks, t -> $keep)").as("hits"))
+        .localCheckpoint(false)
+      val stats = perDoc.agg(
         count(lit(1)).cast("double").as("n_docs"),
         sum(col("dl")).cast("double").as("sum_dl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-        .filter(col("tok").isInCollection(Bm25Terms))
+      val tf = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
@@ -849,9 +856,12 @@ object TextOps {
     "q65_source_mix",
     (s, dir) => {
       val docs = Tables.table(s, dir, "documents")
+      // |sources| rows — checkpoint so the tot/short/alloc branches
+      // reuse one corpus scan instead of re-counting it three times
       val w = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("sw", round(sqrt(col("n_docs").cast("double")), 6))
+        .localCheckpoint(false)
       val tot = w.agg(
         sum(col("sw").cast("decimal(20,6)")).cast("double").as("tsw"))
       val q = w.crossJoin(broadcast(tot))
