@@ -777,6 +777,13 @@ object TextOps {
     * log-probs round to 6 decimals into a DECIMAL sum (the q33/q61
     * trick), and the bucket thresholds compare the ROUNDED average —
     * hash-exact oracle.
+    *
+    * The LM and scoring branches each scan the corpus (vs q61's
+    * checkpoint): DELIBERATE — the shared frame here is the full
+    * token explode, larger than the compressed text it derives from,
+    * so materializing it would cost more than the second pruned
+    * columnar scan it saves (q61's shared frame is ≤3 hits/doc, the
+    * opposite trade).
     */
   val q64_perplexity_bucket: GraftQuery = GraftQuery(
     "q64_perplexity_bucket",
