@@ -89,7 +89,11 @@ object GraphOps {
   /** The q51 serving projection over a full ranks frame. */
   private[graft] def top100(ranks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    ranks.orderBy(col("rank").desc, col("host").asc).limit(100)
+    // order on the ROUNDED rank (the serving precision): unrounded
+    // doubles carry partitioning-dependent summation noise at the ulp,
+    // so two runs with different physical plans would break ties of
+    // equal displayed rank differently
+    ranks.orderBy(round(col("rank"), 6).desc, col("host").asc).limit(100)
       .select(col("host"), round(col("rank"), 6).as("rank"))
 
   /** Full-control variant: `init` warm-starts the power method from a
@@ -121,13 +125,23 @@ object GraphOps {
       tol: Option[Double] = None,
       init: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, Int) = {
-    val e = edgeFrame.localCheckpoint(false)
+    // pre-partition the edges by src BEFORE the checkpoint: the
+    // checkpoint leaf keeps its output partitioning, so the
+    // share⨝edges join inside every iteration reuses it instead of
+    // re-shuffling the full edge set 10× — per iteration only the
+    // (one-row-per-host) rank side moves, which at 100 TB is the
+    // difference between shuffling the graph once and ten times
+    val e = edgeFrame.repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst")))
       .distinct()
       .localCheckpoint(false)
     val n = nodes.count().toDouble
+    // checkpointed: lazy frames re-derive per reference, and this one
+    // is referenced from inside the loop — without the pin each
+    // iteration re-runs the edges-wide degree aggregate
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(false)
     var ranks = init.fold(nodes.withColumn("rank", lit(1.0))) { prev =>
       nodes.join(prev.select(col("host").as("ph"), col("rank").as("prank")),
         col("host") === col("ph"), "left")
