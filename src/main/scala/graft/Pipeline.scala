@@ -212,8 +212,13 @@ object Pipeline {
     */
   private def safeRewrite(spark: SparkSession, path: String,
       write: String => Unit): Unit =
-    graft.sinks.StoreLease.withLease(spark, path) {
-      graft.sinks.StoreGen.publish(spark, path, write)
+    graft.sinks.StoreLease.withLease(spark, path) { lease =>
+      val gen = graft.sinks.StoreGen.prepare(spark, path, write)
+      // a zombie writer (paused past staleness, lease stale-broken by
+      // a successor) must refuse the pointer swap, not race the
+      // successor's generation prune
+      lease.ensureHeld()
+      graft.sinks.StoreGen.commit(spark, path, gen)
     }
 
   /** Segment ids already folded into a main store: the `_FOLDED`
@@ -291,10 +296,11 @@ object Pipeline {
       maintainRanks: Boolean = false,
       rankTol: Double = 1e-6,
       rankMaxIters: Int = 200): FoldStats =
-    graft.sinks.StoreLease.withLease(spark, s"$outDir/links") {
-      graft.sinks.StoreLease.withLease(spark, s"$outDir/pages") {
+    graft.sinks.StoreLease.withLease(spark, s"$outDir/links") { linksLease =>
+      graft.sinks.StoreLease.withLease(spark, s"$outDir/pages") { pagesLease =>
         onLeased()
-        foldSegmentsLeased(spark, outDir, maintainRanks, rankTol, rankMaxIters)
+        foldSegmentsLeased(spark, outDir, maintainRanks, rankTol, rankMaxIters,
+          beforeCommit = () => { linksLease.ensureHeld(); pagesLease.ensureHeld() })
       }
     }
 
@@ -314,7 +320,8 @@ object Pipeline {
   private val RanksArtifact = "_RANKS"
 
   private def foldSegmentsLeased(spark: SparkSession, outDir: String,
-      maintainRanks: Boolean, rankTol: Double, rankMaxIters: Int): FoldStats = {
+      maintainRanks: Boolean, rankTol: Double, rankMaxIters: Int,
+      beforeCommit: () => Unit = () => ()): FoldStats = {
     val completed = SegmentManifest.completedSegments(spark, outDir)
     val linksLedger = foldedSegments(spark, s"$outDir/links")
     val pagesLedger = foldedSegments(spark, s"$outDir/pages")
@@ -368,6 +375,11 @@ object Pipeline {
     // untouched (the stray generation dirs are swept by the next
     // prepare). The rewrites read the old generations while writing
     // the new ones, so no checkpoint is needed.
+    // last chance to detect a lease lost during the (long) write
+    // phase: a zombie fold must abandon its prepared generations
+    // (swept by the successor's next prepare) rather than swap
+    // pointers over the successor's work
+    beforeCommit()
     if (linksToFold.nonEmpty) graft.sinks.StoreGen.commit(spark, s"$outDir/links", linksGen)
     if (pagesToFold.nonEmpty) graft.sinks.StoreGen.commit(spark, s"$outDir/pages", pagesGen)
 

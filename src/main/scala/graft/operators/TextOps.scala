@@ -845,7 +845,10 @@ object TextOps {
     * `MixTarget` docs across sources with temperature-smoothed weights
     * w_s ∝ n_s^0.5 (α = 0.5 upweights rare sources, the standard
     * mixture move), integerized by largest-remainder allocation so the
-    * quotas sum EXACTLY to the target. Scale shape: the whole weight /
+    * quotas sum EXACTLY to the target while every source has at least
+    * its quota of docs; a source upweighted past its own size draws
+    * fully and the sample comes up short (no redistribution — that
+    * would oversample other sources beyond their declared weights). Scale shape: the whole weight /
     * quota computation runs on the tiny per-source count frame (its
     * window sorts |sources| rows, not the corpus); the corpus is
     * touched by ONE scan feeding the bounded-heap TopKPerGroup (≤
@@ -881,8 +884,13 @@ object TextOps {
         .orderBy(col("frac").desc, col("source").asc)
       val alloc = q.crossJoin(broadcast(short))
         .withColumn("rr", row_number().over(remainderOrder))
+        // cap at the source's size: a rare source upweighted past its
+        // own doc count draws FULLY and the sample comes up short of
+        // the target — no redistribution, which would oversample other
+        // sources beyond their declared weights
         .withColumn("quota",
-          (col("base") + when(col("rr") <= col("k"), 1).otherwise(0)).cast("int"))
+          least(col("n_docs"),
+            col("base") + when(col("rr") <= col("k"), 1).otherwise(0)).cast("int"))
         .select(col("source"), col("quota"))
       val ranked = graft.plans.TopKPerGroup(
         docs.withColumn("rnd", md5(col("doc_id").cast("string"))),
@@ -902,8 +910,9 @@ object TextOps {
             |         ideal - FLOOR(ideal) AS frac FROM q),
             |short AS (SELECT CAST($MixTarget - SUM(base) AS INT) AS k FROM q2),
             |alloc AS (SELECT source,
-            |    CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source)
-            |                       <= (SELECT k FROM short) THEN 1 ELSE 0 END AS INT) AS quota
+            |    CAST(LEAST(n_docs,
+            |      base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+            |                    <= (SELECT k FROM short) THEN 1 ELSE 0 END) AS INT) AS quota
             |  FROM q2),
             |ranked AS (SELECT source, doc_id,
             |    CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -64,13 +64,34 @@ object StoreLease {
   final class Lease private[StoreLease] (
       f: FileSystem, val path: Path, val holder: String, staleMs: Long) {
     @volatile private var released = false
+    @volatile private var lostFlag = false
     private def stillMine(): Option[Boolean] =
       try Some(readHolder(f, path).contains(holder))
       catch { case _: java.io.IOException => None } // transient: unknown
+
+    /** True once the heartbeat observed ANOTHER holder's id in the
+      * lease file — this process was suspended past staleness and a
+      * successor broke the lease. The fold that thinks it holds this
+      * lease must not commit; see [[ensureHeld]].
+      */
+    def isLost: Boolean = lostFlag
+
+    /** Call immediately before a pointer-swap commit: a zombie writer
+      * (suspended past staleMs, lease stale-broken by a successor)
+      * must refuse to publish rather than race the successor's
+      * generation prune. A narrow observe-then-commit window remains —
+      * closing it fully needs a conditional-put the FileSystem API
+      * doesn't offer — but the check turns an unbounded double-writer
+      * overlap into one bounded by a heartbeat period.
+      */
+    def ensureHeld(): Unit =
+      if (lostFlag) throw new LeaseHeldException(
+        s"writer lease on $path was stale-broken by another holder while " +
+          "this process was paused — refusing to commit over the successor")
+
     private val beat = new Thread(() => {
       try {
-        var mine = true
-        while (!released && mine) {
+        while (!released && !lostFlag) {
           Thread.sleep(math.max(staleMs / 3, 50L))
           // a transient refresh failure must NOT kill the heartbeat for
           // the lease's lifetime (a long fold would silently go stale
@@ -78,7 +99,7 @@ object StoreLease {
           // only when the file verifiably names another holder (our
           // lease was broken while this process was suspended)
           if (!released) stillMine() match {
-            case Some(false) => mine = false
+            case Some(false) => lostFlag = true
             case _ =>
               // mtime refresh, not a rewrite: readers of the lease file
               // never observe a partially written holder id
@@ -95,11 +116,21 @@ object StoreLease {
       released = true
       beat.interrupt()
       // delete only OUR lease: after a stale break the file may be a
-      // successor's live lease (a narrow read-then-delete window
-      // remains — closing it needs a conditional delete the FS API
-      // doesn't offer — but an unconditional delete loses always)
-      try if (readHolder(f, path).contains(holder)) f.delete(path, false)
-      catch { case _: java.io.IOException => () } // already gone: released either way
+      // successor's live lease. A transient read failure retries; if
+      // the read never lands the file is LEFT IN PLACE — a wrongly
+      // kept lease costs at most staleMs of loud refusals, a wrongly
+      // deleted successor's lease costs a silent double-writer.
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 3) {
+        attempt += 1
+        try {
+          if (readHolder(f, path).contains(holder)) f.delete(path, false)
+          done = true
+        } catch {
+          case _: java.io.IOException => if (attempt < 3) Thread.sleep(50L)
+        }
+      }
     }
   }
 
@@ -167,11 +198,14 @@ object StoreLease {
     new Lease(f, p, holder, staleMs)
   }
 
-  /** Run `body` under the writer lease on `root`; release on all exits. */
+  /** Run `body` under the writer lease on `root`; release on all exits.
+    * The body receives the [[Lease]] so it can [[Lease.ensureHeld]]
+    * right before any commit/pointer swap.
+    */
   def withLease[A](spark: SparkSession, root: String,
       holder: String = defaultHolder(),
-      staleMs: Long = DefaultStaleMs)(body: => A): A = {
+      staleMs: Long = DefaultStaleMs)(body: Lease => A): A = {
     val lease = acquire(spark, root, holder, staleMs)
-    try body finally lease.release()
+    try body(lease) finally lease.release()
   }
 }

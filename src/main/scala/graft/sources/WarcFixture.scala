@@ -100,44 +100,36 @@ object WarcFixture {
     * lands in a private temp dir first and moves into place atomically
     * — `synchronized` only guards within one JVM, and the driver may
     * run Verify and Bench as separate processes against the same
-    * tmpdir; a check-then-build would let one read the other's
-    * half-written files. A lost move race (target appeared first)
-    * discards the duplicate build.
+    * tmpdir. On ANY interference (the atomic move loses and the
+    * canonical name is not a completed fixture) the caller gets its
+    * own private, complete build — never a sweep of the shared name:
+    * deleting debris in place would race another process's completed
+    * move (the check-then-sweep window), and the fixture is
+    * content-deterministic, so any complete directory is equivalent.
     */
   def dir(): String = synchronized {
     val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val base = tmpRoot.resolve("graft-warc-fixture-v1")
     val ok = base.resolve("_OK")
-    if (!java.nio.file.Files.exists(ok)) {
-      val build = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-warc-build")
-      (0 until Files).foreach { f =>
-        val recs = chaff(f) ++ (0 until PagesPerFile).map(page(f, _))
-        val s = new FileOutputStream(build.resolve(f"crawl-$f%05d.warc.gz").toFile)
-        try s.write(gzMembers(recs)) finally s.close()
-      }
-      java.nio.file.Files.createFile(build.resolve("_OK"))
-      def tryMove(): Boolean =
-        try {
-          java.nio.file.Files.move(build, base,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.io.IOException => false }
-      if (!tryMove()) {
-        // either another process won the race (marker present — use
-        // theirs) or MARKERLESS debris from a crashed pre-atomic build
-        // holds the name — sweep it and retry once
-        if (!java.nio.file.Files.exists(ok)) {
-          Option(base.toFile.listFiles()).foreach(_.foreach(_.delete()))
-          java.nio.file.Files.deleteIfExists(base)
-          tryMove()
-        }
-        if (java.nio.file.Files.exists(build)) { // lost: drop the duplicate
-          Option(build.toFile.listFiles()).foreach(_.foreach(_.delete()))
-          java.nio.file.Files.deleteIfExists(build)
-        }
-      }
-      require(java.nio.file.Files.exists(ok), s"WARC fixture build failed: $base has no _OK")
+    if (java.nio.file.Files.exists(ok)) return base.toAbsolutePath.toString
+    val build = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-warc-build")
+    (0 until Files).foreach { f =>
+      val recs = chaff(f) ++ (0 until PagesPerFile).map(page(f, _))
+      val s = new FileOutputStream(build.resolve(f"crawl-$f%05d.warc.gz").toFile)
+      try s.write(gzMembers(recs)) finally s.close()
     }
-    base.toAbsolutePath.toString
+    java.nio.file.Files.createFile(build.resolve("_OK"))
+    val moved =
+      try {
+        java.nio.file.Files.move(build, base,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (moved) base.toAbsolutePath.toString
+    else if (java.nio.file.Files.exists(ok)) { // racer completed first: use theirs
+      Option(build.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      java.nio.file.Files.deleteIfExists(build)
+      base.toAbsolutePath.toString
+    } else build.toAbsolutePath.toString // debris holds the name: private copy
   }
 }

@@ -83,12 +83,13 @@ class StoreLeaseSpec extends SparkSpec {
   test("withLease releases on exception and StoreGen.commit keeps the lease file") {
     val root = tmpRoot("lease4")
     intercept[RuntimeException] {
-      StoreLease.withLease(spark, root, holder = "thrower") {
+      StoreLease.withLease(spark, root, holder = "thrower") { _ =>
         throw new RuntimeException("fold blew up")
       }
     }
     // released despite the throw
-    StoreLease.withLease(spark, root, holder = "next") {
+    StoreLease.withLease(spark, root, holder = "next") { lease =>
+      lease.ensureHeld() // live lease: must be a no-op
       // a commit during the hold must not sweep _LEASE as legacy debris
       graft.sinks.StoreGen.publish(spark, root, tmp =>
         spark.range(3).toDF("id").write.parquet(tmp))
