@@ -922,11 +922,70 @@ object TextOps {
             |FROM ranked r JOIN alloc a USING (source) WHERE r.rk <= a.quota""".stripMargin)
   )
 
+  /** Cross-document EXACT duplicate substrings (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * boilerplate and templated spans repeat VERBATIM across documents
+    * that are nowhere near global near-dups, and training on them
+    * measurably hurts — the dedup unit is the SPAN, not the doc.
+    * Their single-node suffix array becomes, distributed: every
+    * W-token rolling window hashes ROW-LOCALLY inside the scan stage
+    * (one md5 per window — no suffix structure to build or ship),
+    * duplicated hashes surface from ONE groupBy(hash) shuffle whose
+    * buckets are hot-capped (`MaxBucket`-style, boilerplate shared by
+    * everything would otherwise emit quadratic pairs), and doc pairs
+    * aggregate shared-window counts. Reported pairs share ≥
+    * [[SubstringMinWindows]] windows (singleton hash collisions are
+    * noise). The oracle brute-forces the same windows with a self-join
+    * — lossless correspondence, since the hash IS the dedup key on
+    * both sides (only modeled divergence: the hot-bucket cap, far
+    * above the fixture).
+    */
+  val SubstringW = 8
+  val SubstringMinWindows = 5
+
+  val q66_substring_dup: GraftQuery = GraftQuery(
+    "q66_substring_dup",
+    (s, dir) => {
+      val wh = Tables.docsWithNearDups(s, dir)
+        .select(col("doc_id"), expr(WordTokens).as("t"))
+        .filter(size(col("t")) >= SubstringW)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${SubstringW - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(t, i, $SubstringW))))")).as("h"))
+        .distinct()
+      wh.groupBy(col("h"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 64))
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "b -> named_struct('a_id', a, 'b_id', b))))")).as("p"))
+        .select(col("p.a_id"), col("p.b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_windows"))
+        .filter(col("n_windows") >= SubstringMinWindows)
+    },
+    Some(Tables.docsNearDupsCte +
+      s""", toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM alldocs
+         |), wh AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(t[CAST(i AS INTEGER):CAST(i + ${SubstringW - 1} AS INTEGER)], ' ')) AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${SubstringW - 2})) AS i
+         |        FROM toks WHERE len(t) >= $SubstringW) u
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM wh a JOIN wh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= $SubstringMinWindows""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
-    q65_source_mix)
+    q65_source_mix, q66_substring_dup)
 }

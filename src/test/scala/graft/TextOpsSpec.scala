@@ -192,6 +192,33 @@ class TextOpsSpec extends SparkSpec {
     byz.foreach { case (s, rows) => assert(rows.length == want(s), s"quota for $s") }
   }
 
+  test("q66 finds exactly the planted shared-substring pairs with high overlap") {
+    import graft.operators.TextOps
+    val out = TextOps.q66_substring_dup.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_windows")))
+    // the planted +2000000 variants differ from their base only in the
+    // first character, so every window past the first token is shared
+    val want = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 25 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 2000000L)).toSet
+    assert(out.nonEmpty)
+    // every planted couple is found; the corpus ALSO contains organic
+    // repeated spans (the generator reuses word runs), which is the
+    // operator's purpose — so subset, not equality
+    val found = out.map(t => (t._1, t._2)).toSet
+    assert(want.subsetOf(found), s"missing planted pairs: ${want -- found}")
+    out.filter(t => want((t._1, t._2))).foreach { case (a, b, n) =>
+      // planted overlap ≈ all windows: tokens - W + 1 minus the W
+      // windows touching the changed first token
+      val toks = Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") === a).select("text").collect().head.getString(0)
+        .toLowerCase.split("[^a-z]+").count(_.nonEmpty)
+      val total = toks - TextOps.SubstringW + 1
+      assert(n >= total - TextOps.SubstringW && n <= total, s"pair ($a,$b): $n of $total")
+    }
+  }
+
   test("q64 perplexity buckets cover all three bands and match a recompute") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
