@@ -61,18 +61,25 @@ object Bench {
       def idPairs(name: String, a: String, b: String) =
         SparkEntry.queries(name)(spark, sfDir).collect()
           .map(r => (r.getAs[Long](a), r.getAs[Long](b))).toSet
+      // planted-pair convention comes from the fixture's own constants
+      // (Tables.embWithNearDups) — not a hand-copied modulus/offset
       val exact = idPairs("q32_cosine_topk", "q_id", "n_id")
       val ivf = idPairs("q40_ivf_cosine", "q_id", "n_id")
       val planted = Tables.table(spark, sfDir, "embeddings")
-        .filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % Tables.DupEvery === 0)
         .select("vec_id").collect().map(_.getLong(0))
-        .map(v => (v, v + 1000000L)).toSet
+        .map(v => (v, v + Tables.EmbDupOffset)).toSet
       val lsh = idPairs("q34_lsh_cosine", "a_id", "b_id")
       if (exact.isEmpty || planted.isEmpty) None
       else Some(
         s""""q40_ivf_recall_at10":${ivf.intersect(exact).size.toDouble / exact.size},""" +
           s""""q34_lsh_planted_recall":${planted.intersect(lsh).size.toDouble / planted.size}""")
-    } catch { case _: Throwable => None }) // never fail the bench over the quality probe
+    } catch { // never fail the bench over the quality probe — but a broken
+      // probe must be attributable from the run output, not silent
+      case e: Throwable =>
+        System.err.println(s"recall probe failed: $e")
+        None
+    })
       .map(r => s"{$r}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       recallJson.fold("")(r => s""""recall":$r,""") +

@@ -64,6 +64,24 @@ object ScaleRehearsal {
     time("q61_bm25")(operators.TextOps.q61_bm25.run(spark, "/tmp/sfx10").count())
     time("q62_pii_scrub")(operators.TextOps.q62_pii_scrub.run(spark, "/tmp/sfx10").count())
     time("q64_perplexity")(operators.TextOps.q64_perplexity_bucket.run(spark, "/tmp/sfx10").count())
+    // DEGENERATE-KEY rehearsal: the hot-bucket guard under fire. A
+    // boilerplate 8-token window shared by EVERY one of 50k docs (the
+    // q66 shape) and a constant text shared by 50k docs (every SimHash
+    // chunk bucket degenerate — the q31 shape). With the post-hoc
+    // collect_list cap these built 50k-element buffers in one reducer
+    // before filtering; BoundedCollectSet must complete them with
+    // per-key state ≤ MaxBucket+1 — watch for flat wall-clock, not
+    // just completion.
+    val boiler = (0 until 8).map(i => s"boil$i").mkString(" ")
+    spark.range(50000).selectExpr("id AS doc_id",
+        s"concat('$boiler ', 'u', id, 'a u', id, 'b u', id, 'c') AS text",
+        "11 AS n_chars")
+      .write.mode("overwrite").parquet("/tmp/sfhot/documents.parquet")
+    time("q66_hot_window")(operators.TextOps.q66_substring_dup.run(spark, "/tmp/sfhot").count())
+    spark.range(50000).selectExpr("id AS doc_id",
+        "'the same text everywhere in all of them' AS text", "40 AS n_chars")
+      .write.mode("overwrite").parquet("/tmp/sfconst/documents.parquet")
+    time("q31_hot_band")(operators.SimilarityOps.q31_simhash.run(spark, "/tmp/sfconst").count())
     spark.stop()
   }
 

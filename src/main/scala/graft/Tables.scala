@@ -108,6 +108,16 @@ object Tables {
       |)
       |""".stripMargin
 
+  /** Planting convention shared by every injected-duplicate fixture
+    * (and by the Bench recall probe, which re-derives the planted
+    * pairs from these constants): every [[DupEvery]]-th id gets a
+    * copy/variant at id + offset.
+    */
+  val DupEvery = 25
+  val ExactDupOffset = 1000000L // docsWithExactDups copies
+  val NearDupOffset = 2000000L  // docsWithNearDups Z-variants
+  val EmbDupOffset = 1000000L   // embWithNearDups nudged vectors
+
   /** documents plus injected exact duplicates (doc_id + 1000000): the
     * deterministic fixture for exact-dedup operators.
     */
@@ -115,8 +125,8 @@ object Tables {
     val d = table(spark, dir, "documents")
     d.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .unionAll(
-        d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        d.filter(col("doc_id") % DupEvery === 0)
+          .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text"),
             col("lang"), col("source"), col("n_chars")))
   }
 
@@ -133,19 +143,23 @@ object Tables {
     * while the text hash changes. Length (and n_chars) is preserved so
     * length-blocked pairing keeps original and copy in one block.
     */
-  def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+  def docsWithNearDups(spark: SparkSession, dir: String,
+      spread: Boolean = true): DataFrame = {
     val d = table(spark, dir, "documents")
-    d.select(col("doc_id"), col("text"), col("n_chars"))
+    val u = d.select(col("doc_id"), col("text"), col("n_chars"))
       .unionAll(
-        d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
+        d.filter(col("doc_id") % DupEvery === 0)
+          .select((col("doc_id") + NearDupOffset).as("doc_id"),
             concat(lit("Z"), expr("substring(text, 2)")).as("text"),
             col("n_chars")))
-      // the table is one small parquet file = ONE input split; the
-      // consumers do heavy per-row signature work, so spread rows
-      // across cores first (at crawl scale the many input files make
-      // this a no-op-cost safeguard)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // the table is one small parquet file = ONE input split; the
+    // consumers do heavy per-row signature work, so spread rows
+    // across cores first (at crawl scale the many input files make
+    // this a no-op-cost safeguard). Consumers whose first shuffle
+    // immediately redistributes the derived stream anyway (q66's
+    // groupBy of the window hashes dwarfs the per-row md5 work) pass
+    // spread=false and keep a single exchange in the whole plan.
+    if (spread) u.repartition(spark.sparkContext.defaultParallelism) else u
   }
 
   /** Embedding dimensionality of the testdata `embeddings` table — part
@@ -170,8 +184,8 @@ object Tables {
     val e = table(spark, dir, "embeddings")
     e.select(col("vec_id"), col("embedding"), col("label"))
       .unionAll(
-        e.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+        e.filter(col("vec_id") % DupEvery === 0)
+          .select((col("vec_id") + EmbDupOffset).as("vec_id"),
             expr("transform(embedding, (x, i) -> if(i = 0, cast(x + 0.001f as float), x))")
               .as("embedding"),
             col("label")))

@@ -28,9 +28,14 @@ object SimilarityOps {
 
   /** Hot-bucket guard: a bucket with more members than this is dropped
     * from candidate generation (at 100 TB a degenerate bucket would
-    * otherwise emit |bucket|² pairs).
+    * otherwise emit |bucket|² pairs). Enforced DURING aggregation by
+    * [[graft.plans.BoundedCollectSet]] — per-key buffers never exceed
+    * MaxBucket+1 elements, so a degenerate key cannot OOM the reducer
+    * it lands on. ONE definition, shared by every bucket site
+    * (q30/q31/q34/q41 here, q66 in TextOps, s05's streaming state in
+    * StreamOps) so the guard cannot drift per family member.
     */
-  private val MaxBucket = 64
+  private[graft] val MaxBucket = 64
 
   /** `ids` (sorted array) → all a<b pairs, as structs. */
   private val pairExpr =
@@ -89,8 +94,10 @@ object SimilarityOps {
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
     bands
       .groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+      // bounded-buffer collect: hot buckets flip to NULL during the
+      // aggregate instead of materializing, then the filter drops them
+      .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), MaxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
@@ -193,8 +200,8 @@ object SimilarityOps {
           .as(Seq("chunk_id", "chunk_val")))
       val pairs = chunks
         .groupBy(col("chunk_id"), col("chunk_val"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, MaxBucket))
+        .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), MaxBucket).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
         .select(explode(expr(pairExpr)).as("p"))
         .select(col("p.a_id"), col("p.b_id"))
         .distinct()
@@ -343,8 +350,8 @@ object SimilarityOps {
           .as(Seq("band_id", "bucket")))
       val pairs = bands
         .groupBy(col("band_id"), col("bucket"))
-        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, MaxBucket))
+        .agg(graft.plans.BoundedCollectSet.of(col("vec_id"), MaxBucket).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
         .select(explode(expr(pairExpr)).as("p"))
         .select(col("p.a_id"), col("p.b_id"))
         .distinct()
@@ -531,8 +538,8 @@ object SimilarityOps {
     val pairs = sketches
       .select(col("link_domain").as("ids_src"), explode(expr(s"array($bandStructs)")).as("b"))
       .groupBy(col("b.band_id"), col("b.band_hash"))
-      .agg(sort_array(collect_list(col("ids_src"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+      .agg(graft.plans.BoundedCollectSet.of(col("ids_src"), MaxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
       .select(col("p.a_id").as("a_domain"), col("p.b_id").as("b_domain"))
       .distinct()

@@ -458,19 +458,30 @@ object TextOps {
            |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin)
   )
 
+  /** Posting-list segment width: each output row carries the postings
+    * of one doc-id range of this width, so no aggregation buffer (and
+    * no output row) ever holds more than this many ids — the sharded
+    * layout real index builders write. Segments concatenate in seg
+    * order to reconstruct the full sorted posting list.
+    */
+  val PostingSegWidth = 256
+
   /** Inverted index over the RARE vocabulary (document frequency ≤ 5%
-    * of the corpus): term → df + sorted posting list (joined to a
-    * string so the oracle compare is array-representation-proof).
+    * of the corpus): term → df + SEGMENTED sorted posting lists
+    * (joined to strings so the oracle compare is
+    * array-representation-proof).
     *
     * Scale shape — document frequencies come FIRST (a cheap count
     * aggregate), the rare band joins back on the token (a plain
     * shuffle join — under a Zipfian vocabulary the rare band is MOST
     * of the distinct terms, far too large to broadcast; AQE still
     * picks a broadcast when the band happens to be small), and only
-    * rare terms ever build posting lists: a stopword's postings (every
-    * doc in the corpus at 100 TB) are never materialized in any
-    * aggregation buffer, and the relative band means posting lists
-    * stay ≤ 5% of corpus size by construction at any scale.
+    * rare terms ever build posting lists. Even a rare term's postings
+    * are huge in absolute terms at crawl scale (5% of 100 B docs), so
+    * lists build PER DOC-ID SEGMENT (`doc_id div PostingSegWidth`):
+    * every aggregation buffer is structurally ≤ [[PostingSegWidth]]
+    * ids regardless of df, and a term's index rows scale out across
+    * reducers instead of funneling into one.
     */
   val q50_inverted_index: GraftQuery = GraftQuery(
     "q50_inverted_index",
@@ -486,21 +497,26 @@ object TextOps {
         .filter(col("df") * 20 <= col("n_docs"))
         .select(col("token"), col("df"))
       pairs.join(rare, "token")
-        .groupBy(col("token"), col("df"))
+        .withColumn("seg", expr(s"doc_id div $PostingSegWidth"))
+        .groupBy(col("token"), col("df"), col("seg"))
         .agg(expr(
           "concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> cast(x as string)))")
           .as("postings"))
-        .select(col("token"), col("df"), col("postings"))
+        .select(col("token"), col("df"), col("seg"), col("postings"))
     },
-    Some("""WITH pairs AS (
+    Some(s"""WITH pairs AS (
            |  SELECT DISTINCT doc_id, token FROM (
            |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
            |    FROM documents) u
+           |), df AS (
+           |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM pairs GROUP BY token
+           |  HAVING COUNT(*) * 20 <= (SELECT COUNT(*) FROM documents)
            |)
-           |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-           |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
-           |FROM pairs GROUP BY token
-           |HAVING COUNT(*) * 20 <= (SELECT COUNT(*) FROM documents)""".stripMargin)
+           |SELECT p.token, d.df, CAST(p.doc_id // $PostingSegWidth AS BIGINT) AS seg,
+           |       string_agg(p.doc_id::VARCHAR, ',' ORDER BY p.doc_id) AS postings
+           |FROM pairs p JOIN df d USING (token)
+           |GROUP BY p.token, d.df, seg""".stripMargin)
   )
 
   /** Benchmark decontamination — the pass every LLM training pipeline
@@ -930,15 +946,24 @@ object TextOps {
     * Their single-node suffix array becomes, distributed: every
     * W-token rolling window hashes ROW-LOCALLY inside the scan stage
     * (one md5 per window — no suffix structure to build or ship),
-    * duplicated hashes surface from ONE groupBy(hash) shuffle whose
-    * buckets are hot-capped (`MaxBucket`-style, boilerplate shared by
-    * everything would otherwise emit quadratic pairs), and doc pairs
-    * aggregate shared-window counts. Reported pairs share ≥
+    * duplicated hashes surface from ONE groupBy(hash) shuffle, and
+    * doc pairs aggregate shared-window counts. Reported pairs share ≥
     * [[SubstringMinWindows]] windows (singleton hash collisions are
     * noise). The oracle brute-forces the same windows with a self-join
     * — lossless correspondence, since the hash IS the dedup key on
     * both sides (only modeled divergence: the hot-bucket cap, far
     * above the fixture).
+    *
+    * The window-hash stream is the widest dataflow in the repo
+    * (~|tokens| rows per doc), so it crosses EXACTLY ONE exchange:
+    * within-doc repeated windows dedup INSIDE the bounded aggregate
+    * (map-side, no separate `.distinct()` exchange), the hot-window
+    * cap is enforced during aggregation by
+    * [[graft.plans.BoundedCollectSet]] (a boilerplate window shared by
+    * millions of pages flips to NULL instead of materializing in one
+    * reducer buffer), and the input skips the fixture round-robin
+    * spread (`spread = false`) since the per-row md5 work is dwarfed
+    * by the shuffle it feeds.
     */
   val SubstringW = 8
   val SubstringMinWindows = 5
@@ -946,16 +971,15 @@ object TextOps {
   val q66_substring_dup: GraftQuery = GraftQuery(
     "q66_substring_dup",
     (s, dir) => {
-      val wh = Tables.docsWithNearDups(s, dir)
+      val wh = Tables.docsWithNearDups(s, dir, spread = false)
         .select(col("doc_id"), expr(WordTokens).as("t"))
         .filter(size(col("t")) >= SubstringW)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(t) - ${SubstringW - 1}), " +
             s"i -> md5(concat_ws(' ', slice(t, i, $SubstringW))))")).as("h"))
-        .distinct()
       wh.groupBy(col("h"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 64))
+        .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), SimilarityOps.MaxBucket).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
         .select(explode(expr(
           "flatten(transform(ids, (a, i) -> " +
             "transform(slice(ids, i + 2, size(ids)), " +

@@ -79,11 +79,15 @@ object StreamOps {
 
   final case class BucketState(docs: List[(Long, Long)])
 
-  /** Per-bucket cap, mirroring SimilarityOps.MaxBucket: a degenerate
-    * hot bucket stops ACCUMULATING state (existing members still
-    * match), so streaming state stays bounded per key.
+  /** Per-bucket cap — THE SAME constant as the batch family's
+    * hot-bucket guard (one definition, no drift). Semantics
+    * necessarily differ from q31's at the cap: a batch job sees the
+    * whole bucket and can DROP it, but a stream cannot retract pairs
+    * already emitted — so a hot bucket stops ACCUMULATING state
+    * (existing members still match) instead. Below the cap the two
+    * are identical; see the equivalence note on [[nearDupPairs]].
     */
-  private val MaxBucketState = 64
+  private val MaxBucketState = graft.operators.SimilarityOps.MaxBucket
 
   /** s05: STREAMING near-dup detection — the incremental-dedup shape
     * (q60) running continuously: documents arrive chunked by their
@@ -91,13 +95,18 @@ object StreamOps {
     * keeps its members in `flatMapGroupsWithState` state, and an
     * arriving doc emits a pair for every state member within hamming
     * ≤ 3. The pigeonhole guarantees any qualifying pair shares a
-    * bucket, so whichever doc arrives later emits it — the
-    * accumulated output over any prefix of the stream is EXACTLY the
-    * batch pair set over the same docs (modulo cross-chunk repeats; a
-    * pair within hamming ≤ 1 can share two buckets — dedup
-    * downstream). State per key is a bounded list; on batch input the
-    * same code runs with empty initial state, which is what the
-    * DuckDB brute-force oracle certifies.
+    * bucket, so whichever doc arrives later emits it — WHILE EVERY
+    * BUCKET STAYS UNDER [[MaxBucketState]], the accumulated output
+    * over any prefix of the stream is EXACTLY the batch (q31) pair
+    * set over the same docs (modulo cross-chunk repeats; a pair
+    * within hamming ≤ 1 can share two buckets — dedup downstream).
+    * At the cap the two diverge BY DESIGN: q31 drops the whole hot
+    * bucket, but a stream cannot retract emitted pairs, so this side
+    * keeps matching against the first [[MaxBucketState]] accumulated
+    * members and only stops growing state. State per key is a bounded
+    * list; on batch input the same code runs with empty initial
+    * state, which is what the DuckDB brute-force oracle certifies
+    * (the fixture stays far below the cap).
     */
   def nearDupPairs(chunks: Dataset[ChunkDoc]): Dataset[NearDupPair] = {
     import chunks.sparkSession.implicits._
