@@ -400,32 +400,84 @@ object SimilarityOps {
   )
 
   private val IvfCells = 16
-  private val IvfProbes = 4
+  private val IvfProbes = 9
+  private val IvfIters = 10
+  private val IvfSample = 2048
+
+  /** Deterministic spherical Lloyd fit over a driver-side sample: the
+    * real kmeans "training" step of an IVF index, kept tiny (≤
+    * [[IvfSample]] × dim doubles) and fully reproducible (spread init
+    * from the id-ordered sample, first-max tie breaks — no RNG).
+    * Assignment metric is dot/|centroid| = cosine up to the vector's
+    * own norm, which drops out of the argmax; new centroid = plain
+    * mean of the assigned sample vectors (empty cells keep their
+    * previous centroid).
+    */
+  private def lloydCentroids(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until IvfIters) {
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += v(j) * cents(c)(j); j += 1 }
+          val s = dot / norms(c)
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+    }
+    cents
+  }
 
   /** IVF (inverted-file) cosine ANN — the centroid-bucketed alternative
-    * to q34's hyperplane LSH. Deterministic "training": every 31st
-    * vector is a centroid (at scale: a kmeans fit on a sample — either
-    * way a tiny driver-side artifact). The centroid matrix folds into
-    * the plan as a LITERAL (like q34's hyperplanes), so nearest-cell
-    * assignment is a ROW-LOCAL argmax inside the scan stage — no
-    * crossJoin row amplification and no groupBy shuffle of the
-    * embedding column. Search probes only the top-`IvfProbes` cells per
-    * query (also row-local on the query side), then ranks through the
-    * bounded-heap TopKPerGroup operator: the only shuffle in the whole
-    * plan moves ≤ k rows per query per partition.
+    * to q34's hyperplane LSH. Centroids come from [[lloydCentroids]]
+    * over a bounded driver-side sample (at 100 TB: the same fit on the
+    * same-sized sample — index training cost is O(sample), not
+    * O(corpus)). The centroid matrix folds into the plan as a LITERAL
+    * (like q34's hyperplanes), so nearest-cell assignment is a
+    * ROW-LOCAL argmax inside the scan stage — no crossJoin row
+    * amplification and no groupBy shuffle of the embedding column.
+    * Search probes only the top-`IvfProbes` cells per query (also
+    * row-local on the query side), then ranks through the bounded-heap
+    * TopKPerGroup operator: the only shuffle in the whole plan moves ≤
+    * k rows per query per partition.
+    *
+    * Probe count is sized for a recall@10 ≥ 0.8 target against q32's
+    * exact top-k (recorded ~0.9 at every test SF — RECALL.json rides
+    * the bench artifact; SimilaritySpec enforces the floor). The
+    * testdata embeddings are ISOTROPIC (no cluster structure — q33's
+    * labels carry ~0 mean cosine), which is ANN's worst case: hitting
+    * 0.9 costs probing 9/16 cells here, while clustered real-world
+    * embeddings concentrate neighbors in far fewer cells and the same
+    * index serves lower probe fractions. The cells/probes ratio is the
+    * tunable; the plan shape is scale-ready either way.
     */
   val q40_ivf_cosine: GraftQuery = GraftQuery(
     "q40_ivf_cosine",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // index build: collect the centroid sample ONCE (bounded:
-      // IvfCells rows) — the kmeans-fit analogue, not a per-row action
-      val cents: Seq[Seq[Float]] = e.filter(col("vec_id") % 31 === 0)
-        .orderBy(col("vec_id")).limit(IvfCells)
-        .select(col("embedding")).collect().toSeq
-        .map(_.getSeq[Float](0).toSeq)
+      // index build: ONE bounded driver-side collect (≤ IvfSample rows)
+      // — the kmeans fit, not a per-row action. Id-ordered for
+      // determinism; the testdata ids are generation-order, which is
+      // as unbiased as a stride sample on this corpus.
+      val sample: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(IvfSample)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+      val cents: Seq[Seq[Double]] =
+        lloydCentroids(sample, math.min(IvfCells, sample.length)).map(_.toSeq).toSeq
       val cnorms: Seq[Double] =
-        cents.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+        cents.map(c => math.sqrt(c.map(x => x * x).sum))
       val n = cents.length
       // score_i = dot(emb, c_i)/|c_i|: |emb| is a common positive factor,
       // so it drops out of both the argmax and the probe ordering

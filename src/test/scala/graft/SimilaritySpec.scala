@@ -93,7 +93,10 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.4, f"IVF recall@10 too low: $recall%.2f")
+    // the floor a user could rely on; the Lloyd-fit index records
+    // ~0.9 at every SF (RECALL.json) — a drop below 0.8 is a real
+    // index regression, not tolerance slack
+    assert(recall >= 0.8, f"IVF recall@10 too low: $recall%.2f")
     // every IVF hit must carry the true cosine (verified by construction
     // in q32's driver-side check; here: ranks within a query are unique)
     val ranks = SimilarityOps.q40_ivf_cosine.run(spark, sfDir).collect()
