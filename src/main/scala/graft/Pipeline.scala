@@ -585,4 +585,77 @@ object Pipeline {
       // the dead store's listing; drop it before the server's rebind
       // retry (see LinkApiServer.queryWithRetry)
       onStale = () => spark.catalog.refreshByPath(s"$outDir/links")).start()
+
+  final case class ExportStats(
+      input: Long, gated: Long, deduped: Long, decontaminated: Long,
+      exported: Long, shards: Int)
+
+  /** Curated-corpus delivery — the last mile of the training-data
+    * story, wiring the individually-verified stages into ONE export:
+    *
+    *   gate (q47 Gopher verdicts + q57 classifier keep)
+    *   → near-dedup (q31/q60 SimHash machinery; the LOWER doc_id of
+    *     every pair within hamming ≤ 3 survives — exact dups are
+    *     hamming 0, so one pass subsumes q24)
+    *   → decontaminate (q53 8-gram overlap vs the held-out eval set;
+    *     any overlap drops the doc)
+    *   → mix (q65 temperature-smoothed source quotas)
+    *   → [[graft.sinks.JsonlSink]] gzip shards.
+    *
+    * Each arrow is an anti-join or semi-join against a frame the
+    * corpus-side plan never re-derives per row; the dedup/decontam
+    * flag frames are benchmark- or pair-sized, far below the corpus.
+    * Shard count derives from the exported doc count (one count job)
+    * so shard files stay loader-sized at any corpus scale; membership
+    * stays deterministic per doc via the sink's hash routing.
+    *
+    * Stage counts return as [[ExportStats]] — curation yield is a
+    * number every pipeline run must record, not re-derive.
+    */
+  def exportCorpus(spark: SparkSession, sfDir: String, outPath: String,
+      mixTarget: Int = 1000, docsPerShard: Int = 100000,
+      evalPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 7): ExportStats = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val train = docs.filter(!evalPred)
+
+    // gate: row-local verdicts, corpus-side plan stays one scan
+    val keepIds = operators.TextOps.gopherVerdicts(train)
+      .filter(col("verdict") === "keep").select(col("doc_id"))
+      .join(operators.InferenceOps.scoredFrame(train)
+        .filter(col("keep") === 1).select(col("doc_id")), "doc_id")
+    val gated = train.join(keepIds, "doc_id")
+      // gated is the input of THREE downstream plans (dedup pairs,
+      // contamination grams, final join) — pin it once
+      .localCheckpoint(false)
+
+    // near-dedup: drop the higher id of every hamming ≤ 3 pair
+    // (pair frame ≪ corpus — near-dup density, not corpus size)
+    val dupIds = operators.SimilarityOps.simhashPairs(gated)
+      .select(greatest(col("a_id"), col("b_id")).as("doc_id")).distinct()
+    val deduped = gated.join(dupIds, Seq("doc_id"), "left_anti")
+
+    // decontaminate: a verbatim 32-char span shared with the eval set
+    // drops the doc (the ~13-token decontamination unit; q53's 8-char
+    // grams are the diagnostic REPORT, not a drop predicate — see
+    // TextOps.contamination)
+    val contaminated = operators.TextOps.contamination(
+      deduped, docs.filter(evalPred), gram = 32).select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // feeds the mix draw's count AND the final export join
+      .localCheckpoint(false)
+
+    // mix: temperature-smoothed source quotas over the curated corpus
+    val drawn = operators.TextOps.sourceMixDraw(clean, mixTarget)
+      .select(col("doc_id"))
+    val exported = clean.join(drawn, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+
+    val nExported = exported.count()
+    val shards = math.max(1, math.ceil(nExported.toDouble / docsPerShard).toInt)
+    sinks.JsonlSink.write(exported, outPath, shards)
+    ExportStats(
+      input = train.count(), gated = gated.count(), deduped = deduped.count(),
+      decontaminated = clean.count(), exported = nExported, shards = shards)
+  }
 }

@@ -65,9 +65,16 @@ object InferenceOps {
     * a reusable frame: q57 exposes it raw, q58 samples from it.
     */
   private[graft] def scoredDocs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    scoredFrame(Tables.table(s, dir, "documents"))
+
+  /** The same scoring pass over any documents frame — the classifier
+    * gate Pipeline.exportCorpus applies (`keep = 1`).
+    */
+  private[graft] def scoredFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val features = Tables.table(s, dir, "documents")
+    val features = docs
       .select(col("doc_id"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
           .cast("int").as("n_tokens"),

@@ -188,30 +188,35 @@ object SimilarityOps {
     * docs within hamming 3 share at least one exact 16-bit chunk), so
     * candidates come from a chunk-bucket groupBy instead of all-pairs.
     */
+  /** The q31 core over any `(doc_id, text)` frame — also the dedup
+    * pass Pipeline.exportCorpus runs on the gated corpus.
+    */
+  private[graft] def simhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    // row-local codegen'd signature — no token explode, no vote shuffle
+    val sigs = base.select(col("doc_id"),
+      graft.plans.SimHashSig.of(col("text")).as("sig"))
+    val chunks = sigs.select(col("doc_id"),
+      posexplode(graft.plans.SimHashSig.pigeonholeChunks("sig"))
+        .as(Seq("chunk_id", "chunk_val")))
+    val pairs = chunks
+      .groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), MaxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("hamming", expr("bit_count(a_sig ^ b_sig)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   val q31_simhash: GraftQuery = GraftQuery(
     "q31_simhash",
-    (s, dir) => {
-      val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
-      // row-local codegen'd signature — no token explode, no vote shuffle
-      val sigs = base.select(col("doc_id"),
-        graft.plans.SimHashSig.of(col("text")).as("sig"))
-      val chunks = sigs.select(col("doc_id"),
-        posexplode(graft.plans.SimHashSig.pigeonholeChunks("sig"))
-          .as(Seq("chunk_id", "chunk_val")))
-      val pairs = chunks
-        .groupBy(col("chunk_id"), col("chunk_val"))
-        .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), MaxBucket).as("ids"))
-        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-        .select(explode(expr(pairExpr)).as("p"))
-        .select(col("p.a_id"), col("p.b_id"))
-        .distinct()
-      pairs
-        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
-        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
-        .withColumn("hamming", expr("bit_count(a_sig ^ b_sig)"))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
-    },
+    (s, dir) => simhashPairs(Tables.docsWithNearDups(s, dir)),
     // The signature is md5-token-hash based ON PURPOSE so DuckDB can
     // recompute it bit-exactly (two 32-bit halves keep the hex parse
     // inside signed BIGINT) and brute-force hamming ≤ 3 — the

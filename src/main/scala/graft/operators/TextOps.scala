@@ -364,30 +364,37 @@ object TextOps {
     * predicate over the tokenized doc; the verdict names the FIRST
     * failed rule so downstream stats explain drops.
     */
+  /** Row-level Gopher verdicts over any documents frame (all map
+    * work, no shuffle) — q47 reports their distribution;
+    * Pipeline.exportCorpus keeps `verdict = 'keep'`.
+    */
+  private[graft] def gopherVerdicts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), w -> w != '')").as("words"),
+        col("text"))
+      .select(col("doc_id"), col("lang"),
+        size(col("words")).as("n_words"),
+        expr("ROUND(CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS DOUBLE) " +
+          "/ greatest(size(words), 1), 6)").as("mean_word_len"),
+        expr("size(filter(words, w -> w rlike '[A-Za-z]'))").as("n_alpha_words"),
+        expr("size(filter(words, w -> w IN ('the','be','to','of','and','that','have','with')))")
+          .as("stop_hits"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", "")))
+          .as("ellipsis_chars"))
+      .withColumn("verdict",
+        when(col("n_words") < 50, "too_few_words")
+          .when(col("n_words") > 100000, "too_many_words")
+          .when(col("mean_word_len") < 3 || col("mean_word_len") > 10, "word_len_out_of_range")
+          .when(col("n_alpha_words").cast("double") / col("n_words") < 0.8, "low_alpha_fraction")
+          .when(col("stop_hits") < 2, "too_few_stop_words")
+          .when(col("ellipsis_chars") > 30, "too_many_ellipses")
+          .otherwise("keep"))
+
   val q47_gopher_quality: GraftQuery = GraftQuery(
     "q47_gopher_quality",
     (s, dir) =>
-      Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          expr("filter(split(text, ' '), w -> w != '')").as("words"),
-          col("text"))
-        .select(col("doc_id"), col("lang"),
-          size(col("words")).as("n_words"),
-          expr("ROUND(CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS DOUBLE) " +
-            "/ greatest(size(words), 1), 6)").as("mean_word_len"),
-          expr("size(filter(words, w -> w rlike '[A-Za-z]'))").as("n_alpha_words"),
-          expr("size(filter(words, w -> w IN ('the','be','to','of','and','that','have','with')))")
-            .as("stop_hits"),
-          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", "")))
-            .as("ellipsis_chars"))
-        .withColumn("verdict",
-          when(col("n_words") < 50, "too_few_words")
-            .when(col("n_words") > 100000, "too_many_words")
-            .when(col("mean_word_len") < 3 || col("mean_word_len") > 10, "word_len_out_of_range")
-            .when(col("n_alpha_words").cast("double") / col("n_words") < 0.8, "low_alpha_fraction")
-            .when(col("stop_hits") < 2, "too_few_stop_words")
-            .when(col("ellipsis_chars") > 30, "too_many_ellipses")
-            .otherwise("keep"))
+      gopherVerdicts(Tables.table(s, dir, "documents"))
         .groupBy(col("lang"), col("verdict"))
         .agg(count(lit(1)).as("n_docs")),
     Some("""SELECT lang, verdict, COUNT(*) AS n_docs FROM (
@@ -541,29 +548,44 @@ object TextOps {
     * a countDistinct has probability ~1e-15 per pair (the q29
     * precedent). Exact integer outputs either way.
     */
+  /** The q53 core over arbitrary train/eval frames: flagged train
+    * docs sharing ≥ 1 `gram`-char span with the eval set, with overlap
+    * counts. q53 reports at gram = 8 (fine-grained diagnostic);
+    * Pipeline.exportCorpus DROPS at gram = 32 — a verbatim ~13-token
+    * span, the GPT-3/PaLM-style decontamination unit — because on a
+    * shared vocabulary every doc collides with something at 8 chars
+    * (the fixture: 490/490 train docs overlap the eval set at 8, one
+    * at 32).
+    */
+  private[graft] def contamination(train: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame, gram: Int = 8): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(graft.plans.GramHashes.of(col("text"), gram)).as("g"))
+    // eval side: GramHashes already dedups within each doc and
+    // eval_id stays in the row, so there is NOTHING left to
+    // distinct — the broadcast input needs no shuffle at all
+    val evalGrams = grams(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    // train side: NO distinct — a pre-join .distinct() would shuffle
+    // every distinct 8-gram of the whole train corpus (the largest
+    // shuffle anywhere at 100 TB) only to dedup rows countDistinct
+    // dedups below. Broadcast-join first so non-matching grams die
+    // in the map task that produced them.
+    grams(train)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("eval_id")).cast("bigint").as("n_eval_docs"),
+        countDistinct(col("g")).cast("bigint").as("n_shared_grams"))
+  }
+
   val q53_decontaminate: GraftQuery = GraftQuery(
     "q53_decontaminate",
     (s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"),
-          explode(graft.plans.GramHashes.of(col("text"), 8)).as("g"))
-      // eval side: GramHashes already dedups within each doc and
-      // eval_id stays in the row, so there is NOTHING left to
-      // distinct — the broadcast input needs no shuffle at all
-      val evalGrams = grams(docs.filter(col("doc_id") % 50 === 7))
-        .select(col("doc_id").as("eval_id"), col("g"))
-      // train side: NO distinct — a pre-join .distinct() would shuffle
-      // every distinct 8-gram of the whole train corpus (the largest
-      // shuffle anywhere at 100 TB) only to dedup rows countDistinct
-      // dedups below. Broadcast-join first so non-matching grams die
-      // in the map task that produced them.
-      grams(docs.filter(col("doc_id") % 50 =!= 7))
-        .join(broadcast(evalGrams), "g")
-        .groupBy(col("doc_id"))
-        .agg(
-          countDistinct(col("eval_id")).cast("bigint").as("n_eval_docs"),
-          countDistinct(col("g")).cast("bigint").as("n_shared_grams"))
+      contamination(docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7))
     },
     Some("""WITH grams AS (
            |  SELECT doc_id, unnest(list_transform(
@@ -878,44 +900,50 @@ object TextOps {
     */
   val MixTarget = 100
 
+  /** The q65 draw over any documents frame — q65 runs it at
+    * [[MixTarget]] on the raw table; Pipeline.exportCorpus runs it on
+    * the curated corpus as the delivery mix.
+    */
+  private[graft] def sourceMixDraw(docs: org.apache.spark.sql.DataFrame,
+      target: Int): org.apache.spark.sql.DataFrame = {
+    // |sources| rows — checkpoint so the tot/short/alloc branches
+    // reuse one corpus scan instead of re-counting it three times
+    val w = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sw", round(sqrt(col("n_docs").cast("double")), 6))
+      .localCheckpoint(false)
+    val tot = w.agg(
+      sum(col("sw").cast("decimal(20,6)")).cast("double").as("tsw"))
+    val q = w.crossJoin(broadcast(tot))
+      .withColumn("ideal", lit(target).cast("double") * col("sw") / col("tsw"))
+      .withColumn("base", floor(col("ideal")).cast("int"))
+      .withColumn("frac", col("ideal") - floor(col("ideal")))
+    val short = q.agg((lit(target) - sum(col("base"))).cast("int").as("k"))
+    // |sources|-row frame: this window sorts sources, never the corpus
+    val remainderOrder = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frac").desc, col("source").asc)
+    val alloc = q.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(remainderOrder))
+      // cap at the source's size: a rare source upweighted past its
+      // own doc count draws FULLY and the sample comes up short of
+      // the target — no redistribution, which would oversample other
+      // sources beyond their declared weights
+      .withColumn("quota",
+        least(col("n_docs"),
+          col("base") + when(col("rr") <= col("k"), 1).otherwise(0)).cast("int"))
+      .select(col("source"), col("quota"))
+    val ranked = graft.plans.TopKPerGroup(
+      docs.withColumn("rnd", md5(col("doc_id").cast("string"))),
+      Seq(col("source")), Seq(col("rnd").asc, col("doc_id").asc), target,
+      rank = Some("rk"))
+    ranked.join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+  }
+
   val q65_source_mix: GraftQuery = GraftQuery(
     "q65_source_mix",
-    (s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      // |sources| rows — checkpoint so the tot/short/alloc branches
-      // reuse one corpus scan instead of re-counting it three times
-      val w = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("sw", round(sqrt(col("n_docs").cast("double")), 6))
-        .localCheckpoint(false)
-      val tot = w.agg(
-        sum(col("sw").cast("decimal(20,6)")).cast("double").as("tsw"))
-      val q = w.crossJoin(broadcast(tot))
-        .withColumn("ideal", lit(MixTarget).cast("double") * col("sw") / col("tsw"))
-        .withColumn("base", floor(col("ideal")).cast("int"))
-        .withColumn("frac", col("ideal") - floor(col("ideal")))
-      val short = q.agg((lit(MixTarget) - sum(col("base"))).cast("int").as("k"))
-      // |sources|-row frame: this window sorts sources, never the corpus
-      val remainderOrder = org.apache.spark.sql.expressions.Window
-        .orderBy(col("frac").desc, col("source").asc)
-      val alloc = q.crossJoin(broadcast(short))
-        .withColumn("rr", row_number().over(remainderOrder))
-        // cap at the source's size: a rare source upweighted past its
-        // own doc count draws FULLY and the sample comes up short of
-        // the target — no redistribution, which would oversample other
-        // sources beyond their declared weights
-        .withColumn("quota",
-          least(col("n_docs"),
-            col("base") + when(col("rr") <= col("k"), 1).otherwise(0)).cast("int"))
-        .select(col("source"), col("quota"))
-      val ranked = graft.plans.TopKPerGroup(
-        docs.withColumn("rnd", md5(col("doc_id").cast("string"))),
-        Seq(col("source")), Seq(col("rnd").asc, col("doc_id").asc), MixTarget,
-        rank = Some("rk"))
-      ranked.join(broadcast(alloc), "source")
-        .filter(col("rk") <= col("quota"))
-        .select(col("source"), col("doc_id"), col("rk"), col("quota"))
-    },
+    (s, dir) => sourceMixDraw(Tables.table(s, dir, "documents"), MixTarget),
     Some(s"""WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
             |w AS (SELECT source, n_docs,
             |        ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS sw FROM n),

@@ -437,4 +437,55 @@ class PipelineSpec extends SparkSpec {
     val f3 = Pipeline.foldSegments(spark, out, maintainRanks = true, rankTol = tol)
     assert(f3.rankIters.isEmpty && Pipeline.hostRanks(spark, out).nonEmpty)
   }
+
+  test("exportCorpus delivers gate->dedup->decontaminate->mix as JSONL shards") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("export").toString + "/corpus"
+    // docsPerShard forces multiple shards at fixture scale
+    val stats = Pipeline.exportCorpus(spark, sfDir, out,
+      mixTarget = 40, docsPerShard = 10)
+
+    // the funnel only narrows, and every stage did something sane
+    assert(stats.input > 0)
+    assert(stats.gated <= stats.input)
+    assert(stats.deduped <= stats.gated)
+    assert(stats.decontaminated <= stats.deduped)
+    assert(stats.exported <= math.min(stats.decontaminated, 40L))
+    assert(stats.exported > 0)
+    assert(stats.shards == math.max(1, math.ceil(stats.exported / 10.0).toInt))
+
+    // shards round-trip: every exported row survives byte-exactly
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val back = graft.sinks.JsonlSink.read(spark, out, schema)
+    assert(back.count() == stats.exported)
+
+    // exported docs actually honor the stage predicates: every doc is
+    // gate-kept, none is the larger member of a near-dup pair, none
+    // shares an 8-gram with the eval set
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 50 != 7), "eval docs must never export")
+    val verdicts = operators.TextOps.gopherVerdicts(
+      Tables.table(spark, sfDir, "documents"))
+      .filter(col("verdict") =!= "keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(verdicts).isEmpty, "gate-rejected docs exported")
+
+    // membership is input-partitioning-independent: a re-export lands
+    // every doc in the same shard id (the sink hashes doc_id, and the
+    // curation stages are deterministic)
+    val out2 = Files.createTempDirectory("export2").toString + "/corpus"
+    val stats2 = Pipeline.exportCorpus(spark, sfDir, out2,
+      mixTarget = 40, docsPerShard = 10)
+    assert(stats2 == stats)
+    def shardOf(dir: String): Map[Long, Long] =
+      spark.read.schema(schema).json(dir)
+        .select(col("doc_id"), col("shard").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shardOf(out) == shardOf(out2),
+      "shard membership must be deterministic across runs")
+  }
 }

@@ -66,14 +66,25 @@ class TextOpsSpec extends SparkSpec {
     val rows = TextOps.q50_inverted_index.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val nDocs = Tables.table(spark, sfDir, "documents").count()
-    rows.foreach { r =>
-      val df = r.getAs[Long]("df")
-      val postings = r.getAs[String]("postings").split(",")
-      assert(df * 20 <= nDocs, "only rare terms may carry postings")
-      assert(postings.length == df.toInt, "posting list length must equal df")
-      val ids = postings.map(_.toLong).toSeq
-      assert(ids == ids.sorted && ids.distinct == ids, "postings sorted and unique")
+    // segments of one term reassemble (in seg order) to the full
+    // sorted posting list of length df; each segment stays inside its
+    // doc-id range (the structural buffer bound)
+    rows.groupBy(r => (r.getAs[String]("token"), r.getAs[Long]("df"))).foreach {
+      case ((_, df), segs) =>
+        assert(df * 20 <= nDocs, "only rare terms may carry postings")
+        val ids = segs.sortBy(_.getAs[Long]("seg")).flatMap { r =>
+          val seg = r.getAs[Long]("seg")
+          val segIds = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
+          assert(segIds.forall(id => id / TextOps.PostingSegWidth == seg),
+            "posting outside its segment range")
+          segIds
+        }.toSeq
+        assert(ids.length == df.toInt, "reassembled postings must equal df")
+        assert(ids == ids.sorted && ids.distinct == ids, "postings sorted and unique")
     }
+    // at least one term actually spans multiple segments at this SF —
+    // otherwise the segmentation is untested
+    assert(rows.groupBy(_.getAs[String]("token")).exists(_._2.length > 1))
   }
 
   test("q53 decontamination flags every train doc sharing an 8-gram with eval") {
