@@ -1033,11 +1033,100 @@ object TextOps {
          |HAVING COUNT(*) >= $SubstringMinWindows""".stripMargin)
   )
 
+  /** Substring-dedup REMOVAL — the second half of Lee et al. 2022:
+    * q66 finds cross-document duplicate spans; this op actually CUTS
+    * them, keeping exactly the globally-first occurrence (min
+    * (doc_id, pos) per window hash) and removing every token covered
+    * by a non-first duplicated window. Output per doc: token count,
+    * removed-position count, and the scrubbed token stream — the
+    * corpus a trainer would actually consume.
+    *
+    * Scale shape, in exchanges of the window stream:
+    *   1. `groupBy(h)` → global first occurrence (a `min(struct)` —
+    *      plain map-side-combinable aggregate, NO collect, so a
+    *      boilerplate hash shared by millions of docs costs one
+    *      16-byte buffer, not an array) + occurrence count;
+    *   2. join back on `h` (the duplicated-hash side has already
+    *      shrunk to cnt > 1; AQE reuses/splits as needed);
+    *   3. the surviving non-first windows — duplication density, not
+    *      corpus size — explode to covered positions and group per
+    *      doc (buffer ≤ the doc's own token count, the same bound as
+    *      the doc row itself).
+    * The rebuild is ROW-LOCAL and linear: `array_except` of the
+    * position range minus the removed set (hash-based, order-
+    * preserving), then `element_at` per kept position — no per-token
+    * membership scan.
+    */
+  /** The q67 core over any `(doc_id, text)` frame. */
+  private[graft] def substringScrub(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val toks = docs
+        .select(col("doc_id"), expr(WordTokens).as("t"))
+      val wins = toks
+        .filter(size(col("t")) >= SubstringW)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${SubstringW - 1}), " +
+            s"i -> struct(i as pos, md5(concat_ws(' ', slice(t, i, $SubstringW))) as h))")).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      val stats = wins.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(col("h"), col("first"))
+      val removed = wins.join(stats, "h")
+        .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${SubstringW - 1})")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("p")).as("rp"))
+      toks.join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("t")).cast("int").as("n_tokens"),
+          coalesce(size(col("rp")), lit(0)).cast("int").as("n_removed"),
+          // sequence(1, 0) counts DOWN — guard the token-less doc
+          expr(s"""concat_ws(' ', transform(
+            array_except(if(size(t) = 0, cast(array() as array<int>), sequence(1, size(t))),
+                         coalesce(rp, cast(array() as array<int>))),
+            p -> element_at(t, p)))""").as("clean_text"))
+  }
+
+  val q67_substring_scrub: GraftQuery = GraftQuery(
+    "q67_substring_scrub",
+    (s, dir) => substringScrub(Tables.docsWithNearDups(s, dir, spread = false)),
+    Some(Tables.docsNearDupsCte +
+      s""", toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM alldocs
+         |), wins AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    md5(array_to_string(t[CAST(i AS INTEGER):CAST(i + ${SubstringW - 1} AS INTEGER)], ' ')) AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${SubstringW - 2})) AS i
+         |        FROM toks WHERE len(t) >= $SubstringW) u
+         |), marked AS (
+         |  SELECT doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM wins
+         |), rem AS (
+         |  SELECT DISTINCT doc_id, pos + CAST(o AS INTEGER) AS p
+         |  FROM marked CROSS JOIN (SELECT unnest(range(0, $SubstringW)) AS o) os
+         |  WHERE rn > 1
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_removed, list(p) AS rp FROM rem GROUP BY 1
+         |)
+         |SELECT k.doc_id, CAST(len(k.t) AS INT) AS n_tokens,
+         |  CAST(COALESCE(a.n_removed, 0) AS INT) AS n_removed,
+         |  -- COALESCE: a fully-scrubbed doc is '' on the Spark side
+         |  -- (concat_ws over an empty array), NULL here without it
+         |  COALESCE(array_to_string(list_transform(
+         |    list_filter(range(1, len(k.t) + 1),
+         |                p -> a.rp IS NULL OR NOT list_contains(a.rp, p)),
+         |    p -> k.t[CAST(p AS INTEGER)]), ' '), '') AS clean_text
+         |FROM toks k LEFT JOIN agg a ON k.doc_id = a.doc_id""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
-    q65_source_mix, q66_substring_dup)
+    q65_source_mix, q66_substring_dup, q67_substring_scrub)
 }

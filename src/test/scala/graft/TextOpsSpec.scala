@@ -290,4 +290,51 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(got(id)._1 - score) < 1e-9, s"doc $id: ${got(id)._1} vs $score")
     }
   }
+
+  test("q67 scrub removes duplicated spans keep-first, exact planted strings") {
+    import spark.implicits._
+    // doc 1: boilerplate (8 tokens) + unique tail  -> FIRST, untouched
+    // doc 2: same boilerplate + its own unique tail -> span removed
+    // doc 3: fully unique                           -> untouched
+    // doc 4: boilerplate REPEATED TWICE in one doc  -> second copy removed
+    //        (its first copy is still non-first globally — doc 1 wins)
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$boiler one two three"),
+      (2L, s"$boiler four five six"),
+      (3L, "seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      (4L, s"$boiler $boiler")).toDF("doc_id", "text")
+    val out = TextOps.substringScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((11, 0, s"$boiler one two three")))
+    // doc 2: all windows covering the boilerplate are non-first; the
+    // windows sliding into the unique tail differ -> exactly the 8
+    // boilerplate positions go
+    assert(out(2L) == ((11, 8, "four five six")))
+    assert(out(3L) == ((9, 0, "seven eight nine ten eleven twelve thirteen fourteen fifteen")))
+    // doc 4: EVERY window (all 9) is a repeat of doc 1's or of its own
+    // earlier copy -> all 16 positions removed
+    assert(out(4L) == ((16, 16, "")))
+  }
+
+  test("q67 on the fixture: planted near-dup variants lose their shared spans") {
+    val out = TextOps.q67_substring_scrub.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val planted = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 25 === 0).select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val (nt, nr) = out(id + 2000000L)
+      // the variant differs only in its first character: every window
+      // from position 2 on is a repeat of the base doc (which sorts
+      // first), so all but at most the first W tokens are removed
+      assert(nt >= TextOps.SubstringW,
+        s"variant of $id too short for the claim")
+      assert(nr >= nt - TextOps.SubstringW,
+        s"variant of $id kept too much: removed $nr of $nt")
+    }
+    // removal never exceeds the doc, and clean docs exist
+    out.values.foreach { case (nt, nr) => assert(nr >= 0 && nr <= nt) }
+    assert(out.values.exists(_._2 == 0), "some docs must be untouched")
+  }
 }
