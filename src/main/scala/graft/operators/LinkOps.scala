@@ -136,6 +136,10 @@ object LinkOps {
         .agg(
           min(col("date_from")).as("date_from"),
           max(col("date_to")).as("date_to"),
+          // collect_set here is NATURALLY bounded: the group key pins
+          // one (link_url, page_url) edge, so the set holds one crawled
+          // host's serving IPs (a DNS record, not a corpus-sized list) —
+          // unlike the LSH bucket sites, no BoundedCollectSet needed
           array_join(sort_array(collect_set(col("ip"))), ",").as("ips"),
           sum(col("qty")).as("qty"))
         .orderBy(col("link_url"), col("page_url"), col("link_text"), col("nofollow"))

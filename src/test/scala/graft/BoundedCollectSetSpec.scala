@@ -51,6 +51,29 @@ class BoundedCollectSetSpec extends SparkSpec {
     assert(bounded.exceptAll(legacy).isEmpty && legacy.exceptAll(bounded).isEmpty)
   }
 
+  test("survives the sort-based aggregation fallback byte-identically") {
+    import spark.implicits._
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // this many distinct keys — the fallback exercises serialize/
+    // deserialize on PARTIAL buffers (including overflow tombstones),
+    // a path the hash route never touches
+    val conf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val saved = spark.conf.getOption(conf)
+    try {
+      val rows = (0L until 4000L).map(i => (s"k${i % 200}", i % 5)) ++
+        (0L until 100L).map(i => ("hot", i)) // over an 8-cap: tombstone
+      def run() = rows.toDF("k", "v").repartition(5)
+        .groupBy($"k").agg(BoundedCollectSet.of($"v", 8).as("ids"))
+        .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1)).map(_.toList)).toMap
+      spark.conf.set(conf, "2")
+      val fallback = run()
+      spark.conf.unset(conf)
+      val hash = run()
+      assert(fallback == hash, "fallback path must agree with hash path")
+      assert(fallback("hot").isEmpty, "tombstone must survive serialization")
+    } finally saved.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+  }
+
   test("degenerate key rehearsal: 50k docs sharing one boilerplate window complete flat") {
     import spark.implicits._
     // the 100 TB failure mode the guard exists for: one boilerplate
