@@ -78,6 +78,14 @@ object ScaleRehearsal {
         "11 AS n_chars")
       .write.mode("overwrite").parquet("/tmp/sfhot/documents.parquet")
     time("q66_hot_window")(operators.TextOps.q66_substring_dup.run(spark, "/tmp/sfhot").count())
+    // the scrub on the same hot corpus: the boilerplate window is a
+    // duplicated hash with ONE global first — stats stay a 16-byte
+    // min/count buffer per hash, and 50k docs lose their span
+    time("q67_hot_scrub")(operators.TextOps.q67_substring_scrub.run(spark, "/tmp/sfhot").count())
+    // and at 10x organic scale: cost must track duplication density
+    time("q67_scrub_10x")(operators.TextOps.substringScrub(
+      spark.read.parquet("/tmp/sfx10/documents.parquet")
+        .select(col("doc_id"), col("text"))).count())
     spark.range(50000).selectExpr("id AS doc_id",
         "'the same text everywhere in all of them' AS text", "40 AS n_chars")
       .write.mode("overwrite").parquet("/tmp/sfconst/documents.parquet")

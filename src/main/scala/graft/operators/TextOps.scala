@@ -1061,12 +1061,17 @@ object TextOps {
   private[graft] def substringScrub(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val toks = docs
         .select(col("doc_id"), expr(WordTokens).as("t"))
+      // wins feeds BOTH the stats aggregate and the join back — pin one
+      // window-hash pass instead of re-scanning + re-hashing the corpus
+      // per consumer (lazy: materializes on the first action; the q60
+      // chunk-row precedent)
       val wins = toks
         .filter(size(col("t")) >= SubstringW)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(t) - ${SubstringW - 1}), " +
             s"i -> struct(i as pos, md5(concat_ws(' ', slice(t, i, $SubstringW))) as h))")).as("w"))
         .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+        .localCheckpoint(false)
       val stats = wins.groupBy(col("h"))
         .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
           count(lit(1)).as("cnt"))
