@@ -610,11 +610,17 @@ object Pipeline {
     * stays deterministic per doc via the sink's hash routing.
     *
     * Stage counts return as [[ExportStats]] — curation yield is a
-    * number every pipeline run must record, not re-derive.
+    * number every pipeline run must record, not re-derive. The
+    * exported count is always computed (it sizes the shards); the
+    * per-stage funnel counts are extra actions (`deduped` re-runs the
+    * anti-join; `input` re-scans the raw corpus) — pass
+    * `stats = false` to skip them in production, like
+    * [[importSegments]] (skipped counts report -1).
     */
   def exportCorpus(spark: SparkSession, sfDir: String, outPath: String,
       mixTarget: Int = 1000, docsPerShard: Int = 100000,
-      evalPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 7): ExportStats = {
+      evalPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 7,
+      stats: Boolean = true): ExportStats = {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     val train = docs.filter(!evalPred)
@@ -654,8 +660,9 @@ object Pipeline {
     val nExported = exported.count()
     val shards = math.max(1, math.ceil(nExported.toDouble / docsPerShard).toInt)
     sinks.JsonlSink.write(exported, outPath, shards)
-    ExportStats(
+    if (stats) ExportStats(
       input = train.count(), gated = gated.count(), deduped = deduped.count(),
       decontaminated = clean.count(), exported = nExported, shards = shards)
+    else ExportStats(-1, -1, -1, -1, exported = nExported, shards = shards)
   }
 }
