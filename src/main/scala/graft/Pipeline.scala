@@ -632,7 +632,11 @@ object Pipeline {
         .filter(col("keep") === 1).select(col("doc_id")), "doc_id")
     val gated = train.join(keepIds, "doc_id")
       // gated is the input of THREE downstream plans (dedup pairs,
-      // contamination grams, final join) — pin it once
+      // contamination grams, final join) — pin it once. TRADE: this
+      // stores the gated corpus (text included) on executor-local
+      // disk; the alternative is re-running scan+gate per consumer
+      // (3× the input IO). At 100 TB pick by cluster storage — the
+      // stages are deterministic, so both choices export identically
       .localCheckpoint(false)
 
     // near-dedup: drop the higher id of every hamming ≤ 3 pair

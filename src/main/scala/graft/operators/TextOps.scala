@@ -1064,7 +1064,10 @@ object TextOps {
       // wins feeds BOTH the stats aggregate and the join back — pin one
       // window-hash pass instead of re-scanning + re-hashing the corpus
       // per consumer (lazy: materializes on the first action; the q60
-      // chunk-row precedent)
+      // chunk-row precedent). TRADE: the pinned stream is corpus-sized
+      // (~40 B/token to executor-local disk); a storage-constrained
+      // 100 TB run drops this checkpoint and pays the second scan+hash
+      // instead — the plan is correct either way
       val wins = toks
         .filter(size(col("t")) >= SubstringW)
         .select(col("doc_id"), explode(expr(

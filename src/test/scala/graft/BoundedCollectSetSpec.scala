@@ -51,6 +51,30 @@ class BoundedCollectSetSpec extends SparkSpec {
     assert(bounded.exceptAll(legacy).isEmpty && legacy.exceptAll(bounded).isEmpty)
   }
 
+  test("differential fuzz: agrees with driver-side reference semantics") {
+    import spark.implicits._
+    // seeded (deterministic) sweep over key counts, caps, duplicate
+    // densities and partitionings — every trial checks the exact
+    // contract: sorted distinct values below the cap, NULL above it
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(30)
+      val cap = 1 + rnd.nextInt(12)
+      val parts = 1 + rnd.nextInt(8)
+      val rows = (1 to 500 + rnd.nextInt(2000))
+        .map(_ => (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong))
+      val got = rows.toDF("k", "v").repartition(parts)
+        .groupBy($"k").agg(BoundedCollectSet.of($"v", cap).as("ids"))
+        .collect()
+        .map(r => r.getString(0) -> Option(r.getSeq[Long](1)).map(_.toList)).toMap
+      val want = rows.groupBy(_._1).map { case (k, vs) =>
+        val d = vs.map(_._2).distinct.sorted.toList
+        k -> (if (d.size > cap) None else Some(d))
+      }
+      assert(got == want, s"trial $trial nKeys=$nKeys cap=$cap parts=$parts")
+    }
+  }
+
   test("survives the sort-based aggregation fallback byte-identically") {
     import spark.implicits._
     // ObjectHashAggregate falls back to sort-based aggregation past
