@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteCappedCollectToBounded)
   }
 }
 
