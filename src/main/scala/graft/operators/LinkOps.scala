@@ -466,8 +466,56 @@ object LinkOps {
         |FROM canon GROUP BY canonical_url""".stripMargin)
   )
 
+  /** Domain co-citation — the backlink-analytics question the
+    * reference's data model exists to answer at graph level: which
+    * domain PAIRS are repeatedly linked from the same pages (co-cited
+    * domains are topically related — the classic SEO/IR signal).
+    * Bucket = page, members = its distinct outgoing domains, pairs
+    * counted across pages.
+    *
+    * Deliberately written in the PLAIN user spelling —
+    * `collect_set + filter(size ≤ cap)` — because the library's own
+    * [[graft.plans.RewriteCappedCollectToBounded]] optimizer rule
+    * (live in every GraftConf session) rewrites it to the bounded
+    * aggregate: this query is the driver-gated proof that a user gets
+    * the hot-bucket memory guard without writing it. A hub page
+    * linking to 10⁵ domains would otherwise build the array before
+    * the cap ran; with the rule its key tombstones during
+    * aggregation. The oracle models the cap (BETWEEN 2 AND 64); the
+    * fixture's ≤ 22 distinct domains per page never reach it.
+    */
+  val q68_cocitation: GraftQuery = GraftQuery(
+    "q68_cocitation",
+    (s, dir) =>
+      Tables.links(s, dir)
+        .select(concat(col("page_host"), col("page_path")).as("page"),
+          col("link_domain"))
+        .groupBy(col("page"))
+        .agg(sort_array(collect_set(col("link_domain"))).as("ds"))
+        .filter(size(col("ds")).between(2, graft.operators.SimilarityOps.MaxBucket))
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), " +
+            "b -> named_struct('a_domain', a, 'b_domain', b))))")).as("p"))
+        .select(col("p.a_domain"), col("p.b_domain"))
+        .groupBy(col("a_domain"), col("b_domain"))
+        .agg(count(lit(1)).cast("bigint").as("n_pages")),
+    Some(Tables.linksCte +
+      """, pd AS (
+        |  SELECT DISTINCT page_host || page_path AS page, link_domain FROM links
+        |), caps AS (
+        |  SELECT page FROM pd GROUP BY page HAVING COUNT(*) BETWEEN 2 AND 64
+        |)
+        |SELECT a.link_domain AS a_domain, b.link_domain AS b_domain,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pages
+        |FROM pd a
+        |JOIN pd b ON a.page = b.page AND a.link_domain < b.link_domain
+        |JOIN caps c ON a.page = c.page
+        |GROUP BY 1, 2""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q15_json_extract, q16_sessionize, q17_compact_links, q18_linkdb_query,
     q19_url_parse, q20_etld_domain, q21_url_quality, q22_ignore_lists,
-    q23_page_stats, q54_anchor_profile, q56_url_canonical)
+    q23_page_stats, q54_anchor_profile, q56_url_canonical, q68_cocitation)
 }

@@ -92,6 +92,24 @@ class RewriteCappedCollectSpec extends SparkSpec {
     }
   }
 
+  test("q68_cocitation gets the guard from the rule alone, results unchanged") {
+    // the driver-gated query is WRITTEN with plain collect_set; under
+    // the rule (as in every GraftConf session) it must plan bounded
+    // and produce the identical pair counts
+    val q = () => graft.operators.LinkOps.q68_cocitation.run(spark, sfDir)
+    val expect = q().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty)
+    withRule {
+      val df = q()
+      assert(df.queryExecution.executedPlan.toString.contains("bounded_collect_set"),
+        "the library rule must harden the user spelling")
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expect)
+    }
+  }
+
   test("declines a disjunctive cap (OR branch may keep over-cap keys)") {
     import spark.implicits._
     withRule {
