@@ -317,6 +317,42 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == ((16, 16, "")))
   }
 
+  test("q67 differential fuzz: agrees with a driver-side reference scrub") {
+    import spark.implicits._
+    val W = TextOps.SubstringW
+    // reference implementation over raw window STRINGS (the operator
+    // keys on md5 of the same strings — equivalent modulo collisions)
+    def refScrub(docs: Seq[(Long, String)]): Map[Long, (Int, Int, String)] = {
+      val toks = docs.map { case (id, tx) =>
+        id -> "[a-z]+".r.findAllIn(tx.toLowerCase).toVector }
+      val wins = for {
+        (id, t) <- toks
+        i <- 1 to t.length - W + 1
+      } yield (id, i, t.slice(i - 1, i - 1 + W).mkString(" "))
+      val removed = wins.groupBy(_._3).values.filter(_.size > 1)
+        .flatMap(_.sortBy(o => (o._1, o._2)).tail
+          .flatMap { case (id, pos, _) => (pos until pos + W).map(id -> _) })
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      toks.map { case (id, t) =>
+        val rp = removed.getOrElse(id, Set.empty[Int])
+        val kept = (1 to t.length).filterNot(rp)
+        id -> ((t.length, rp.size, kept.map(p => t(p - 1)).mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ox", "ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    for (trial <- 1 to 4) {
+      // tiny vocab + short docs = dense duplicate windows, within-doc
+      // repeats, and contested first-occurrence ordering
+      val docs = (1L to (20 + rnd.nextInt(30)).toLong).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = TextOps.substringScrub(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got == refScrub(docs), s"trial $trial diverged")
+    }
+  }
+
   test("q67 on the fixture: planted near-dup variants lose their shared spans") {
     val out = TextOps.q67_substring_scrub.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
