@@ -69,8 +69,11 @@ object RewriteCappedCollectToBounded extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, agg: Aggregate) =>
+      // several cap conjuncts on one column (size<=8 AND size<=5) all
+      // become IsNotNull below, so the aggregate must enforce the
+      // TIGHTEST one — min, not last-wins
       val caps = conjuncts(cond).flatMap(capOf).filter(_._2 >= 1)
-        .map { case (a, k) => a.exprId -> k }.toMap
+        .groupBy(_._1.exprId).map { case (id, ks) => id -> ks.map(_._2).min }
       var rewritten = Set.empty[org.apache.spark.sql.catalyst.expressions.ExprId]
       val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case al @ Alias(e, name) if caps.contains(al.exprId) =>

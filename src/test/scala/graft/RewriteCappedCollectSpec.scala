@@ -110,6 +110,23 @@ class RewriteCappedCollectSpec extends SparkSpec {
     }
   }
 
+  test("several caps on one column enforce the tightest (not an arbitrary one)") {
+    import spark.implicits._
+    // keys have 1..20 distinct values; size<=8 AND size<=5 must keep
+    // exactly the <=5 band — an arbitrary-cap bug would leak 6..8
+    val data = (1 to 20).flatMap(k => (1L to k.toLong).map(v => (s"k$k", v)))
+      .toDF("k", "v").repartition(3)
+    val q = () => data.groupBy($"k").agg(collect_set($"v").as("ids"))
+      .filter(size($"ids") <= 8 && size($"ids") <= 5)
+    val expect = q().collect().map(_.getString(0)).sorted.toSeq
+    withRule {
+      val df = q()
+      assert(df.queryExecution.executedPlan.toString.contains("bounded_collect_set"))
+      val got = df.collect().map(_.getString(0)).sorted.toSeq
+      assert(got == expect && got == (1 to 5).map(i => s"k$i").sorted)
+    }
+  }
+
   test("declines a disjunctive cap (OR branch may keep over-cap keys)") {
     import spark.implicits._
     withRule {
