@@ -101,7 +101,29 @@ object StreamingBatchOps {
     SimilarityOps.q31_simhash.oracle
   )
 
+  /** Batch form of the stream-stream attribution join (s06): the same
+    * [[StreamOps.attributePurchases]] plan over the events table split
+    * into its click and purchase streams.
+    */
+  val s06_stream_join: GraftQuery = GraftQuery(
+    "s06_stream_join",
+    (s, dir) => {
+      val e = Tables.table(s, dir, "events")
+      StreamOps.attributePurchases(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        streaming = false)
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           |  p.user_id AS user_id,
+           |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON p.user_id = c.user_id
+           | AND c.ts >= p.ts - INTERVAL 2 HOURS AND c.ts <= p.ts""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] =
     Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich,
-      s05_stream_neardup)
+      s05_stream_neardup, s06_stream_join)
 }

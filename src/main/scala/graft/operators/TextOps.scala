@@ -1130,11 +1130,152 @@ object TextOps {
          |FROM toks k LEFT JOIN agg a ON k.doc_id = a.doc_id""".stripMargin)
   )
 
+  /** The n-gram repetition rules from Gopher (Rae et al. 2021,
+    * Table A1) that q47 leaves out: top-n-gram character fraction
+    * (n = 2, 3) and duplicate-5-gram character fraction — the signals
+    * that catch boilerplate/listicle pages q47's word-shape rules
+    * pass. Everything is ROW-LOCAL: grams build with higher-order
+    * array functions, then ONE `array_sort` groups equal grams
+    * adjacently so a single O(n) `aggregate` fold finds the longest
+    * run (= the most frequent gram) — no per-doc explode, no shuffle
+    * of the gram stream, and no O(n²) `filter`-count per distinct
+    * gram (which would melt on a 10k-word doc). Ties break to the
+    * lexicographically smallest gram on BOTH engines (the fold's
+    * strict `>` keeps the first max in sorted order; the oracle picks
+    * `MIN(g)` at the max count). Fractions are exact-integer ratios
+    * divided once at the end (IEEE-identical cross-engine), and the
+    * per-source means ride the q61/q64 round→DECIMAL-sum trick, so
+    * the whole operator is hash-exact. Divergence from the paper
+    * (documented): "characters in duplicate 5-grams" counts each
+    * occurrence's chars (count × len, capped at 1.0) instead of the
+    * positional union — the union needs per-position bookkeeping the
+    * fraction doesn't repay.
+    */
+  private val TopNgramThresholds = Seq(2 -> 0.20, 3 -> 0.18)
+  private val Dup5Threshold = 0.15
+  private val Dup5N = 5
+
+  private def gramsExpr(n: Int): String =
+    s"IF(size(words) >= $n, array_sort(transform(sequence(0, size(words) - $n), " +
+      s"i -> concat_ws(' ', slice(words, i + 1, $n)))), array())"
+
+  /** (count, gram) of the most frequent element of a SORTED array —
+    * one linear fold tracking the current and best run.
+    */
+  private def topRunExpr(sorted: String): String =
+    s"""aggregate($sorted,
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'bestn', 0, 'bestg', ''),
+       |  (a, g) -> named_struct(
+       |    'prev', g,
+       |    'run', IF(a.prev <=> g, a.run + 1, 1),
+       |    'bestn', IF(IF(a.prev <=> g, a.run + 1, 1) > a.bestn,
+       |                IF(a.prev <=> g, a.run + 1, 1), a.bestn),
+       |    'bestg', IF(IF(a.prev <=> g, a.run + 1, 1) > a.bestn, g, a.bestg)),
+       |  a -> named_struct('n', a.bestn, 'g', a.bestg))""".stripMargin
+
+  /** Total chars over all occurrences of duplicated elements of a
+    * SORTED array: the run's 2nd element pays 2×len (first + second
+    * occurrence), later repeats pay len — i.e. Σ count×len over grams
+    * with count ≥ 2.
+    */
+  private def dupCharsExpr(sorted: String): String =
+    s"""aggregate($sorted,
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'chars', 0),
+       |  (a, g) -> named_struct(
+       |    'prev', g,
+       |    'run', IF(a.prev <=> g, a.run + 1, 1),
+       |    'chars', a.chars + IF(a.prev <=> g,
+       |                          IF(a.run = 1, 2 * length(g), length(g)), 0)),
+       |  a -> a.chars)""".stripMargin
+
+  val q72_ngram_repetition: GraftQuery = GraftQuery(
+    "q72_ngram_repetition",
+    (s, dir) => {
+      val perDoc = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), w -> w != '')").as("words"),
+          greatest(length(col("text")), lit(1)).as("n_chars"))
+        // one projection per fold result, so each gram array builds once
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr(topRunExpr(gramsExpr(2))).as("top2"),
+          expr(topRunExpr(gramsExpr(3))).as("top3"),
+          expr(dupCharsExpr(gramsExpr(Dup5N))).as("dup5_chars"))
+        .select(
+          col("doc_id"), col("source"),
+          expr("ROUND(CAST(top2.n * length(top2.g) AS DOUBLE) / n_chars, 6)")
+            .as("top2_frac"),
+          expr("ROUND(CAST(top3.n * length(top3.g) AS DOUBLE) / n_chars, 6)")
+            .as("top3_frac"),
+          expr("LEAST(CAST(1.0 AS DOUBLE), ROUND(CAST(dup5_chars AS DOUBLE) / n_chars, 6))")
+            .as("dup5_frac"))
+      val Seq((_, t2), (_, t3)) = TopNgramThresholds
+      perDoc
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top2_frac") > t2, 1).otherwise(0)).cast("bigint").as("n_fail_top2"),
+          sum(when(col("top3_frac") > t3, 1).otherwise(0)).cast("bigint").as("n_fail_top3"),
+          sum(when(col("dup5_frac") > Dup5Threshold, 1).otherwise(0)).cast("bigint")
+            .as("n_fail_dup5"),
+          sum(when(col("top2_frac") <= t2 && col("top3_frac") <= t3 &&
+            col("dup5_frac") <= Dup5Threshold, 1).otherwise(0)).cast("bigint").as("n_keep"),
+          expr("ROUND(CAST(SUM(CAST(top2_frac AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)")
+            .as("avg_top2"),
+          expr("ROUND(CAST(SUM(CAST(dup5_frac AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)")
+            .as("avg_dup5"))
+    },
+    Some(s"""WITH w0 AS (
+            |  SELECT doc_id, source,
+            |    list_filter(string_split(text, ' '), w -> w != '') AS words,
+            |    GREATEST(length(text), 1) AS n_chars
+            |  FROM documents
+            |), g AS (
+            |  SELECT doc_id, n, unnest(grams) AS gram FROM (
+            |    SELECT doc_id, n.n,
+            |      CASE WHEN len(words) >= n.n THEN list_transform(
+            |        range(0, len(words) - n.n + 1),
+            |        i -> array_to_string(words[i + 1 : i + n.n], ' '))
+            |      ELSE [] END AS grams
+            |    FROM w0 CROSS JOIN (SELECT unnest([2, 3, $Dup5N]) AS n) n)
+            |), gc AS (
+            |  SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+            |), top AS ( -- most frequent gram; ties -> smallest gram
+            |  SELECT doc_id, n, c AS topn, gram AS topg FROM (
+            |    SELECT doc_id, n, gram, c,
+            |      ROW_NUMBER() OVER (PARTITION BY doc_id, n
+            |                         ORDER BY c DESC, gram ASC) AS rn
+            |    FROM gc) r WHERE rn = 1
+            |), dup AS (
+            |  SELECT doc_id, COALESCE(SUM(c * length(gram)) FILTER (c >= 2), 0) AS dchars
+            |  FROM gc WHERE n = $Dup5N GROUP BY 1
+            |), per_doc AS (
+            |  SELECT w0.doc_id, w0.source,
+            |    ROUND(CAST(COALESCE(t2.topn * length(t2.topg), 0) AS DOUBLE) / w0.n_chars, 6) AS top2_frac,
+            |    ROUND(CAST(COALESCE(t3.topn * length(t3.topg), 0) AS DOUBLE) / w0.n_chars, 6) AS top3_frac,
+            |    LEAST(CAST(1.0 AS DOUBLE),
+            |          ROUND(CAST(COALESCE(d.dchars, 0) AS DOUBLE) / w0.n_chars, 6)) AS dup5_frac
+            |  FROM w0
+            |  LEFT JOIN top t2 ON t2.doc_id = w0.doc_id AND t2.n = 2
+            |  LEFT JOIN top t3 ON t3.doc_id = w0.doc_id AND t3.n = 3
+            |  LEFT JOIN dup d ON d.doc_id = w0.doc_id
+            |)
+            |SELECT source, COUNT(*) AS n_docs,
+            |  CAST(SUM(CASE WHEN top2_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top2,
+            |  CAST(SUM(CASE WHEN top3_frac > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top3,
+            |  CAST(SUM(CASE WHEN dup5_frac > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup5,
+            |  CAST(SUM(CASE WHEN top2_frac <= 0.20 AND top3_frac <= 0.18
+            |                 AND dup5_frac <= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+            |  ROUND(CAST(SUM(CAST(top2_frac AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS avg_top2,
+            |  ROUND(CAST(SUM(CAST(dup5_frac AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dup5
+            |FROM per_doc GROUP BY source""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
-    q65_source_mix, q66_substring_dup, q67_substring_scrub)
+    q65_source_mix, q66_substring_dup, q67_substring_scrub,
+    q72_ngram_repetition)
 }

@@ -133,6 +133,47 @@ object StreamOps {
       }
   }
 
+  /** Attribution lookback — clicks this far before a purchase count. */
+  val AttributionWindow = "2 hours"
+
+  /** s06: STREAM-STREAM event-time join — purchase→click attribution,
+    * the canonical two-stream correlation (ad impressions ⨝ conversions
+    * at industrial scale). Each purchase joins the SAME user's clicks
+    * in the preceding [[AttributionWindow]].
+    *
+    * Streaming: both sides carry watermarks and the join condition
+    * bounds event-time distance, which is exactly what Structured
+    * Streaming needs to EXPIRE join state — a click older than
+    * watermark + window can never match a future purchase and is
+    * dropped from the buffer, so state is bounded by (event rate ×
+    * window), not stream history. Without the time bound the click
+    * buffer would grow forever; this is the stream-stream analogue of
+    * the hot-bucket guard. On batch inputs the identical plan is a
+    * plain range join, which the DuckDB oracle certifies.
+    *
+    * Output carries integer epoch-micros lag (exact cross-engine; the
+    * q33/q61 "ints, not float seconds" rule), one row per attributed
+    * (purchase, click) pair — inner join, so append mode streams it.
+    */
+  def attributePurchases(clicks: DataFrame, purchases: DataFrame,
+      streaming: Boolean): DataFrame = {
+    val c0 = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p0 = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    // watermark delay > window: a click still joinable against an
+    // in-watermark purchase must itself still be buffered
+    val (c, p) =
+      if (streaming) (c0.withWatermark("c_ts", "3 hours"),
+        p0.withWatermark("p_ts", "3 hours"))
+      else (c0, p0)
+    p.join(c, expr("p_user = c_user" +
+        s" AND c_ts >= p_ts - INTERVAL $AttributionWindow AND c_ts <= p_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Split events (sorted by (us, event_id)) into gap-delimited sessions. */

@@ -137,6 +137,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s06 stream-stream join attributes cross-batch pairs and expires old clicks") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.attributePurchases(
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      streaming = true)
+      .writeStream.format("memory").queryName("s06_out")
+      .outputMode(OutputMode.Append).start()
+    def pairs() = spark.table("s06_out").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("lag_us"))).toSet
+    try {
+      // click arrives FIRST, purchase in a LATER micro-batch: the join
+      // must buffer the click in state until its purchase shows up
+      clicks.addData((ts(0), 7L, 100L), (ts(1), 8L, 101L))
+      q.processAllAvailable()
+      assert(pairs().isEmpty, "no purchases yet")
+      purchases.addData((ts(30), 7L, 200L))
+      q.processAllAvailable()
+      assert(pairs() == Set((200L, 100L, 30L * 60 * 1000000)),
+        "cross-batch attribution within the window, same user only")
+      // a purchase far past the window + watermark: the old clicks are
+      // beyond attribution range, so nothing new joins — and both
+      // watermarks having advanced, their state is expirable
+      purchases.addData((Timestamp.valueOf("2024-01-02 10:00:00"), 7L, 201L))
+      q.processAllAvailable()
+      assert(pairs().size == 1, "out-of-window purchase attributes nothing")
+    } finally q.stop()
+  }
+
+  test("s06 batch form matches an independently computed attribution set") {
+    import spark.implicits._
+    val e = Tables.table(spark, sfDir, "events")
+    val got = graft.operators.StreamingBatchOps.s06_stream_join
+      .run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    // driver-side reference over the same (small) fixture slice
+    val evs = e.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = (for {
+      (pid, pu, pt, pus) <- evs if pt == "purchase"
+      (cid, cu, ct, cus) <- evs
+      if ct == "click" && cu == pu && cus <= pus && cus >= pus - 2L * 3600 * 1000000
+    } yield (pid, cid)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("s05 batch form equals q31's brute-force pair set") {
     val got = graft.operators.StreamingBatchOps.s05_stream_neardup
       .run(spark, sfDir).collect()
