@@ -308,14 +308,85 @@ object Pipeline {
       foldedLinks: Seq[String], foldedPages: Seq[String], rankIters: Option[Int])
 
   /** The `_RANKS` artifact of the LIVE links generation, if a
-    * maintainRanks fold has published one.
+    * maintainRanks fold has published one. Full (host, rank) frame —
+    * the warm-start input; serving paths use [[hostRanksFor]] instead,
+    * which prunes to the requested hosts' buckets.
     */
-  def hostRanks(spark: SparkSession, outDir: String): Option[DataFrame] = {
+  def hostRanks(spark: SparkSession, outDir: String): Option[DataFrame] =
+    ranksArtifact(spark, outDir).map(_.select(col("host"), col("rank")))
+
+  /** SERVING read of the live ranks: only the requested hosts'
+    * `rank_bucket` partitions are listed/scanned (driver-side bucket
+    * recompute — no Spark job to build the pruned plan), so a rank
+    * lookup against a crawl-scale `_RANKS` artifact touches
+    * ≤ hosts.size of [[graft.sinks.LinkStore.NumBuckets]] partitions
+    * instead of the full host table. Empty frame when no ranks
+    * artifact is published.
+    */
+  def hostRanksFor(spark: SparkSession, outDir: String,
+      hosts: Seq[String]): DataFrame =
+    ranksArtifact(spark, outDir) match {
+      case Some(r) =>
+        val buckets = hosts.map(LinkStore.bucketOfDomain).distinct
+        r.filter(col("rank_bucket").isin(buckets: _*) &&
+            col("host").isin(hosts: _*))
+          .select(col("host"), col("rank"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Double)].toDF("host", "rank")
+    }
+
+  /** One host's live rank via the pruned [[hostRanksFor]] read. */
+  def hostRankOf(spark: SparkSession, outDir: String,
+      host: String): Option[Double] =
+    hostRanksFor(spark, outDir, Seq(host)).collect()
+      .headOption.map(_.getDouble(1))
+
+  private def ranksArtifact(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val resolved = graft.sinks.StoreGen.resolve(spark, s"$outDir/links")
     val p = new org.apache.hadoop.fs.Path(resolved, RanksArtifact)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
+
+  /** `_RANKS` layout: parquet partitioned by `rank_bucket` =
+    * xxhash64(host) mod NumBuckets — the same bucketing the link store
+    * uses for domains, so a serving lookup prunes to one bucket. One
+    * file per bucket (the repartition): ranks are one row per host,
+    * so even a crawl-scale artifact stays NumBuckets loader-sized
+    * files instead of buckets × writer-tasks shards.
+    */
+  private def writeRanks(ranks: DataFrame, dest: String): Unit =
+    ranks.withColumn("rank_bucket", LinkStore.bucketOf(col("host")))
+      .repartition(col("rank_bucket"))
+      .write.mode("overwrite").partitionBy("rank_bucket").parquet(dest)
+
+  /** Bootstrap/publish a ranked link store DIRECTLY from a raw link
+    * frame — the one-shot alternative to segment folds for users who
+    * already hold extracted links: compaction + store write + a
+    * [[RanksArtifact]] fit (warm-started from the previous generation
+    * when one exists) land in ONE prepared generation behind the
+    * writer lease, published by the same atomic pointer swap as
+    * [[foldSegments]]. Returns the rank iterations run.
+    */
+  def publishRankedStore(spark: SparkSession, rawLinks: DataFrame, outDir: String,
+      rankTol: Double = 1e-6, rankMaxIters: Int = 200): Int =
+    graft.sinks.StoreLease.withLease(spark, s"$outDir/links") { lease =>
+      var iters = 0
+      val gen = graft.sinks.StoreGen.prepare(spark, s"$outDir/links", tmp => {
+        LinkStore.write(LinkCompaction.compact(rawLinks), tmp)
+        val edges = graft.operators.GraphOps.edgesOf(
+          LinkStore.read(spark, tmp).drop("domain_bucket"))
+        val (ranks, it) = graft.operators.GraphOps.pageRankOnEdges(
+          edges, maxIters = rankMaxIters, tol = Some(rankTol),
+          init = hostRanks(spark, outDir))
+        writeRanks(ranks, s"$tmp/$RanksArtifact")
+        iters = it
+      })
+      lease.ensureHeld()
+      graft.sinks.StoreGen.commit(spark, s"$outDir/links", gen)
+      iters
+    }
 
   private val RanksArtifact = "_RANKS"
 
@@ -351,7 +422,7 @@ object Pipeline {
           val (ranks, iters) = graft.operators.GraphOps.pageRankOnEdges(
             edges, maxIters = rankMaxIters, tol = Some(rankTol),
             init = hostRanks(spark, outDir))
-          ranks.write.mode("overwrite").parquet(s"$tmp/$RanksArtifact")
+          writeRanks(ranks, s"$tmp/$RanksArtifact")
           rankIters = Some(iters)
         }
       })
@@ -584,7 +655,10 @@ object Pipeline {
       // a swap mid-request leaves the shared FileStatusCache holding
       // the dead store's listing; drop it before the server's rebind
       // retry (see LinkApiServer.queryWithRetry)
-      onStale = () => spark.catalog.refreshByPath(s"$outDir/links")).start()
+      onStale = () => spark.catalog.refreshByPath(s"$outDir/links"),
+      // rank serving rides the same server: pruned _RANKS read per
+      // request; stores without a published ranks artifact just 404
+      rankOf = Some(host => hostRankOf(spark, outDir, host))).start()
 
   final case class ExportStats(
       input: Long, gated: Long, deduped: Long, decontaminated: Long,

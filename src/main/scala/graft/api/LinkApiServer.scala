@@ -40,7 +40,11 @@ final class LinkApiServer(
     rateWindowMs: Long = 15L * 60 * 1000,
     clock: () => Long = () => System.currentTimeMillis(),
     sweepThreshold: Int = 100000,
-    onStale: () => Unit = () => ()) {
+    onStale: () => Unit = () => (),
+    // beyond the reference's surface: when set, POST /api/ranks serves
+    // the store-maintained PageRank of one host (Pipeline.hostRankOf —
+    // a partition-pruned read of the live generation's _RANKS)
+    rankOf: Option[String => Option[Double]] = None) {
 
   // isRateLimited (controller.go:282-307): fixed window anchored at the
   // first request, counter reset when the window expires
@@ -72,6 +76,8 @@ final class LinkApiServer(
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/api/links", (ex: HttpExchange) => safely(ex)(handleLinks))
   server.createContext("/api/health", (ex: HttpExchange) => safely(ex)(handleHealth))
+  rankOf.foreach(_ => server.createContext("/api/ranks",
+    (ex: HttpExchange) => safely(ex)(handleRanks)))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
@@ -132,6 +138,60 @@ final class LinkApiServer(
             send(ex, 200, JsonMethods.compact(JArray(out.toList.map(render))))
         }
     }
+  }
+
+  /** POST /api/ranks — rank lookup for one host, same envelope rules
+    * as /api/links (method, rate limit, parse/validation errors).
+    * Unknown host (or a store without a published `_RANKS`) is 404:
+    * "no rank" is an answer about the data, not a request error.
+    */
+  private def handleRanks(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+    val caller = ex.getRemoteAddress.getAddress.getHostAddress
+    if (isRateLimited(caller))
+      return send(ex, 429, err("ErrorTooManyRequests", "Too Many Requests"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try Some(JsonMethods.parse(body))
+      catch { case _: Exception => None }
+    parsed match {
+      case None =>
+        send(ex, 400, err("ErrorParsing", "Error parsing request"))
+      case Some(j) =>
+        (j \ "host") match {
+          case JString(raw) if raw.nonEmpty =>
+            val host = raw.trim.toLowerCase
+            if (!host.matches(UrlFns.DomainRegex))
+              send(ex, 400, err("ErrorInvalidDomain", "Invalid host"))
+            else rankWithRetry(host) match {
+              case Some(r) => send(ex, 200,
+                s"""{"host":${JsonMethods.compact(JString(host))},"rank":$r}""")
+              case None =>
+                send(ex, 404, err("ErrorUnknownHost", "Host not found"))
+            }
+          case _ =>
+            send(ex, 400, err("ErrorNoDomain", "Host is required"))
+        }
+    }
+  }
+
+  /** Same stale-store handling as [[queryWithRetry]]: a fold swapping
+    * generations mid-lookup re-resolves against the new pointer.
+    */
+  private def rankWithRetry(host: String): Option[Double] = {
+    var attempt = 1
+    while (true) {
+      try return rankOf.get(host)
+      catch {
+        case e: Exception if isStaleStore(e) &&
+            attempt < (if (isMissingRoot(e)) 2 else 8) =>
+          attempt += 1
+          onStale()
+          Thread.sleep(25L * attempt)
+      }
+    }
+    None // unreachable
   }
 
   /** A store rewrite (Pipeline.foldSegments/compactStream) that swaps

@@ -192,5 +192,31 @@ object GraphOps {
     None // float summation order is engine-specific; invariants in GraphOpsSpec
   )
 
-  val all: Seq[GraftQuery] = Seq(q51_pagerank, q52_degree_dist)
+  /** Rank SERVING — the read-side of the store-maintained incremental
+    * PageRank (Pipeline.foldSegments(maintainRanks)/
+    * publishRankedStore): look up the live generation's `_RANKS` for a
+    * requested host set through the bucket-pruned
+    * [[graft.Pipeline.hostRanksFor]] path — the same read
+    * `POST /api/ranks` binds per request. The plan scans only the
+    * requested hosts' `rank_bucket=` partitions, so the lookup cost is
+    * O(requested buckets), not O(hosts in the crawl). Input store
+    * comes from [[graft.sources.RankedStoreFixture]] (built once per
+    * sfDir via the real publish path, cached). Rows-only: ranks are
+    * float; the maintained-vs-cold equality and serving semantics are
+    * pinned in PipelineSpec/GraphOpsSpec/LinkApiSpec.
+    */
+  val q69_host_rank_serve: GraftQuery = GraftQuery(
+    "q69_host_rank_serve",
+    (s, dir) => {
+      val store = graft.sources.RankedStoreFixture.dir(s, dir)
+      // the links fixture's five page hosts — the serving hot set
+      val hosts = (0 to 4).map(i => s"h$i.example.org")
+      graft.Pipeline.hostRanksFor(s, store, hosts)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("host"))
+    },
+    None // serving read of a store artifact; no parquet table for DuckDB
+  )
+
+  val all: Seq[GraftQuery] = Seq(q51_pagerank, q52_degree_dist, q69_host_rank_serve)
 }

@@ -21,7 +21,7 @@ object LinkStore {
 
   val NumBuckets = 256
 
-  private[sinks] def bucketOf(domain: Column): Column =
+  private[graft] def bucketOf(domain: Column): Column =
     pmod(xxhash64(domain), lit(NumBuckets.toLong)).cast("int")
 
   /** Scala-side mirror of [[bucketOf]] for driver-side pruning: Spark's

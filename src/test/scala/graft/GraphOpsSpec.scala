@@ -107,4 +107,22 @@ class GraphOpsSpec extends SparkSpec {
       .head().getString(0)
     assert(out(topIn) > 0.15, s"most-linked host $topIn should exceed the floor")
   }
+
+  test("q69 serves the fixture store's maintained ranks for the requested hosts") {
+    val out = GraphOps.q69_host_rank_serve.run(spark, sfDir).collect()
+    // all five page hosts have a published rank, served in host order
+    assert(out.map(_.getString(0)).toSeq == (0 to 4).map(i => s"h$i.example.org"))
+    // every rank carries at least the (rounded) teleport floor
+    out.foreach(r => assert(r.getDouble(1) >= 0.15 - 1e-6, r.toString))
+    // the serving read agrees with the full _RANKS artifact of the
+    // fixture store (q69 is the PRUNED read of the same artifact)
+    val store = graft.sources.RankedStoreFixture.dir(spark, sfDir)
+    val full = Pipeline.hostRanks(spark, store).get.collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    out.foreach(r => assert(full(r.getString(0)) == r.getDouble(1)))
+    // deterministic: the cached fixture serves the identical frame again
+    val again = GraphOps.q69_host_rank_serve.run(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

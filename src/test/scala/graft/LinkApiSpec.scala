@@ -116,6 +116,59 @@ class LinkApiSpec extends SparkSpec {
     }
   }
 
+  test("POST /api/ranks serves the published host rank with the /api/links envelope") {
+    // serving binding is a plain host=>rank lookup (Pipeline.hostRankOf
+    // in production — the pruned-store read is pinned in PipelineSpec;
+    // here the HTTP contract around it)
+    val ranks = Map("h0.example.org" -> 0.512345, "hub.example.com" -> 3.25)
+    val srv = new LinkApiServer(_ => db, port = 0, rankOf = Some(ranks.get)).start()
+    try {
+      val port = srv.boundPort
+      def rankPost(body: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/ranks"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def code(resp: HttpResponse[String]): String =
+        (JsonMethods.parse(resp.body()) \ "errorCode": @unchecked) match { case JString(s) => s }
+
+      // known host, case-normalized like the links endpoint's domains
+      val ok = rankPost("""{"host":" H0.Example.ORG "}""")
+      assert(ok.statusCode() == 200)
+      val parsed = JsonMethods.parse(ok.body())
+      assert((parsed \ "host") == JString("h0.example.org"))
+      val JDouble(r) = parsed \ "rank": @unchecked
+      assert(r == 0.512345)
+
+      // "no rank for that host" is a data answer (404), not a bad request
+      val unknown = rankPost("""{"host":"cold.example.org"}""")
+      assert(unknown.statusCode() == 404 && code(unknown) == "ErrorUnknownHost")
+      // request errors mirror /api/links
+      val invalid = rankPost("""{"host":"not a host"}""")
+      assert(invalid.statusCode() == 400 && code(invalid) == "ErrorInvalidDomain")
+      val missing = rankPost("""{"limit":3}""")
+      assert(missing.statusCode() == 400 && code(missing) == "ErrorNoDomain")
+      val badJson = rankPost("""{"host": no-quotes}""")
+      assert(badJson.statusCode() == 400 && code(badJson) == "ErrorParsing")
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/ranks"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    } finally srv.stop()
+  }
+
+  test("/api/ranks is unbound when the store has no rank serving") {
+    withServer() { port =>
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/ranks"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"host":"h0.example.org"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 404, "no rankOf binding => no route")
+    }
+  }
+
   test("requests spanning a store swap succeed via rebind-and-retry") {
     // a REAL store served by the REAL binding (fresh partition-pruned
     // read per request), with compactStream swapping the store

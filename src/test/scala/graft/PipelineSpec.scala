@@ -488,4 +488,50 @@ class PipelineSpec extends SparkSpec {
     assert(shardOf(out) == shardOf(out2),
       "shard membership must be deterministic across runs")
   }
+
+  test("publishRankedStore lands store + _RANKS in one generation; serving reads prune") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("pubrank").toString
+    val raw = Tables.links(spark, sfDir)
+    val tol = 1e-9
+
+    // one-shot publish: compaction + store + ranks behind a single swap
+    val coldIters = Pipeline.publishRankedStore(spark, raw, out, rankTol = tol)
+    assert(coldIters > 1, "cold start must iterate")
+    val served = Pipeline.links(spark, out)
+    assert(served.count() > 0, "store must be queryable after publish")
+    val full = Pipeline.hostRanks(spark, out).get
+    assert(full.columns.toSeq == Seq("host", "rank"))
+
+    // the artifact IS the fixed point: matches a cold recompute over
+    // the published store's own edges at the same tol
+    val (cold, _) = graft.operators.GraphOps.pageRankOnEdges(
+      graft.operators.GraphOps.edgesOf(served.drop("domain_bucket")),
+      maxIters = 500, tol = Some(tol))
+    assert(graft.operators.GraphOps.top100(full).collect().map(_.toString).toSeq ==
+      graft.operators.GraphOps.top100(cold).collect().map(_.toString).toSeq)
+
+    // pruned serving read: same answer as filtering the full frame...
+    val hosts = Seq("h0.example.org", "h3.example.org")
+    val pruned = Pipeline.hostRanksFor(spark, out, hosts)
+    val viaFull = full.filter(col("host").isin(hosts: _*))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pruned.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == viaFull)
+    // ...through a plan that scans only the hosts' rank_bucket partitions
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("rank_bucket"),
+      s"serving read must partition-prune on rank_bucket:\n$plan")
+    assert(Pipeline.hostRankOf(spark, out, "h0.example.org").contains(viaFull("h0.example.org")))
+    assert(Pipeline.hostRankOf(spark, out, "nosuch.example.org").isEmpty)
+
+    // republish warm-starts from the live generation's artifact
+    val warmIters = Pipeline.publishRankedStore(spark, raw, out, rankTol = tol)
+    assert(warmIters < coldIters,
+      s"republish must warm-start: warm=$warmIters cold=$coldIters")
+
+    // a store with no published ranks serves the empty frame, not an error
+    val bare = Files.createTempDirectory("norank").toString
+    assert(Pipeline.hostRanksFor(spark, bare, Seq("x.com")).isEmpty)
+    assert(Pipeline.hostRankOf(spark, bare, "x.com").isEmpty)
+  }
 }
