@@ -42,7 +42,12 @@ object ClusterRehearsal {
       "q67_substring_scrub" -> SparkEntry.queries("q67_substring_scrub"),
       "q68_cocitation" -> SparkEntry.queries("q68_cocitation"),
       "q39_topk_per_group" -> SparkEntry.queries("q39_topk_per_group"),
-      "q17_compact_links" -> SparkEntry.queries("q17_compact_links"))
+      "q17_compact_links" -> SparkEntry.queries("q17_compact_links"),
+      // r8: the cluster-keyed dedup self-join and the iterative vocab
+      // fit both ship driver-built state (centroid/merge literals,
+      // checkpointed frames) to fresh executor JVMs
+      "q70_semdedup" -> SparkEntry.queries("q70_semdedup"),
+      "q71_bpe_train" -> SparkEntry.queries("q71_bpe_train"))
 
   private def session(master: String): SparkSession = {
     val b = SparkSession.builder()

@@ -4,12 +4,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated query names — the dev loop
+    // for ONE new operator (skips the full sweep + plan audit); the
+    // driver always calls with exactly (sfDir, outDir)
+    val (sfDir, outDir, only) = (args: @unchecked) match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, n) => (s, o, Some(n.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftConf.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,15 +37,19 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // regenerate the plan audit every verify run, so it cannot drift
     // from HEAD when operators land (r5 shipped a stale PLANS.md) —
-    // best-effort: an audit failure must not zero the correctness dump
-    try PlanAudit.write(spark, sfDir, "PLANS.md")
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] plan audit failed: ${e.getMessage}")
-    }
+    // best-effort: an audit failure must not zero the correctness dump.
+    // Skipped for filtered dev-loop runs (PLANS.md documents HEAD, and
+    // a partial audit would clobber the full one).
+    if (only.isEmpty)
+      try PlanAudit.write(spark, sfDir, "PLANS.md")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] plan audit failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -468,43 +468,62 @@ object SimilarityOps {
     * index serves lower probe fractions. The cells/probes ratio is the
     * tunable; the plan shape is scale-ready either way.
     */
+  /** A fitted IVF coarse quantizer: centroids + norms as plan
+    * LITERALS, with the row-local cell assignment / probe expressions.
+    * Shared by q40 (ANN search) and the SemDeDup centroid-cluster
+    * variant (SimilaritySpec).
+    */
+  private[graft] final case class IvfIndex(cents: Seq[Seq[Double]], cnorms: Seq[Double]) {
+    val n: Int = cents.length
+    // score_i = dot(emb, c_i)/|c_i|: |emb| is a common positive factor,
+    // so it drops out of both the argmax and the probe ordering
+    def cellScore(emb: String): String =
+      s"aggregate(zip_with($emb, element_at(cs, i + 1), " +
+        "(x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v) / element_at(cns, i + 1)"
+    def withCentroids(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("cs", typedLit(cents)).withColumn("cns", typedLit(cnorms))
+    /** Row-local nearest-cell argmax (ties -> lowest cell) as a new
+      * `cell` column; the centroid literals do not survive the return.
+      */
+    def assignCell(df: org.apache.spark.sql.DataFrame,
+        emb: String = "embedding"): org.apache.spark.sql.DataFrame =
+      withCentroids(df)
+        .withColumn("cell", expr(
+          s"array_max(transform(sequence(0, ${n - 1}), i -> " +
+            s"struct(${cellScore(emb)} as s, -i as ni, i as cell))).cell"))
+        .drop("cs", "cns")
+  }
+
+  /** Fit the IVF quantizer: ONE bounded driver-side collect (≤
+    * [[IvfSample]] rows) — the kmeans fit, not a per-row action.
+    * Id-ordered for determinism; the testdata ids are generation-order,
+    * which is as unbiased as a stride sample on this corpus.
+    */
+  private[graft] def fitIvf(e: org.apache.spark.sql.DataFrame): IvfIndex = {
+    val sample: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(IvfSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+    val cents: Seq[Seq[Double]] =
+      lloydCentroids(sample, math.min(IvfCells, sample.length)).map(_.toSeq).toSeq
+    IvfIndex(cents, cents.map(c => math.sqrt(c.map(x => x * x).sum)))
+  }
+
   val q40_ivf_cosine: GraftQuery = GraftQuery(
     "q40_ivf_cosine",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // index build: ONE bounded driver-side collect (≤ IvfSample rows)
-      // — the kmeans fit, not a per-row action. Id-ordered for
-      // determinism; the testdata ids are generation-order, which is
-      // as unbiased as a stride sample on this corpus.
-      val sample: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(IvfSample)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
-      val cents: Seq[Seq[Double]] =
-        lloydCentroids(sample, math.min(IvfCells, sample.length)).map(_.toSeq).toSeq
-      val cnorms: Seq[Double] =
-        cents.map(c => math.sqrt(c.map(x => x * x).sum))
-      val n = cents.length
-      // score_i = dot(emb, c_i)/|c_i|: |emb| is a common positive factor,
-      // so it drops out of both the argmax and the probe ordering
-      def cellScore(emb: String) =
-        s"aggregate(zip_with($emb, element_at(cs, i + 1), " +
-          "(x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, v) -> acc + v) / element_at(cns, i + 1)"
-      def withCentroids(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("cs", typedLit(cents)).withColumn("cns", typedLit(cnorms))
-      // assignment: row-local argmax over the literal (ties -> lowest cell)
-      val assigned = withCentroids(e)
-        .withColumn("cell", expr(
-          s"array_max(transform(sequence(0, ${n - 1}), i -> " +
-            s"struct(${cellScore("embedding")} as s, -i as ni, i as cell))).cell"))
+      val idx = fitIvf(e)
+      val n = idx.n
+      val assigned = idx.assignCell(e)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
       // search: top-IvfProbes cells per query, also row-local
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probes = withCentroids(qs)
+      val probes = idx.withCentroids(qs)
         .withColumn("cell", explode(expr(
           s"transform(slice(array_sort(transform(sequence(0, ${n - 1}), i -> " +
-            s"struct(-(${cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
+            s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
             "p -> p.cell)")))
         .select(col("q_id"), col("q_emb"), col("cell"))
       val scored = assigned.join(broadcast(probes), "cell")
@@ -758,8 +777,87 @@ object SimilarityOps {
            |) c""".stripMargin)
   )
 
+  /** SemDeDup similarity floor: a vector with a smaller-id cluster-mate
+    * at cosine ≥ this is dropped. Far above any random 64-dim pair
+    * (|cos| ~ N(0, 1/8)) and far below the planted near-dups (≈ 1.0),
+    * so the verdict never rides a float boundary.
+    */
+  private[graft] val SemDedupTau = 0.99
+
+  /** SemDeDup (Abbas et al. 2023) — embedding-space near-dedup, the
+    * cluster-bounded quadratic: pairwise exact cosine ONLY within a
+    * cluster, drop every vector that has a more-canonical (smaller id)
+    * cluster-mate above [[SemDedupTau]]. `cluster` is the pluggable
+    * assignment: the registered query uses the table's label column
+    * (SQL-expressible, so the keep/drop semantics sit under the full
+    * DuckDB oracle); production assigns via q40's trained-centroid
+    * row-local argmax — SimilaritySpec runs that variant and proves
+    * every planted near-dup still drops.
+    *
+    * Scale shape: norms are computed ONCE per row before the join (the
+    * pair stage pays only the dot product); the self-join keys on the
+    * cluster id, so the shuffle is one exchange of (id, norm,
+    * embedding) per side and each cluster's pair expansion is bounded
+    * by its own size — at 100 TB the cluster count scales with the
+    * corpus (k ∝ n keeps |cluster| flat) and a skewed cluster is
+    * AQE-splittable because the join is a plain shuffle join, not a
+    * collect. The a<b predicate halves the pair space; verdicts
+    * aggregate per larger-id row (map-side combinable max).
+    */
+  private[graft] def semdedupVerdicts(e: org.apache.spark.sql.DataFrame,
+      cluster: Column): org.apache.spark.sql.DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"), cluster.as("cluster"))
+      .withColumn("nrm", expr(normExpr("embedding")))
+    val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("cluster"), col("nrm").as("a_nrm"))
+    val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("cluster").as("b_cluster"), col("nrm").as("b_nrm"))
+    val pairDot =
+      "aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v)"
+    val dominated = a
+      .join(b, col("cluster") === col("b_cluster") && col("b_id") < col("a_id"))
+      .withColumn("cosine", expr(pairDot) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= SemDedupTau)
+      .groupBy(col("a_id"))
+      .agg(round(max(col("cosine")), 6).as("max_sim"))
+    base.join(dominated, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("a_id").isNull.as("kept"),
+        col("max_sim"))
+  }
+
+  val q70_semdedup: GraftQuery = GraftQuery(
+    "q70_semdedup",
+    (s, dir) => semdedupVerdicts(Tables.embWithNearDups(s, dir), col("label")),
+    Some("""WITH allvecs AS (
+           |  SELECT vec_id, embedding, label FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |    list_prepend(CAST(embedding[1] + CAST(0.001 AS FLOAT) AS FLOAT),
+           |                 embedding[2:]),
+           |    label
+           |  FROM embeddings WHERE vec_id % 25 = 0
+           |), v AS (
+           |  SELECT vec_id, label AS cluster, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           |  FROM allvecs
+           |), pc AS (
+           |  SELECT a.vec_id AS a_id,
+           |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      / (a.nrm * b.nrm) AS cosine
+           |  FROM v a JOIN v b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+           |), dom AS (
+           |  SELECT a_id, ROUND(MAX(cosine), 6) AS max_sim
+           |  FROM pc WHERE cosine >= 0.99 GROUP BY a_id
+           |)
+           |SELECT v.vec_id, v.cluster, dom.a_id IS NULL AS kept, dom.max_sim
+           |FROM v LEFT JOIN dom ON v.vec_id = dom.a_id""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q33_embed_stats,
     q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch,
-    q60_delta_dedup, q63_quantize_int8)
+    q60_delta_dedup, q63_quantize_int8, q70_semdedup)
 }

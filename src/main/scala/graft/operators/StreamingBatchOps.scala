@@ -123,7 +123,30 @@ object StreamingBatchOps {
            | AND c.ts >= p.ts - INTERVAL 2 HOURS AND c.ts <= p.ts""".stripMargin)
   )
 
+  /** Batch form of the streaming JSONL delivery (StreamOps
+    * .exportStream): the deterministic shard-membership summary —
+    * shard = xxhash64(doc_id) mod [[StreamOps.ExportShards]], the
+    * batch-agnostic contract a loader consumes. Rows-only (DuckDB has
+    * no xxhash64); StreamExportSpec proves the streamed shards union
+    * to exactly the one-shot JsonlSink export.
+    */
+  val s07_stream_export: GraftQuery = GraftQuery(
+    "s07_stream_export",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .withColumn("shard",
+          pmod(xxhash64(col("doc_id")), lit(StreamOps.ExportShards.toLong)))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard")),
+    None // xxhash64 membership has no DuckDB equivalent; StreamExportSpec
+  )
+
   val all: Seq[GraftQuery] =
     Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich,
-      s05_stream_neardup, s06_stream_join)
+      s05_stream_neardup, s06_stream_join, s07_stream_export)
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2C (continued) — tokenizer TRAINING: byte-pair-encoding vocabulary
+  * learning (Sennrich et al. 2016) as a distributed pipeline. The
+  * reference has no tokenizer at all; a training-data engine needs the
+  * vocab-fit step, not just token counting (q26) and packing (q55).
+  *
+  * Scale design — the whole point of the distributed formulation:
+  *   - The corpus is scanned ONCE, into the word-frequency frame
+  *     (`groupBy(word).count()`, map-side combined). By Heaps' law the
+  *     vocab frame is orders of magnitude smaller than the corpus —
+  *     at 100 TB the corpus scan is the only corpus-wide job; every
+  *     merge iteration reads the (checkpointed) vocab frame only.
+  *   - Each merge = one pair-explode + map-side-combined sum + a
+  *     1-row `head` (the argmax), then a ROW-LOCAL left-to-right fold
+  *     that applies the merge to each word's symbol array. No
+  *     iteration shuffles anything wider than (pair, count).
+  *   - Lineage is truncated per iteration (localCheckpoint, like q51's
+  *     power method) so the plan stays flat across K merges.
+  *
+  * Ties break deterministically (count desc, then pair lexicographic)
+  * so the merge sequence is engine-stable; TokenizerSpec pins it
+  * against an independent driver-side reference BPE.
+  */
+object TokenizerOps {
+
+  val BpeMerges = 30
+
+  /** (word, cnt) corpus word-frequency frame — the one corpus-wide
+    * aggregate of the fit.
+    */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Left-to-right single-pass merge of adjacent (l, r) into l+r over a
+    * symbol array — built with Column lambdas (no SQL-string splicing:
+    * corpus symbols may contain any character).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val merged = lit(l + r)
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** The learned merge table: (step, left, right, merged, pair_count).
+    * Runs the driver loop over the vocab frame; `k` bounds the vocab
+    * size like any BPE fit.
+    */
+  private[graft] def bpeFit(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wordFreq(docs)
+      .withColumn("syms", split(col("w"), ""))
+      .select(col("syms"), col("cnt"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < k && !done) {
+      // adjacent pairs weighted by word count; map-side combined sum
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          // single-symbol words emit no pairs (sequence(1, 0) would
+          // DESCEND in Spark, not return empty)
+          "if(size(syms) < 2, array(), transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .head(1)
+      if (top.isEmpty) done = true // every word fully merged
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        step += 1
+        merges += ((step, l, r, c))
+        vocab = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
+          .localCheckpoint(false)
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE vocabulary training over the documents corpus. Rows-only:
+    * the merge loop's argmax-per-iteration has no SQL expression;
+    * TokenizerSpec proves the merge sequence equals a driver-side
+    * reference BPE and that the learned symbols reconstruct the vocab.
+    */
+  val q71_bpe_train: GraftQuery = GraftQuery(
+    "q71_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      bpeFit(Tables.table(s, dir, "documents"), BpeMerges)
+        .map { case (step, l, r, c) => (step, l, r, l + r, c) }
+        .toDF("step", "left", "right", "merged", "pair_count")
+        .orderBy(col("step"))
+    },
+    None // iterative argmax loop — no single-statement oracle; see TokenizerSpec
+  )
+
+  val all: Seq[GraftQuery] = Seq(q71_bpe_train)
+}

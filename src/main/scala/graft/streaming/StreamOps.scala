@@ -212,4 +212,44 @@ object StreamOps {
           }
       }
   }
+
+  /** s07: STREAMING corpus delivery — the JsonlSink contract applied
+    * incrementally. Each micro-batch lands under a batch-scoped dir
+    * (`<path>/batch=<id>/shard=<k>/part-*.json.gz`):
+    *
+    *   - **Exactly-once by idempotent naming**: a batch retried after
+    *     a crash overwrites `batch=<id>` wholesale instead of
+    *     appending duplicates — the standard foreachBatch replay
+    *     discipline (batch ids are stable across restarts from the
+    *     checkpoint).
+    *   - **Deterministic shard membership**: the shard column is
+    *     xxhash64(doc_id) mod n — a doc's shard never depends on
+    *     which micro-batch carried it, so a loader that consumes
+    *     `⋃ batch=∗/shard=K` sees exactly the batch-agnostic shard K
+    *     of the full corpus ([[graft.sinks.JsonlSink.write]] semantics;
+    *     StreamExportSpec pins stream ≡ batch equality).
+    *
+    * At 100 TB this is the delivery tail of a continuously-ingesting
+    * curation pipeline: shard count bounds per-file size per batch,
+    * and no state accumulates across batches (the sink is stateless —
+    * all exactly-once bookkeeping is the checkpoint's offset log).
+    */
+  /** Default shard count for s07's registered batch form — small
+    * enough that sf0.01's 500 docs land ≥ tens per shard, the shape a
+    * loader expects; production sizes shards from corpus volume
+    * (Pipeline.exportCorpus derives it from docsPerShard).
+    */
+  val ExportShards = 8
+
+  def exportStream(docs: DataFrame, path: String, shards: Int,
+      shardKey: String = "doc_id",
+      compression: String = "gzip"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sinks.JsonlSink.write(batch.toDF(), s"$path/batch=$id",
+          shards, shardKey, compression)
+      }
+      .start()
 }

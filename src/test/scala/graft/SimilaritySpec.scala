@@ -165,6 +165,39 @@ class SimilaritySpec extends SparkSpec {
       s"banded sketch join produced $pairs")
   }
 
+  test("q70 semdedup drops exactly the planted near-dups under the label clustering") {
+    import org.apache.spark.sql.functions.col
+    val rows = SimilarityOps.q70_semdedup.run(spark, sfDir).collect()
+    val base = Tables.table(spark, sfDir, "embeddings").count()
+    assert(rows.length == base + base / Tables.DupEvery + (if (base % Tables.DupEvery == 0) 0 else 1))
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val planted = rows.map(_.getAs[Long]("vec_id"))
+      .filter(_ >= Tables.EmbDupOffset).toSet
+    assert(dropped == planted,
+      s"drop exactly the planted copies: extra=${dropped -- planted} missed=${planted -- dropped}")
+    // every dropped row records the dominating similarity
+    rows.filterNot(_.getAs[Boolean]("kept")).foreach(r =>
+      assert(r.getAs[Double]("max_sim") >= SimilarityOps.SemDedupTau))
+    rows.filter(_.getAs[Boolean]("kept")).foreach(r => assert(r.isNullAt(r.fieldIndex("max_sim"))))
+  }
+
+  test("q70 semdedup under the PRODUCTION centroid-cell clustering still kills near-dups") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embWithNearDups(spark, sfDir)
+    val idx = SimilarityOps.fitIvf(Tables.embeddings(spark, sfDir))
+    val verdicts = SimilarityOps.semdedupVerdicts(idx.assignCell(e), col("cell")).collect()
+    val dropped = verdicts.filterNot(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    val planted = verdicts.map(_.getAs[Long]("vec_id"))
+      .filter(_ >= Tables.EmbDupOffset).toSet
+    // a 0.001 single-component nudge can only flip the cell argmax for a
+    // vector sitting ON a cell boundary — require near-total recall, and
+    // zero false drops (nothing un-planted reaches tau)
+    assert((dropped -- planted).isEmpty, s"false drops: ${dropped -- planted}")
+    val recall = dropped.size.toDouble / planted.size
+    assert(recall >= 0.9, s"centroid-cell semdedup recall $recall")
+  }
+
   test("q35 multimodal rollup covers every source with sane metadata") {
     val rows = SimilarityOps.q35_multimodal.run(spark, sfDir).collect()
     val nDocs = rows.map(_.getAs[Long]("n_images")).sum
