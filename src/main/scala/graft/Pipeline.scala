@@ -661,8 +661,8 @@ object Pipeline {
       rankOf = Some(host => hostRankOf(spark, outDir, host))).start()
 
   final case class ExportStats(
-      input: Long, gated: Long, deduped: Long, decontaminated: Long,
-      exported: Long, shards: Int)
+      input: Long, gated: Long, deduped: Long, semdeduped: Long,
+      decontaminated: Long, exported: Long, shards: Int)
 
   /** Curated-corpus delivery — the last mile of the training-data
     * story, wiring the individually-verified stages into ONE export:
@@ -671,6 +671,10 @@ object Pipeline {
     *   → near-dedup (q31/q60 SimHash machinery; the LOWER doc_id of
     *     every pair within hamming ≤ 3 survives — exact dups are
     *     hamming 0, so one pass subsumes q24)
+    *   → [optional] SEMANTIC dedup (q70 SemDeDup over an embeddings
+    *     frame keyed vec_id = doc_id, clustered by the q40
+    *     trained-centroid argmax — catches paraphrases SimHash's
+    *     lexical signature cannot)
     *   → decontaminate (q53 8-gram overlap vs the held-out eval set;
     *     any overlap drops the doc)
     *   → mix (q65 temperature-smoothed source quotas)
@@ -694,6 +698,7 @@ object Pipeline {
   def exportCorpus(spark: SparkSession, sfDir: String, outPath: String,
       mixTarget: Int = 1000, docsPerShard: Int = 100000,
       evalPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 7,
+      semdedupEmb: Option[DataFrame] = None,
       stats: Boolean = true): ExportStats = {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -719,13 +724,23 @@ object Pipeline {
       .select(greatest(col("a_id"), col("b_id")).as("doc_id")).distinct()
     val deduped = gated.join(dupIds, Seq("doc_id"), "left_anti")
 
+    // semantic dedup: q70 verdicts over the embedding table (vec_id =
+    // doc_id), centroid-cell clustered; only the drop-id frame (near-
+    // dup density, not corpus size) reaches the corpus-side anti-join
+    val semdeduped = semdedupEmb.fold(deduped) { emb =>
+      val dropIds = operators.SimilarityOps.semdedupVerdicts(
+        operators.SimilarityOps.fitIvf(emb).assignCell(emb), col("cell"))
+        .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+      deduped.join(dropIds, Seq("doc_id"), "left_anti")
+    }
+
     // decontaminate: a verbatim 32-char span shared with the eval set
     // drops the doc (the ~13-token decontamination unit; q53's 8-char
     // grams are the diagnostic REPORT, not a drop predicate — see
     // TextOps.contamination)
     val contaminated = operators.TextOps.contamination(
-      deduped, docs.filter(evalPred), gram = 32).select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      semdeduped, docs.filter(evalPred), gram = 32).select(col("doc_id"))
+    val clean = semdeduped.join(contaminated, Seq("doc_id"), "left_anti")
       // feeds the mix draw's count AND the final export join
       .localCheckpoint(false)
 
@@ -740,7 +755,8 @@ object Pipeline {
     sinks.JsonlSink.write(exported, outPath, shards)
     if (stats) ExportStats(
       input = train.count(), gated = gated.count(), deduped = deduped.count(),
+      semdeduped = if (semdedupEmb.isDefined) semdeduped.count() else -1,
       decontaminated = clean.count(), exported = nExported, shards = shards)
-    else ExportStats(-1, -1, -1, -1, exported = nExported, shards = shards)
+    else ExportStats(-1, -1, -1, -1, -1, exported = nExported, shards = shards)
   }
 }

@@ -438,18 +438,28 @@ class PipelineSpec extends SparkSpec {
     assert(f3.rankIters.isEmpty && Pipeline.hostRanks(spark, out).nonEmpty)
   }
 
-  test("exportCorpus delivers gate->dedup->decontaminate->mix as JSONL shards") {
+  test("exportCorpus delivers gate->dedup->semdedup->decontaminate->mix as JSONL shards") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("export").toString + "/corpus"
+    // embedding frame where doc b+1 is a semantic near-dup of doc b
+    // (for b % 25 == 0): the q70 stage must drop the b+1 docs
+    val e = Tables.table(spark, sfDir, "embeddings")
+    val semDupVictims = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1).as("vec_id"),
+        expr("transform(embedding, (x, i) -> if(i = 0, cast(x + 0.001f as float), x))")
+          .as("embedding"), col("label"))
+    val victimIds = semDupVictims.collect().map(_.getLong(0)).toSet
+    val emb = e.filter(col("vec_id") % 25 =!= 1).unionAll(semDupVictims)
     // docsPerShard forces multiple shards at fixture scale
     val stats = Pipeline.exportCorpus(spark, sfDir, out,
-      mixTarget = 40, docsPerShard = 10)
+      mixTarget = 40, docsPerShard = 10, semdedupEmb = Some(emb))
 
     // the funnel only narrows, and every stage did something sane
     assert(stats.input > 0)
     assert(stats.gated <= stats.input)
     assert(stats.deduped <= stats.gated)
-    assert(stats.decontaminated <= stats.deduped)
+    assert(stats.semdeduped <= stats.deduped)
+    assert(stats.decontaminated <= stats.semdeduped)
     assert(stats.exported <= math.min(stats.decontaminated, 40L))
     assert(stats.exported > 0)
     assert(stats.shards == math.max(1, math.ceil(stats.exported / 10.0).toInt))
@@ -468,6 +478,8 @@ class PipelineSpec extends SparkSpec {
     // shares an 8-gram with the eval set
     val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.forall(_ % 50 != 7), "eval docs must never export")
+    assert(ids.intersect(victimIds).isEmpty,
+      s"semantic near-dups must never export: ${ids.intersect(victimIds)}")
     val verdicts = operators.TextOps.gopherVerdicts(
       Tables.table(spark, sfDir, "documents"))
       .filter(col("verdict") =!= "keep")
@@ -479,7 +491,7 @@ class PipelineSpec extends SparkSpec {
     // curation stages are deterministic)
     val out2 = Files.createTempDirectory("export2").toString + "/corpus"
     val stats2 = Pipeline.exportCorpus(spark, sfDir, out2,
-      mixTarget = 40, docsPerShard = 10)
+      mixTarget = 40, docsPerShard = 10, semdedupEmb = Some(emb))
     assert(stats2 == stats)
     def shardOf(dir: String): Map[Long, Long] =
       spark.read.schema(schema).json(dir)
