@@ -225,16 +225,13 @@ object TextOps {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Near-dup clustering over the q29 pair graph (see [[clusterPairs]]
-    * for the propagation loop and the parameterized scale path). The
-    * oracle is a DuckDB recursive CTE computing min-reachable-id per
-    * node — an independent formulation of the same components.
+  /** The q36/q74 shared oracle prefix: near-dup pairs over the planted
+    * corpus, symmetric edges, and the recursive min-reachable-id
+    * closure — DuckDB's independent formulation of the component
+    * labels the Spark side derives by label propagation.
     */
-  val q36_dup_clusters: GraftQuery = GraftQuery(
-    "q36_dup_clusters",
-    (s, dir) =>
-      clusterPairs(q29_ngram_jaccard.run(s, dir)),
-    Some("WITH RECURSIVE " + Tables.docsNearDupsCte.stripPrefix("WITH ") +
+  private val clusterOracleCte: String =
+    "WITH RECURSIVE " + Tables.docsNearDupsCte.stripPrefix("WITH ") +
       """, shingled AS (
         |  SELECT doc_id, n_chars,
         |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
@@ -254,7 +251,60 @@ object TextOps {
         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
         |  UNION
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
-        |SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src""".stripMargin)
+        |""".stripMargin
+
+  /** Near-dup clustering over the q29 pair graph (see [[clusterPairs]]
+    * for the propagation loop and the parameterized scale path). The
+    * oracle is a DuckDB recursive CTE computing min-reachable-id per
+    * node — an independent formulation of the same components.
+    */
+  val q36_dup_clusters: GraftQuery = GraftQuery(
+    "q36_dup_clusters",
+    (s, dir) =>
+      clusterPairs(q29_ngram_jaccard.run(s, dir)),
+    Some(clusterOracleCte +
+      "SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src")
+  )
+
+  /** q74: the END of the fuzzy-dedup story — the per-document KEEP
+    * DECISION a curation pipeline actually consumes. q29/q36 stop at
+    * pairs/cluster labels; this resolves them into
+    * (doc_id, canonical_id, kept): every near-dup component keeps its
+    * minimum doc id (the deterministic canonical pick — at crawl scale
+    * "smallest id" is "first crawled"), every unpaired document keeps
+    * itself. `kept` rides as int so the oracle compare is
+    * representation-stable.
+    *
+    * Scale shape: the component labels come from the bucketed pair
+    * source + label propagation ([[clusterPairs]] — at 100 TB the pair
+    * source is q30's LSH, not the length-blocked q29), and the final
+    * resolution is ONE broadcast-size left join: clustered docs are a
+    * tiny fraction of the corpus (dup rate × corpus), so the label
+    * frame broadcasts and the corpus-wide pass stays shuffle-free.
+    */
+  val q74_dedup_keep: GraftQuery = GraftQuery(
+    "q74_dedup_keep",
+    (s, dir) => {
+      val labels = clusterPairs(q29_ngram_jaccard.run(s, dir))
+        .select(col("doc_id"), col("cluster_id"))
+      // universe frame: ids only, no per-row signature work → spread=false
+      Tables.docsWithNearDups(s, dir, spread = false)
+        .select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+            .cast("int").as("kept"))
+    },
+    Some(clusterOracleCte +
+      """, comp AS (
+        |  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster_id, d.doc_id) AS canonical_id,
+        |  CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM alldocs d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)
   )
 
   /** Winnowing document fingerprints (the MOSS scheme): 4-gram hashes →
@@ -1277,5 +1327,5 @@ object TextOps {
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
     q65_source_mix, q66_substring_dup, q67_substring_scrub,
-    q72_ngram_repetition)
+    q72_ngram_repetition, q74_dedup_keep)
 }

@@ -28,6 +28,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q74 keep decision: one kept doc per cluster, singletons kept, universe covered") {
+    val rows = TextOps.q74_dedup_keep.run(spark, sfDir).collect()
+    val universe = Tables.docsWithNearDups(spark, sfDir, spread = false).count()
+    assert(rows.length == universe, "every document gets exactly one decision")
+    val byCanon = rows.groupBy(_.getAs[Long]("canonical_id"))
+    byCanon.foreach { case (canon, members) =>
+      val kept = members.filter(_.getAs[Int]("kept") == 1)
+      assert(kept.length == 1, s"cluster $canon keeps exactly one doc")
+      assert(kept.head.getAs[Long]("doc_id") == canon,
+        "the kept doc IS the canonical (minimum) id")
+      assert(members.forall(_.getAs[Long]("doc_id") >= canon))
+    }
+    // the planted near-dups are exactly the dropped docs: original kept
+    val decisions = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept")).toMap
+    Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % Tables.DupEvery === 0)
+      .select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(decisions(id) == 1, s"original $id survives")
+      assert(decisions(id + Tables.NearDupOffset) == 0, s"planted variant of $id is dropped")
+    }
+  }
+
   test("q44 winnowing guarantee: docs sharing a long substring share a fingerprint") {
     import spark.implicits._
     val shared = "the winnowing guarantee substring here"
