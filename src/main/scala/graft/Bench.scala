@@ -65,6 +65,7 @@ object Bench {
       // (Tables.embWithNearDups) — not a hand-copied modulus/offset
       val exact = idPairs("q32_cosine_topk", "q_id", "n_id")
       val ivf = idPairs("q40_ivf_cosine", "q_id", "n_id")
+      val pq = idPairs("q73_pq_ann", "q_id", "n_id")
       val planted = Tables.table(spark, sfDir, "embeddings")
         .filter(org.apache.spark.sql.functions.col("vec_id") % Tables.DupEvery === 0)
         .select("vec_id").collect().map(_.getLong(0))
@@ -73,6 +74,7 @@ object Bench {
       if (exact.isEmpty || planted.isEmpty) None
       else Some(
         s""""q40_ivf_recall_at10":${ivf.intersect(exact).size.toDouble / exact.size},""" +
+          s""""q73_pq_recall_at10":${pq.intersect(exact).size.toDouble / exact.size},""" +
           s""""q34_lsh_planted_recall":${planted.intersect(lsh).size.toDouble / planted.size}""")
     } catch { // never fail the bench over the quality probe — but a broken
       // probe must be attributable from the run output, not silent

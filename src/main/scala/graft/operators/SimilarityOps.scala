@@ -495,19 +495,25 @@ object SimilarityOps {
         .drop("cs", "cns")
   }
 
-  /** Fit the IVF quantizer: ONE bounded driver-side collect (≤
-    * [[IvfSample]] rows) — the kmeans fit, not a per-row action.
-    * Id-ordered for determinism; the testdata ids are generation-order,
-    * which is as unbiased as a stride sample on this corpus.
+  /** ONE bounded driver-side collect (≤ [[IvfSample]] rows) feeding
+    * every index fit (IVF coarse quantizer, PQ codebooks) — the kmeans
+    * training sample, not a per-row action. Id-ordered for
+    * determinism; the testdata ids are generation-order, which is as
+    * unbiased as a stride sample on this corpus.
     */
-  private[graft] def fitIvf(e: org.apache.spark.sql.DataFrame): IvfIndex = {
-    val sample: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(IvfSample)
+  private[graft] def embSample(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+    e.orderBy(col("vec_id")).limit(IvfSample)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+
+  private[graft] def fitIvf(sample: Array[Array[Double]]): IvfIndex = {
     val cents: Seq[Seq[Double]] =
       lloydCentroids(sample, math.min(IvfCells, sample.length)).map(_.toSeq).toSeq
     IvfIndex(cents, cents.map(c => math.sqrt(c.map(x => x * x).sum)))
   }
+
+  private[graft] def fitIvf(e: org.apache.spark.sql.DataFrame): IvfIndex =
+    fitIvf(embSample(e))
 
   val q40_ivf_cosine: GraftQuery = GraftQuery(
     "q40_ivf_cosine",
@@ -856,8 +862,189 @@ object SimilarityOps {
            |FROM v LEFT JOIN dom ON v.vec_id = dom.a_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------- q73
+  private val PqSub = 16       // subspaces: 64-dim → 4 dims each
+  private val PqK = 16         // centroids per subspace → 4-bit codes
+  private val PqShortlist = 128 // ADC survivors re-ranked exactly
+  // sized so the 4-bit-code ADC ordering keeps the true top-10 inside
+  // the shortlist at every test SF (recorded 0.92/0.90/0.90 at
+  // sf0.001/0.01/0.1 — RECALL.json tracks it per round); re-rank cost
+  // is |Q| × shortlist rows, noise at any scale
+  private val PqIters = 10
+
+  /** Plain L2 Lloyd over a driver-side sample — the per-subspace PQ
+    * codebook fit. Same determinism rules as [[lloydCentroids]]
+    * (spread init from the id-ordered sample, first-min tie breaks,
+    * empty cells keep their previous centroid), but the assignment
+    * metric is squared euclidean: PQ quantizes residual geometry, not
+    * direction, so cosine's norm-cancellation trick doesn't apply.
+    */
+  private def lloydL2(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until PqIters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+    }
+    cents
+  }
+
+  /** A fitted product-quantization codebook: [[PqSub]] per-subspace
+    * centroid tables as ONE plan literal, plus the row-local encode /
+    * LUT / ADC expressions built against it. Codebooks are trained on
+    * L2-NORMALIZED vectors, so inner product against reconstructed
+    * codes approximates cosine directly.
+    */
+  private[graft] final case class PqCodebook(books: Seq[Seq[Seq[Double]]]) {
+    val m: Int = books.length
+    val k: Int = books.head.length
+    val sub: Int = books.head.head.length
+
+    def withBooks(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("pqb", typedLit(books))
+
+    /** `x / max(|x|, eps)` as an array<double> column — the normalize
+      * step both encode and LUT share (eps guards the all-zero row).
+      */
+    def normalized(emb: String): String =
+      s"transform($emb, x -> cast(x as double) / " +
+        s"greatest(${normExpr(emb)}, cast(1e-30 as double)))"
+
+    /** Row-local PQ ENCODE: per subspace, the argmin-L2 sub-centroid
+      * index (ties → lowest code). [[m]] codes of log2([[k]]) bits —
+      * the 100 TB story: the ANN scan state per vector shrinks from
+      * `dim × 4` bytes of floats to [[m]] small ints, and the scan
+      * never touches the float column.
+      */
+    def codesExpr(nemb: String): String = {
+      val parts = (0 until m).map { mi =>
+        val d2 = s"aggregate(zip_with(slice($nemb, ${mi * sub + 1}, $sub), " +
+          s"element_at(element_at(pqb, ${mi + 1}), c + 1), " +
+          "(x, y) -> (x - y) * (x - y)), cast(0 as double), (a, v) -> a + v)"
+        s"array_max(transform(sequence(0, ${k - 1}), c -> " +
+          s"struct(-($d2) as nd, -c as nc, c as code))).code"
+      }
+      parts.mkString("array(", ", ", ")")
+    }
+
+    /** Query-side lookup table: dot(query-subvector, sub-centroid) for
+      * every (subspace, code) — a flat `m*k` double array computed once
+      * per query row. ADC then scores any candidate with [[m]] array
+      * lookups + adds instead of `dim` multiplies.
+      */
+    def lutExpr(qnemb: String): String =
+      s"flatten(transform(sequence(0, ${m - 1}), mi -> " +
+        s"transform(sequence(0, ${k - 1}), c -> " +
+        s"aggregate(zip_with(slice($qnemb, mi * $sub + 1, $sub), " +
+        "element_at(element_at(pqb, mi + 1), c + 1), " +
+        "(x, y) -> x * y), cast(0 as double), (a, v) -> a + v))))"
+
+    /** Asymmetric-distance score: sum over subspaces of the LUT entry
+      * the candidate's code points at ≈ cosine(query, candidate).
+      */
+    def adcExpr(lut: String, codes: String): String =
+      s"aggregate(transform(sequence(0, ${m - 1}), mi -> " +
+        s"element_at($lut, mi * $k + element_at($codes, mi + 1) + 1)), " +
+        "cast(0 as double), (a, v) -> a + v)"
+  }
+
+  private[graft] def fitPq(sample: Array[Array[Double]]): PqCodebook = {
+    val normed = sample.map { v =>
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-30)
+      v.map(_ / n)
+    }
+    val sub = normed.head.length / PqSub
+    PqCodebook((0 until PqSub).map { mi =>
+      val subSample = normed.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      lloydL2(subSample, math.min(PqK, subSample.length))
+        .map(_.toSeq).toSeq
+    })
+  }
+
+  /** IVF-PQ ANN with exact re-rank (the FAISS `IVFPQR` shape) — the
+    * index a 100 TB corpus actually serves from:
+    *
+    *   1. TRAIN on one bounded driver-side sample: q40's coarse
+    *      quantizer (cells) + per-subspace PQ codebooks, both plan
+    *      LITERALS — index fit is O(sample), independent of corpus.
+    *   2. ENCODE row-locally in the scan stage: each vector becomes
+    *      (cell, [[PqSub]] 4-bit codes). The ANN scan state is ~16
+    *      bytes/vector instead of 256 bytes of floats — the 16×
+    *      compression is what lets a 1000-executor cluster hold the
+    *      whole index in memory.
+    *   3. SEARCH: queries probe their top-[[IvfProbes]] cells
+    *      (row-local, then broadcast); candidates in probed cells are
+    *      scored by ADC — [[PqSub]] lookup-adds per candidate, never
+    *      touching the embedding column — and the bounded-heap
+    *      TopKPerGroup keeps [[PqShortlist]] per query.
+    *   4. RE-RANK the shortlist exactly: join the ≤ shortlist×|Q| id
+    *      set back to the embedding table (broadcast — the only point
+    *      where full vectors are read for scoring) and emit true-cosine
+    *      top-10. Approximation error then affects only WHICH ≤64
+    *      candidates are re-ranked, not the reported ranks/scores.
+    *
+    * Recall@10 vs q32's exact top-k is recorded per-round in
+    * RECALL.json next to q40/q34; SimilaritySpec enforces ≥ 0.8.
+    */
+  val q73_pq_ann: GraftQuery = GraftQuery(
+    "q73_pq_ann",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val sample = embSample(e)
+      val ivf = fitIvf(sample)
+      val pq = fitPq(sample)
+      val n = ivf.n
+      // corpus side: (n_id, cell, codes) — the compact index frame
+      val enc = pq.withBooks(ivf.assignCell(e))
+        .withColumn("nemb", expr(pq.normalized("embedding")))
+        .withColumn("codes", expr(pq.codesExpr("nemb")))
+        .select(col("vec_id").as("n_id"), col("cell"), col("codes"))
+      // query side: probe cells + LUT, both row-local before broadcast
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = pq.withBooks(ivf.withCentroids(qs))
+        .withColumn("cell", explode(expr(
+          s"transform(slice(array_sort(transform(sequence(0, ${n - 1}), i -> " +
+            s"struct(-(${ivf.cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
+            "p -> p.cell)")))
+        .withColumn("q_nemb", expr(pq.normalized("q_emb")))
+        .withColumn("lut", expr(pq.lutExpr("q_nemb")))
+        .select(col("q_id"), col("q_emb"), col("cell"), col("lut"))
+      val adc = enc.join(broadcast(probes), "cell")
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("adc", expr(pq.adcExpr("lut", "codes")))
+      val shortlist = graft.plans.TopKPerGroup(adc,
+        Seq(col("q_id")), Seq(col("adc").desc, col("n_id")), PqShortlist)
+        .select(col("q_id"), col("q_emb"), col("n_id"))
+      // exact re-rank: full vectors fetched for the shortlist ONLY
+      val rer = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(broadcast(shortlist), "n_id")
+        .withColumn("cosine",
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
+      graft.plans.TopKPerGroup(rer,
+        Seq(col("q_id")), Seq(col("cosine").desc, col("n_id")), 10, rank = Some("rank"))
+        .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
+    },
+    None // ANN recall measured against q32's exact top-k in SimilaritySpec
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q33_embed_stats,
     q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch,
-    q60_delta_dedup, q63_quantize_int8, q70_semdedup)
+    q60_delta_dedup, q63_quantize_int8, q70_semdedup, q73_pq_ann)
 }

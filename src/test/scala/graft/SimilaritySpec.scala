@@ -107,6 +107,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q73 IVF-PQ ANN reaches usable recall vs exact brute force") {
+    val exact = SimilarityOps.q32_cosine_topk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val pq = SimilarityOps.q73_pq_ann.run(spark, sfDir).collect()
+    assert(pq.nonEmpty)
+    val hits = pq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = exact.intersect(hits).size.toDouble / exact.size
+    assert(recall >= 0.8, f"IVF-PQ recall@10 too low: $recall%.2f")
+    // re-rank contract: reported cosines are the TRUE cosines — every
+    // (q, n) hit shared with exact carries the identical rounded score
+    val exactScore = SimilarityOps.q32_cosine_topk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      exactScore.get(key).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9,
+          s"ADC approximation leaked into the reported score at $key")
+      }
+    }
+    // ranks within a query are a contiguous 1..k
+    pq.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("q60 delta dedup equals q31's pair set restricted to delta x corpus") {
     // q31 brute-pairs the combined corpus; q60's incremental plan must
     // reproduce exactly its cross-partition (base, planted-delta)
