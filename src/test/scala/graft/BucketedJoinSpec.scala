@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table co-location — the shuffle-free join path for the
+  * store's recurring fact-fact joins (SURVEY §5).
+  *
+  * At 100 TB the link/page fact tables are joined on the same keys
+  * every generation (host, orderkey-shaped ids). Writing both sides
+  * `bucketBy(n, key)` makes every later join and aggregation on that
+  * key SHUFFLE-FREE: Spark matches bucket files pairwise instead of
+  * exchanging either side. This spec proves the claim on the executed
+  * plan, not by assertion in prose: the same join that carries two
+  * Exchanges unbucketed carries ZERO when both sides are bucketed.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  /** Shuffle-exchange count in the executed plan (broadcast exchanges
+    * excluded — they move a dimension, not the fact stream).
+    */
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("joins and aggregates on the bucket key run with zero shuffle exchanges") {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val ord = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      // force the shuffle-join shape a fact-fact join has at scale
+      // (broadcast/AQE would hide the exchanges this spec counts)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+
+      val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("l_quantity")).as("q"))
+      assert(exchanges(plain) >= 2,
+        "unbucketed fact-fact join should exchange both sides (spec premise)")
+
+      spark.sql("DROP TABLE IF EXISTS bjs_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bjs_orders")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bjs_lineitem")
+      ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bjs_orders")
+      val bli = spark.table("bjs_lineitem")
+      val bord = spark.table("bjs_orders")
+
+      val bucketed = bli.join(bord, bli("l_orderkey") === bord("o_orderkey"))
+      assert(exchanges(bucketed) == 0,
+        s"bucketed join must not shuffle:\n${bucketed.queryExecution.executedPlan}")
+      // and the co-location survives a downstream aggregate on the key
+      val agg = bli.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      assert(exchanges(agg) == 0,
+        s"aggregate on the bucket key must not shuffle:\n${agg.queryExecution.executedPlan}")
+
+      // identical results either way — co-location is a layout choice,
+      // not a semantics change
+      val a = plain.orderBy("o_custkey").collect().map(_.toString).toSeq
+      val b = bucketed.groupBy(col("o_custkey")).agg(sum(col("l_quantity")).as("q"))
+        .orderBy("o_custkey").collect().map(_.toString).toSeq
+      assert(a == b)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bjs_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bjs_orders")
+    }
+  }
+}
