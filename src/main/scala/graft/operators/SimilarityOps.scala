@@ -905,10 +905,12 @@ object SimilarityOps {
   }
 
   /** A fitted product-quantization codebook: [[PqSub]] per-subspace
-    * centroid tables as ONE plan literal, plus the row-local encode /
-    * LUT / ADC expressions built against it. Codebooks are trained on
-    * L2-NORMALIZED vectors, so inner product against reconstructed
-    * codes approximates cosine directly.
+    * centroid tables, carried into the plan as reference objects by
+    * the codegen'd [[graft.plans.PqEncode]]/[[graft.plans.PqAdc]]
+    * expressions (hot paths) and as a literal column for the
+    * query-side LUT. Codebooks are trained on L2-NORMALIZED vectors,
+    * so inner product against reconstructed codes approximates cosine
+    * directly.
     */
   private[graft] final case class PqCodebook(books: Seq[Seq[Seq[Double]]]) {
     val m: Int = books.length
@@ -925,27 +927,14 @@ object SimilarityOps {
       s"transform($emb, x -> cast(x as double) / " +
         s"greatest(${normExpr(emb)}, cast(1e-30 as double)))"
 
-    /** Row-local PQ ENCODE: per subspace, the argmin-L2 sub-centroid
-      * index (ties → lowest code). [[m]] codes of log2([[k]]) bits —
-      * the 100 TB story: the ANN scan state per vector shrinks from
-      * `dim × 4` bytes of floats to [[m]] small ints, and the scan
-      * never touches the float column.
-      */
-    def codesExpr(nemb: String): String = {
-      val parts = (0 until m).map { mi =>
-        val d2 = s"aggregate(zip_with(slice($nemb, ${mi * sub + 1}, $sub), " +
-          s"element_at(element_at(pqb, ${mi + 1}), c + 1), " +
-          "(x, y) -> (x - y) * (x - y)), cast(0 as double), (a, v) -> a + v)"
-        s"array_max(transform(sequence(0, ${k - 1}), c -> " +
-          s"struct(-($d2) as nd, -c as nc, c as code))).code"
-      }
-      parts.mkString("array(", ", ", ")")
-    }
-
     /** Query-side lookup table: dot(query-subvector, sub-centroid) for
       * every (subspace, code) — a flat `m*k` double array computed once
-      * per query row. ADC then scores any candidate with [[m]] array
-      * lookups + adds instead of `dim` multiplies.
+      * per QUERY row (|Q| rows — the HOF-lambda interpretation cost is
+      * irrelevant here; the corpus-side encode and per-candidate ADC
+      * are the hot paths and live in the codegen'd
+      * [[graft.plans.PqEncode]]/[[graft.plans.PqAdc]] expressions).
+      * ADC then scores any candidate with [[m]] array lookups + adds
+      * instead of `dim` multiplies.
       */
     def lutExpr(qnemb: String): String =
       s"flatten(transform(sequence(0, ${m - 1}), mi -> " +
@@ -953,14 +942,6 @@ object SimilarityOps {
         s"aggregate(zip_with(slice($qnemb, mi * $sub + 1, $sub), " +
         "element_at(element_at(pqb, mi + 1), c + 1), " +
         "(x, y) -> x * y), cast(0 as double), (a, v) -> a + v))))"
-
-    /** Asymmetric-distance score: sum over subspaces of the LUT entry
-      * the candidate's code points at ≈ cosine(query, candidate).
-      */
-    def adcExpr(lut: String, codes: String): String =
-      s"aggregate(transform(sequence(0, ${m - 1}), mi -> " +
-        s"element_at($lut, mi * $k + element_at($codes, mi + 1) + 1)), " +
-        "cast(0 as double), (a, v) -> a + v)"
   }
 
   private[graft] def fitPq(sample: Array[Array[Double]]): PqCodebook = {
@@ -1009,10 +990,12 @@ object SimilarityOps {
       val ivf = fitIvf(sample)
       val pq = fitPq(sample)
       val n = ivf.n
-      // corpus side: (n_id, cell, codes) — the compact index frame
-      val enc = pq.withBooks(ivf.assignCell(e))
-        .withColumn("nemb", expr(pq.normalized("embedding")))
-        .withColumn("codes", expr(pq.codesExpr("nemb")))
+      // corpus side: (n_id, cell, codes) — the compact index frame.
+      // Encode is the corpus-wide hot path: one codegen'd expression
+      // (normalize + argmin per subspace in a single call), not HOF
+      // lambdas — same rationale as MinHashSig (see plans/PqCodes)
+      val enc = ivf.assignCell(e)
+        .withColumn("codes", graft.plans.PqEncode.of(col("embedding"), pq.books))
         .select(col("vec_id").as("n_id"), col("cell"), col("codes"))
       // query side: probe cells + LUT, both row-local before broadcast
       val qs = e.filter(col("vec_id") < 5)
@@ -1027,7 +1010,7 @@ object SimilarityOps {
         .select(col("q_id"), col("q_emb"), col("cell"), col("lut"))
       val adc = enc.join(broadcast(probes), "cell")
         .filter(col("n_id") =!= col("q_id"))
-        .withColumn("adc", expr(pq.adcExpr("lut", "codes")))
+        .withColumn("adc", graft.plans.PqAdc.of(col("lut"), col("codes"), pq.k))
       val shortlist = graft.plans.TopKPerGroup(adc,
         Seq(col("q_id")), Seq(col("adc").desc, col("n_id")), PqShortlist)
         .select(col("q_id"), col("q_emb"), col("n_id"))
