@@ -47,7 +47,14 @@ object ClusterRehearsal {
       // fit both ship driver-built state (centroid/merge literals,
       // checkpointed frames) to fresh executor JVMs
       "q70_semdedup" -> SparkEntry.queries("q70_semdedup"),
-      "q71_bpe_train" -> SparkEntry.queries("q71_bpe_train"))
+      "q71_bpe_train" -> SparkEntry.queries("q71_bpe_train"),
+      // r8b: PqEncode/PqAdc reference objects (codebook arrays) must
+      // deserialize in executor JVMs; q74's propagation loop ships
+      // checkpointed label frames; q75's merge fold chains 30 lambda
+      // expressions built from driver-side fit state
+      "q73_pq_ann" -> SparkEntry.queries("q73_pq_ann"),
+      "q74_dedup_keep" -> SparkEntry.queries("q74_dedup_keep"),
+      "q75_bpe_encode" -> SparkEntry.queries("q75_bpe_encode"))
 
   private def session(master: String): SparkSession = {
     val b = SparkSession.builder()
