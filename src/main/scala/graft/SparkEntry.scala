@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, InferenceOps, LinkOps, Relational, ScaleOps, SimilarityOps, StreamingBatchOps, TextOps, TokenizerOps, WarcOps}
+import graft.operators.{CurationOps, GraphOps, InferenceOps, LinkOps, Relational, ScaleOps, SimilarityOps, StreamingBatchOps, TextOps, TokenizerOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   private def allOps: Seq[GraftQuery] =
     Relational.all ++ LinkOps.all ++ TextOps.all ++ SimilarityOps.all ++
       StreamingBatchOps.all ++ ScaleOps.all ++ GraphOps.all ++ InferenceOps.all ++
-      WarcOps.all ++ TokenizerOps.all
+      WarcOps.all ++ TokenizerOps.all ++ CurationOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

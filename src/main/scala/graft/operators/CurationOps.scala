@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2C (continued) — corpus-curation operators added in round 8:
+  * importance-resampling data selection (DSIR, Xie et al. 2023) and
+  * line-level exact dedup (the RefinedWeb/MassiveText pass that q67's
+  * rolling-window scrub deliberately does not cover: disjoint
+  * line-granular removal with keep-first rebuild).
+  */
+object CurationOps {
+
+  /** Hashed-feature bucket count for DSIR. Small on purpose: DSIR's
+    * whole point is that hashing collapses the n-gram space into a
+    * fixed-size table the driver can broadcast — the paper uses 10k
+    * buckets for a trillion-token corpus; 256 keeps the fixture's
+    * per-bucket counts dense while exercising the identical dataflow.
+    */
+  private val DsirBuckets = 256
+
+  /** The "target distribution" sample: DSIR scores raw docs by how
+    * much they look like a curated target corpus. Here the target is
+    * two of the twenty synthetic sources (at 100 TB: Wikipedia +
+    * books against a crawl).
+    */
+  private val DsirTarget = Seq("src0", "src1")
+
+  private val DsirTopK = 100
+
+  /** Word unigram + bigram feature array of `text` (DSIR's feature
+    * set), ready for bucket-hashing. The `if` guards Spark's
+    * `sequence(1, 0)`, which would COUNT DOWN rather than produce an
+    * empty array.
+    */
+  private val DsirFeats =
+    "concat(toks, if(size(toks) >= 2, " +
+      "transform(sequence(1, size(toks) - 1), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), " +
+      "cast(array() as array<string>)))"
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023): fit hashed-n-gram bag-of-words models of the TARGET and
+    * RAW distributions, weight every raw doc by its log importance
+    * ratio Σ_f [ln p̂_target(f) − ln p̂_raw(f)] (add-one smoothing over
+    * the bucket table), and keep the top-k — the cheap,
+    * embarrassingly-parallel alternative to classifier-based
+    * selection (q57) that needs no trained model.
+    *
+    * Scale shape:
+    *   - ONE corpus scan fits BOTH distributions: the feature explode
+    *     is bucket-hashed row-locally in the scan stage and feeds a
+    *     single map-side-combined aggregate keyed on the bucket
+    *     (`DsirBuckets` rows out; the target counts ride along as a
+    *     conditional sum — the target is a column predicate, not a
+    *     second table).
+    *   - The weight table is `DsirBuckets` rows → broadcast; scoring
+    *     is a second corpus scan whose per-(doc, feature) weights
+    *     pre-aggregate map-side into per-doc partials, so the only
+    *     corpus-wide exchange carries one row per doc per partition.
+    *     (The explode is re-derived rather than checkpointed — q64's
+    *     trade: the token stream is wider than the compressed text
+    *     it comes from.)
+    *   - Selection is a bounded `TakeOrderedAndProject` (top-k), never
+    *     a full sort.
+    *
+    * Determinism: per-bucket weights round to 6 decimals, per-doc
+    * scores sum as DECIMAL(20,6) (order-independent), ties break on
+    * doc_id — hash-exact oracle.
+    *
+    * Reference analogue: none (the reference curates nothing); this is
+    * pure training-data-pipeline surface, like q47/q64/q65.
+    */
+  val q76_dsir: GraftQuery = GraftQuery(
+    "q76_dsir",
+    (s, dir) => {
+      val b = lit(DsirBuckets)
+      val fx = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+        .select(col("doc_id"), col("source"), explode(expr(DsirFeats)).as("f"))
+        .select(col("doc_id"), col("source"),
+          (expr("cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint)") % b).as("b"))
+      // the fit: one aggregate, 256 rows out (target counts as a
+      // conditional sum riding the same pass)
+      val counts = fx.groupBy(col("b")).agg(
+        count(lit(1)).cast("double").as("r_cnt"),
+        sum(when(col("source").isin(DsirTarget: _*), 1).otherwise(0))
+          .cast("double").as("t_cnt"))
+        .localCheckpoint(false) // 256 rows; totals + weights branch from it
+      val tot = counts.agg(sum(col("r_cnt")).as("rr"), sum(col("t_cnt")).as("tt"))
+      val w = counts.crossJoin(broadcast(tot))
+        .select(col("b"), round(
+          log((col("t_cnt") + lit(1.0)) / (col("tt") + b.cast("double"))) -
+            log((col("r_cnt") + lit(1.0)) / (col("rr") + b.cast("double"))), 6)
+          .as("wt"))
+      fx.join(broadcast(w), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          round(sum(col("wt").cast("decimal(20,6)")).cast("double"), 6)
+            .as("dsir_logw"),
+          count(lit(1)).cast("int").as("n_feats"))
+        .orderBy(col("dsir_logw").desc, col("doc_id").asc)
+        .limit(DsirTopK)
+    },
+    Some(s"""WITH docs AS (
+            |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            |  FROM documents
+            |), fx AS (
+            |  SELECT doc_id, source,
+            |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+            |  FROM (
+            |    SELECT doc_id, source, unnest(list_concat(toks,
+            |      CASE WHEN len(toks) >= 2 THEN
+            |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+            |      ELSE CAST([] AS VARCHAR[]) END)) AS f
+            |    FROM docs) u
+            |), counts AS (
+            |  SELECT b, CAST(COUNT(*) AS DOUBLE) AS r_cnt,
+            |    CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS DOUBLE) AS t_cnt
+            |  FROM fx GROUP BY b
+            |), tot AS (
+            |  SELECT SUM(r_cnt) AS rr, SUM(t_cnt) AS tt FROM counts
+            |), w AS (
+            |  SELECT b, ROUND(
+            |    ln((t_cnt + 1.0) / (tt + $DsirBuckets.0)) -
+            |    ln((r_cnt + 1.0) / (rr + $DsirBuckets.0)), 6) AS wt
+            |  FROM counts CROSS JOIN tot
+            |)
+            |SELECT doc_id, source,
+            |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(20,6))) AS DOUBLE), 6) AS dsir_logw,
+            |  CAST(COUNT(*) AS INT) AS n_feats
+            |FROM fx JOIN w USING (b)
+            |GROUP BY doc_id, source
+            |ORDER BY dsir_logw DESC, doc_id
+            |LIMIT $DsirTopK""".stripMargin)
+  )
+
+  /** Tokens per pseudo-line for q77. The synthetic corpus is
+    * single-line text, so "lines" are deterministic width-10 token
+    * chunks — the dataflow is exactly what newline-split lines would
+    * feed at 100 TB; only the chunker differs.
+    */
+  private val LineWidth = 10
+
+  /** Width-[[LineWidth]] pseudo-line array of `toks` (each line the
+    * space-joined chunk). Guards the empty-doc `sequence(0, -1)`
+    * descending trap like [[DsirFeats]].
+    */
+  private val LinesExpr =
+    "if(size(toks) = 0, cast(array() as array<string>), " +
+      s"transform(sequence(0, cast(ceil(size(toks) / $LineWidth.0) as int) - 1), " +
+      s"i -> array_join(slice(toks, i * $LineWidth + 1, $LineWidth), ' ')))"
+
+  /** Line-level exact dedup (RefinedWeb / MassiveText): every line
+    * duplicated ANYWHERE in the corpus survives only at its globally
+    * first occurrence (min (doc_id, pos)); docs are rebuilt from their
+    * kept lines in order. Complements q67 (rolling token windows,
+    * overlap-aware span cutting) with the disjoint line-granular pass
+    * real pipelines run first — it is cheaper by the window factor and
+    * kills boilerplate (headers, navigation chrome) that repeats as
+    * whole lines.
+    *
+    * Scale shape (the q67 choice, deliberately NOT a window function):
+    *   - lines chunk row-locally in the scan stage; the keep-first
+    *     winner per line is `min(struct(doc_id, pos))` keyed by the
+    *     line's md5 — a plain MAP-SIDE-COMBINABLE aggregate, so a
+    *     boilerplate line repeated a billion times collapses to one
+    *     row per map task BEFORE the exchange. A `row_number() over
+    *     (partition by line)` formulation (the oracle's spelling)
+    *     would instead sort the full line stream and hand the
+    *     degenerate line's entire partition to one task.
+    *   - winners join back to the line stream on the fixed-width md5
+    *     key (corpus-sized both sides → shuffle join; AQE splits a
+    *     skewed hot line).
+    *   - rebuild is one groupBy(doc_id): per-group state is the doc's
+    *     own kept lines — bounded by the doc itself, which arrived as
+    *     a single row.
+    *
+    * Determinism: md5 line keys, struct-min tie-free ((doc_id, pos) is
+    * unique), rebuilt text pinned by md5 — hash-exact oracle (the
+    * oracle's row_number spelling is semantically identical because
+    * (doc_id, pos) is unique per line occurrence). Docs with zero kept
+    * lines (a full duplicate of an earlier doc) emit NULL kept_md5 on
+    * both sides.
+    *
+    * Fixture: docsWithNearDups — each Z-variant shares every line but
+    * its first with its original, so the variant keeps exactly one
+    * line; spread=false (q66's reasoning: the first shuffle
+    * redistributes the derived line stream anyway).
+    */
+  val q77_line_dedup: GraftQuery = GraftQuery(
+    "q77_line_dedup",
+    (s, dir) => {
+      val lines = Tables.docsWithNearDups(s, dir, spread = false)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+        .select(col("doc_id"), posexplode(expr(LinesExpr)).as(Seq("pos", "line")))
+        .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"))
+      val winners = lines.groupBy(col("lh"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      lines.join(winners, "lh")
+        .withColumn("kept",
+          (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
+            .cast("int"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_lines"),
+          sum(col("kept")).cast("int").as("n_kept"),
+          collect_list(when(col("kept") === 1, struct(col("pos"), col("line"))))
+            .as("kl"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          when(col("n_kept") > 0,
+            md5(concat_ws(" ",
+              expr("transform(array_sort(kl), x -> x.line)"))))
+            .as("kept_md5"))
+    },
+    Some(Tables.docsNearDupsCte +
+      s""", toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM alldocs
+         |), lines AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(ts[(pos * $LineWidth + 1):(pos * $LineWidth + $LineWidth)], ' ') AS line
+         |  FROM (
+         |    SELECT doc_id, ts,
+         |      unnest(range(0, CAST(ceil(len(ts) / $LineWidth.0) AS INT))) AS pos
+         |    FROM toks) x
+         |), ranked AS (
+         |  SELECT doc_id, pos, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM lines
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         |  md5(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos)) AS kept_md5
+         |FROM ranked GROUP BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(q76_dsir, q77_line_dedup)
+}

@@ -218,5 +218,88 @@ object GraphOps {
     None // serving read of a store artifact; no parquet table for DuckDB
   )
 
-  val all: Seq[GraftQuery] = Seq(q51_pagerank, q52_degree_dist, q69_host_rank_serve)
+  private val HitsIters = 8
+
+  /** HITS (Kleinberg 1999) hubs & authorities over an arbitrary
+    * (src, dst) edge frame — the mutually-recursive complement to
+    * PageRank's single score: auth(v) = Σ_{u→v} hub(u), hub(u) =
+    * Σ_{u→v} auth(v), each side L2-normalized per iteration (the
+    * normalization is what makes the power method converge to the
+    * principal singular vectors of the adjacency matrix).
+    *
+    * Scale shape mirrors [[pageRankOnEdges]]: the edge list is pinned
+    * TWICE — once partitioned by src (the hub-update join side), once
+    * by dst (the auth-update side) — so every iteration moves only the
+    * one-row-per-host score frames, never the graph; norms fold in as
+    * broadcast 1-row scalars (one job per iteration, no driver
+    * collect); lineage truncates per iteration via lazy checkpoints.
+    */
+  private[graft] def hitsOnEdges(
+      edgeFrame: org.apache.spark.sql.DataFrame,
+      iters: Int = HitsIters): org.apache.spark.sql.DataFrame = {
+    val eSrc = edgeFrame.repartition(col("src")).localCheckpoint(false)
+    val eDst = edgeFrame.repartition(col("dst")).localCheckpoint(false)
+    val nodes = eSrc.select(col("src").as("host"))
+      .union(eSrc.select(col("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    // L2-normalize a (host, score) frame with a broadcast scalar; the
+    // greatest() guards the all-zero degenerate graph (0/0 → NaN)
+    def normalized(f: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val nrm = f.agg(
+        greatest(sqrt(sum(col("score") * col("score"))), lit(1e-12)).as("nrm"))
+      f.crossJoin(broadcast(nrm))
+        .select(col("host"), (col("score") / col("nrm")).as("score"))
+    }
+    // re-aliased projection per use: every frame in the loop descends
+    // from `nodes`, so joining back without fresh attribute ids trips
+    // the ambiguous-self-join check
+    def allHosts() = nodes.select(col("host").as("nh"))
+    var hubs = nodes.withColumn("score", lit(1.0)).localCheckpoint(false)
+    var auths = hubs
+    var i = 0
+    while (i < iters) {
+      auths = normalized(
+        hubs.join(eSrc, hubs("host") === eSrc("src"))
+          .groupBy(col("dst")).agg(sum(col("score")).as("s"))
+          .join(allHosts(), col("nh") === col("dst"), "right")
+          .select(col("nh").as("host"), coalesce(col("s"), lit(0.0)).as("score")))
+        .localCheckpoint(false)
+      hubs = normalized(
+        auths.join(eDst, auths("host") === eDst("dst"))
+          .groupBy(col("src")).agg(sum(col("score")).as("s"))
+          .join(allHosts(), col("nh") === col("src"), "right")
+          .select(col("nh").as("host"), coalesce(col("s"), lit(0.0)).as("score")))
+        .localCheckpoint(false)
+      i += 1
+    }
+    auths.select(col("host"), col("score").as("auth"))
+      .join(hubs.select(col("host").as("hh"), col("score").as("hub")),
+        col("host") === col("hh"))
+      .select(col("host"), col("auth"), col("hub"))
+  }
+
+  /** q78: HITS over the crawl's host graph — top 100 authorities with
+    * their hub scores, the link-analytics complement to q51 (a
+    * backlink API wants "most-endorsed hosts" = authorities AND
+    * "best directory pages" = hubs). Ordering on the ROUNDED score
+    * (q51's serving-precision rule) keeps the result set stable
+    * against partitioning-order float noise. Rows-only: float
+    * summation order is engine-specific; GraphOpsSpec pins a
+    * hand-computed small-graph fixture and the L2-norm invariant.
+    */
+  val q78_hits: GraftQuery = GraftQuery(
+    "q78_hits",
+    (s, dir) =>
+      hitsOnEdges(edges(s, dir))
+        .orderBy(round(col("auth"), 6).desc, col("host").asc)
+        .limit(100)
+        .select(col("host"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub")),
+    None // float order; invariants + fixture parity in GraphOpsSpec
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(q51_pagerank, q52_degree_dist, q69_host_rank_serve, q78_hits)
 }

@@ -146,7 +146,36 @@ object StreamingBatchOps {
     None // xxhash64 membership has no DuckDB equivalent; StreamExportSpec
   )
 
+  /** Batch form of the trending-hosts query (s08): sliding-window
+    * (10 min / 5 min) counts per event type, top-3 per window through
+    * the bounded-heap TopKPerGroup. The oracle spells the slide as a
+    * union of the two 5-minute bucket assignments (an event is in the
+    * window starting at its own 5-min bucket and the one before) and
+    * the rank as row_number — semantically identical, physically the
+    * formulations the respective engines want.
+    */
+  val s08_stream_trending: GraftQuery = GraftQuery(
+    "s08_stream_trending",
+    (s, dir) => StreamOps.trendingTopK(
+      StreamOps.trendingCounts(Tables.table(s, dir, "events"), watermark = false)),
+    Some("""WITH b AS (
+           |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+           |), w AS (
+           |  SELECT time_bucket(INTERVAL '5 minutes', t) AS ws, event_type FROM b
+           |  UNION ALL
+           |  SELECT time_bucket(INTERVAL '5 minutes', t) - INTERVAL '5 minutes', event_type FROM b
+           |), c AS (
+           |  SELECT ws, event_type, COUNT(*) AS n_events FROM w GROUP BY 1, 2
+           |)
+           |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n_events
+           |FROM (
+           |  SELECT ws, event_type, n_events,
+           |    row_number() OVER (PARTITION BY ws ORDER BY n_events DESC, event_type) AS rn
+           |  FROM c) r
+           |WHERE rn <= 3""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] =
     Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich,
-      s05_stream_neardup, s06_stream_join, s07_stream_export)
+      s05_stream_neardup, s06_stream_join, s07_stream_export, s08_stream_trending)
 }

@@ -39,6 +39,34 @@ object StreamOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** s08 stage 1: SLIDING-window (10 min window / 5 min slide) counts
+    * per event type — each event lands in exactly two windows. On a
+    * streaming input the watermark bounds the open-window state; on
+    * batch it is a no-op. Still one shuffle: the slide multiplies rows
+    * row-locally (explode of the two window assignments) before the
+    * map-side partial agg.
+    */
+  def trendingCounts(events: DataFrame, watermark: Boolean): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"))
+  }
+
+  /** s08 stage 2: the per-window top-k rank over the (already tiny)
+    * counts frame — the "trending now" serving projection. Runs through
+    * the bounded-heap TopKPerGroup operator; ties break on event_type
+    * so the result set is deterministic. In the streaming deployment
+    * this ranks each micro-batch's closed windows (foreachBatch); the
+    * registered batch form ranks the whole history.
+    */
+  def trendingTopK(counts: DataFrame, k: Int = 3): DataFrame =
+    graft.plans.TopKPerGroup(counts, Seq(col("window_start")),
+      Seq(col("n_events").desc, col("event_type").asc), k)
+
   /** s03: streaming exact dedup. On a stream, state is bounded by the
     * watermark (`dropDuplicatesWithinWatermark`: a duplicate arriving
     * within the watermark horizon is dropped, state beyond it expires —

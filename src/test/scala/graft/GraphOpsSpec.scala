@@ -125,4 +125,57 @@ class GraphOpsSpec extends SparkSpec {
     val again = GraphOps.q69_host_rank_serve.run(spark, sfDir).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q78 HITS matches a driver-side reference on a hand-built graph") {
+    // a: hub linking both authorities; c: the stronger authority (2
+    // in-links); d also links c, making a the best hub
+    val edges = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("d", "c"))
+    import spark.implicits._
+    val got = GraphOps.hitsOnEdges(
+      edges.toDF("src", "dst"), iters = 8).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    // independent reference: dense power iteration over the same graph
+    val hosts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = hosts.map(_ -> 1.0).toMap
+    var auth = hub
+    def l2(m: Map[String, Double]) = {
+      val n = math.max(math.sqrt(m.values.map(x => x * x).sum), 1e-12)
+      m.map { case (k, v) => k -> v / n }
+    }
+    for (_ <- 1 to 8) {
+      auth = l2(hosts.map(h =>
+        h -> edges.filter(_._2 == h).map(e => hub(e._1)).sum).toMap)
+      hub = l2(hosts.map(h =>
+        h -> edges.filter(_._1 == h).map(e => auth(e._2)).sum).toMap)
+    }
+    hosts.foreach { h =>
+      assert(math.abs(got(h)._1 - auth(h)) < 1e-9, s"auth($h)")
+      assert(math.abs(got(h)._2 - hub(h)) < 1e-9, s"hub($h)")
+    }
+    // structure: c is the top authority, a the top hub
+    assert(got.maxBy(_._2._1)._1 == "c")
+    assert(got.maxBy(_._2._2)._1 == "a")
+  }
+
+  test("q78 scores are L2-normalized over the full crawl graph") {
+    val full = GraphOps.hitsOnEdges(
+      Tables.links(spark, sfDir)
+        .select(col("page_host").as("src"),
+          concat(
+            when(col("link_subdomain") === "", lit(""))
+              .otherwise(concat(col("link_subdomain"), lit("."))),
+            col("link_domain")).as("dst"))
+        .distinct()).collect()
+    assert(full.nonEmpty)
+    val authNorm = math.sqrt(full.map(r => math.pow(r.getDouble(1), 2)).sum)
+    val hubNorm = math.sqrt(full.map(r => math.pow(r.getDouble(2), 2)).sum)
+    assert(math.abs(authNorm - 1.0) < 1e-9, s"auth norm $authNorm")
+    assert(math.abs(hubNorm - 1.0) < 1e-9, s"hub norm $hubNorm")
+    // the registered query returns the rounded serving projection,
+    // deterministically
+    val out = GraphOps.q78_hits.run(spark, sfDir).collect()
+    val again = GraphOps.q78_hits.run(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

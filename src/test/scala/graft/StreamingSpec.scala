@@ -240,4 +240,39 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() > 0)
     assert(joined.filter(col("n_sessions") =!= col("expect")).count() == 0)
   }
+
+  test("s08 sliding-window trending over a MemoryStream matches the batch rank") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = StreamOps.trendingCounts(df, watermark = false)
+      .writeStream.format("memory").queryName("s08_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // batch 1: clicks dominate the 10:00 windows
+      mem.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"))
+      q.processAllAvailable()
+      // batch 2: views take over in the 10:05–10:15 span — the rank
+      // must flip per window, and every event sits in TWO windows
+      mem.addData((ts(7), "view"), (ts(8), "view"), (ts(9), "view"), (ts(8), "click"))
+      q.processAllAvailable()
+      val counts = spark.table("s08_out")
+      // each event contributes to exactly 2 sliding windows
+      assert(counts.agg(sum(col("n_events"))).head().getLong(0) == 14L)
+      val got = StreamOps.trendingTopK(counts).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_events"))).toSet
+      // the same events through the registered batch form
+      val batch = StreamOps.trendingTopK(StreamOps.trendingCounts(
+        Seq((ts(1), "click"), (ts(2), "click"), (ts(3), "view"),
+          (ts(7), "view"), (ts(8), "view"), (ts(9), "view"), (ts(8), "click"))
+          .toDF("ts", "event_type"), watermark = false)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_events"))).toSet
+      assert(got == batch, "streamed trending must equal the batch form")
+      // rank flip: click leads the window starting 09:55, view the 10:05 one
+      def top(w: String) = got.filter(_._1 == w).maxBy(t => (t._3, t._2))._2
+      assert(top("2024-01-01 09:55:00") == "click")
+      assert(top("2024-01-01 10:05:00") == "view")
+    } finally q.stop()
+  }
 }
