@@ -48,19 +48,16 @@ object CurationOps {
     * selection (q57) that needs no trained model.
     *
     * Scale shape:
-    *   - ONE corpus scan fits BOTH distributions: the feature explode
-    *     is bucket-hashed row-locally in the scan stage and feeds a
-    *     single map-side-combined aggregate keyed on the bucket
-    *     (`DsirBuckets` rows out; the target counts ride along as a
-    *     conditional sum — the target is a column predicate, not a
-    *     second table).
-    *   - The weight table is `DsirBuckets` rows → broadcast; scoring
-    *     is a second corpus scan whose per-(doc, feature) weights
-    *     pre-aggregate map-side into per-doc partials, so the only
-    *     corpus-wide exchange carries one row per doc per partition.
-    *     (The explode is re-derived rather than checkpointed — q64's
-    *     trade: the token stream is wider than the compressed text
-    *     it comes from.)
+    *   - ONE corpus scan, total: the feature explode is bucket-hashed
+    *     row-locally in the scan stage and collapses map-side into the
+    *     per-(doc, bucket) count frame — the sufficient statistic for
+    *     BOTH the fit and the scoring, capped at docs × `DsirBuckets`
+    *     rows. The raw feature stream never reaches an exchange.
+    *   - The fit is one aggregate over that frame (`DsirBuckets` rows
+    *     out; target counts ride along as a conditional sum — the
+    *     target is a column predicate, not a second table); the weight
+    *     table broadcasts back and scoring is Σ_b cnt_b·w_b — exactly
+    *     the per-feature sum, because DECIMAL arithmetic is exact.
     *   - Selection is a bounded `TakeOrderedAndProject` (top-k), never
     *     a full sort.
     *
@@ -81,25 +78,34 @@ object CurationOps {
         .select(col("doc_id"), col("source"), explode(expr(DsirFeats)).as("f"))
         .select(col("doc_id"), col("source"),
           (expr("cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint)") % b).as("b"))
-      // the fit: one aggregate, 256 rows out (target counts as a
-      // conditional sum riding the same pass)
-      val counts = fx.groupBy(col("b")).agg(
-        count(lit(1)).cast("double").as("r_cnt"),
-        sum(when(col("source").isin(DsirTarget: _*), 1).otherwise(0))
+      // ONE corpus scan: the per-(doc, bucket) count frame is the
+      // sufficient statistic for BOTH the fit and the scoring
+      // (score = Σ_b cnt_b · w_b, exactly the per-feature sum because
+      // DECIMAL arithmetic is exact), so everything downstream runs on
+      // a frame capped at docs × DsirBuckets rows — the feature stream
+      // itself never reaches an exchange (map-side combine collapses
+      // it inside the scan stage)
+      val fb = fx.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // fit + scoring both branch from it
+      // the fit: one aggregate over fb, 256 rows out (target counts as
+      // a conditional sum riding the same pass)
+      val counts = fb.groupBy(col("b")).agg(
+        sum(col("cnt")).cast("double").as("r_cnt"),
+        sum(when(col("source").isin(DsirTarget: _*), col("cnt")).otherwise(lit(0L)))
           .cast("double").as("t_cnt"))
-        .localCheckpoint(false) // 256 rows; totals + weights branch from it
       val tot = counts.agg(sum(col("r_cnt")).as("rr"), sum(col("t_cnt")).as("tt"))
       val w = counts.crossJoin(broadcast(tot))
         .select(col("b"), round(
           log((col("t_cnt") + lit(1.0)) / (col("tt") + b.cast("double"))) -
             log((col("r_cnt") + lit(1.0)) / (col("rr") + b.cast("double"))), 6)
           .as("wt"))
-      fx.join(broadcast(w), "b")
+      fb.join(broadcast(w), "b")
         .groupBy(col("doc_id"), col("source"))
         .agg(
-          round(sum(col("wt").cast("decimal(20,6)")).cast("double"), 6)
-            .as("dsir_logw"),
-          count(lit(1)).cast("int").as("n_feats"))
+          round(sum((col("wt").cast("decimal(20,6)") * col("cnt")).cast("decimal(30,6)"))
+            .cast("double"), 6).as("dsir_logw"),
+          sum(col("cnt")).cast("int").as("n_feats"))
         .orderBy(col("dsir_logw").desc, col("doc_id").asc)
         .limit(DsirTopK)
     },

@@ -223,61 +223,73 @@ object GraphOps {
   /** HITS (Kleinberg 1999) hubs & authorities over an arbitrary
     * (src, dst) edge frame — the mutually-recursive complement to
     * PageRank's single score: auth(v) = Σ_{u→v} hub(u), hub(u) =
-    * Σ_{u→v} auth(v), each side L2-normalized per iteration (the
-    * normalization is what makes the power method converge to the
-    * principal singular vectors of the adjacency matrix).
+    * Σ_{u→v} auth(v), converging to the principal singular vectors of
+    * the adjacency matrix.
     *
     * Scale shape mirrors [[pageRankOnEdges]]: the edge list is pinned
-    * TWICE — once partitioned by src (the hub-update join side), once
-    * by dst (the auth-update side) — so every iteration moves only the
-    * one-row-per-host score frames, never the graph; norms fold in as
-    * broadcast 1-row scalars (one job per iteration, no driver
-    * collect); lineage truncates per iteration via lazy checkpoints.
+    * TWICE — once partitioned by src (the auth-update join side), once
+    * by dst (the hub-update side) — so every iteration moves only the
+    * one-row-per-host score frames, never the graph; lineage truncates
+    * per iteration via lazy checkpoints. Two deliberate differences
+    * from the textbook loop, both exploiting that each update is
+    * LINEAR in the scores:
+    *   - normalization defers to ONE final pass (the unnormalized
+    *     iterate is a scalar multiple of the normalized one, so the
+    *     final directions are identical) — that removes two
+    *     norm-aggregate driver actions per iteration. Magnitudes grow
+    *     as σ_max^(2·iters); doubles overflow only past σ_max ≈ 1e19,
+    *     far beyond any real link graph's top singular value.
+    *   - zero-score hosts drop out of the iterate frames instead of
+    *     riding along (an absent host contributes exactly nothing
+    *     through the inner joins); the full host set right-joins back
+    *     once at the end.
     */
   private[graft] def hitsOnEdges(
       edgeFrame: org.apache.spark.sql.DataFrame,
       iters: Int = HitsIters): org.apache.spark.sql.DataFrame = {
     val eSrc = edgeFrame.repartition(col("src")).localCheckpoint(false)
-    val eDst = edgeFrame.repartition(col("dst")).localCheckpoint(false)
+    // the dst-partitioned pin re-shuffles the ALREADY-PINNED copy, so
+    // the (possibly expensive) edge derivation itself runs exactly once
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint(false)
     val nodes = eSrc.select(col("src").as("host"))
       .union(eSrc.select(col("dst")))
       .distinct()
       .localCheckpoint(false)
-    // L2-normalize a (host, score) frame with a broadcast scalar; the
-    // greatest() guards the all-zero degenerate graph (0/0 → NaN)
-    def normalized(f: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val nrm = f.agg(
-        greatest(sqrt(sum(col("score") * col("score"))), lit(1e-12)).as("nrm"))
-      f.crossJoin(broadcast(nrm))
-        .select(col("host"), (col("score") / col("nrm")).as("score"))
-    }
-    // re-aliased projection per use: every frame in the loop descends
-    // from `nodes`, so joining back without fresh attribute ids trips
-    // the ambiguous-self-join check
-    def allHosts() = nodes.select(col("host").as("nh"))
     var hubs = nodes.withColumn("score", lit(1.0)).localCheckpoint(false)
     var auths = hubs
     var i = 0
     while (i < iters) {
-      auths = normalized(
-        hubs.join(eSrc, hubs("host") === eSrc("src"))
-          .groupBy(col("dst")).agg(sum(col("score")).as("s"))
-          .join(allHosts(), col("nh") === col("dst"), "right")
-          .select(col("nh").as("host"), coalesce(col("s"), lit(0.0)).as("score")))
-        .localCheckpoint(false)
-      hubs = normalized(
-        auths.join(eDst, auths("host") === eDst("dst"))
-          .groupBy(col("src")).agg(sum(col("score")).as("s"))
-          .join(allHosts(), col("nh") === col("src"), "right")
-          .select(col("nh").as("host"), coalesce(col("s"), lit(0.0)).as("score")))
+      // one checkpoint per ROUND (on hubs): the auth half-step folds
+      // into the hub lineage, so truncation cost is paid once per
+      // iteration, not twice
+      auths = hubs.join(eSrc, hubs("host") === eSrc("src"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("score"))
+        .withColumnRenamed("dst", "host")
+      hubs = auths.join(eDst, auths("host") === eDst("dst"))
+        .groupBy(col("src")).agg(sum(col("score")).as("score"))
+        .withColumnRenamed("src", "host")
         .localCheckpoint(false)
       i += 1
     }
-    auths.select(col("host"), col("score").as("auth"))
-      .join(hubs.select(col("host").as("hh"), col("score").as("hub")),
-        col("host") === col("hh"))
-      .select(col("host"), col("auth"), col("hub"))
+    // pin the final auth half-step once: both its norm scalar and the
+    // output join consume it
+    auths = auths.localCheckpoint(false)
+    // ONE normalization + host-set completion pass; greatest() guards
+    // the all-zero degenerate graph (0/0 → NaN)
+    def normScalar(f: org.apache.spark.sql.DataFrame) = f.agg(
+      greatest(sqrt(sum(col("score") * col("score"))), lit(1e-12)).as("nrm"))
+    val aN = normScalar(auths)
+    val hN = normScalar(hubs)
+    nodes.select(col("host"))
+      .join(auths.select(col("host").as("ah"), col("score").as("a")),
+        col("host") === col("ah"), "left")
+      .join(hubs.select(col("host").as("hh"), col("score").as("h")),
+        col("host") === col("hh"), "left")
+      .crossJoin(broadcast(aN))
+      .crossJoin(broadcast(hN.withColumnRenamed("nrm", "hnrm")))
+      .select(col("host"),
+        (coalesce(col("a"), lit(0.0)) / col("nrm")).as("auth"),
+        (coalesce(col("h"), lit(0.0)) / col("hnrm")).as("hub"))
   }
 
   /** q78: HITS over the crawl's host graph — top 100 authorities with

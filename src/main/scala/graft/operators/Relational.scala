@@ -84,11 +84,23 @@ object Relational {
   val q03_topk: GraftQuery = GraftQuery(
     "q03_topk",
     (s, dir) => {
+      // aggregate BELOW the join (Catalyst doesn't push aggregates
+      // through joins itself): revenue groups by the join key, so the
+      // fact pre-aggregates map-side to one row per order BEFORE any
+      // exchange — at 100 TB the join inputs shrink from every
+      // lineitem row to the distinct-orderkey frame. Legal because the
+      // DECIMAL sum is exact (associative), so splitting it around the
+      // join cannot change a bit; o_orderdate is functionally
+      // dependent on the key and joins back on afterwards.
       val li = Tables.table(s, dir, "lineitem")
       val o = Tables.table(s, dir, "orders")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("order_date"))
-        .agg(expr(xsum("l_extendedprice * (1 - l_discount)")).as("revenue"))
+      val rev = li.groupBy(col("l_orderkey"))
+        .agg(sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(25,10))"))
+          .as("rev_d"))
+      rev.join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("order_date"),
+          round(col("rev_d").cast("double"), 6).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
