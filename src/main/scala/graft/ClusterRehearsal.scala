@@ -54,7 +54,16 @@ object ClusterRehearsal {
       // expressions built from driver-side fit state
       "q73_pq_ann" -> SparkEntry.queries("q73_pq_ann"),
       "q74_dedup_keep" -> SparkEntry.queries("q74_dedup_keep"),
-      "q75_bpe_encode" -> SparkEntry.queries("q75_bpe_encode"))
+      "q75_bpe_encode" -> SparkEntry.queries("q75_bpe_encode"),
+      // r8c: q76's broadcast weight table + decimal cnt·w scoring,
+      // q77's min-struct winner aggregate and doc rebuild, q78's
+      // deferred-norm score chain across 8 checkpointed rounds, s08's
+      // sliding-window explode through TopKPerGroupExec — all in
+      // executor JVMs that never ran the driver
+      "q76_dsir" -> SparkEntry.queries("q76_dsir"),
+      "q77_line_dedup" -> SparkEntry.queries("q77_line_dedup"),
+      "q78_hits" -> SparkEntry.queries("q78_hits"),
+      "s08_stream_trending" -> SparkEntry.queries("s08_stream_trending"))
 
   private def session(master: String): SparkSession = {
     val b = SparkSession.builder()

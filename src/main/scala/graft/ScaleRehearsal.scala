@@ -64,6 +64,11 @@ object ScaleRehearsal {
     time("q61_bm25")(operators.TextOps.q61_bm25.run(spark, "/tmp/sfx10").count())
     time("q62_pii_scrub")(operators.TextOps.q62_pii_scrub.run(spark, "/tmp/sfx10").count())
     time("q64_perplexity")(operators.TextOps.q64_perplexity_bucket.run(spark, "/tmp/sfx10").count())
+    // r8: DSIR's one-scan fit+score (per-doc bucket counts are the
+    // sufficient statistic) and the line-dedup pass — both must track
+    // the corpus linearly
+    time("q76_dsir_10x")(operators.CurationOps.q76_dsir.run(spark, "/tmp/sfx10").count())
+    time("q77_line_10x")(operators.CurationOps.q77_line_dedup.run(spark, "/tmp/sfx10").count())
     // DEGENERATE-KEY rehearsal: the hot-bucket guard under fire. A
     // boilerplate 8-token window shared by EVERY one of 50k docs (the
     // q66 shape) and a constant text shared by 50k docs (every SimHash
@@ -90,6 +95,11 @@ object ScaleRehearsal {
         "'the same text everywhere in all of them' AS text", "40 AS n_chars")
       .write.mode("overwrite").parquet("/tmp/sfconst/documents.parquet")
     time("q31_hot_band")(operators.SimilarityOps.q31_simhash.run(spark, "/tmp/sfconst").count())
+    // q77 on the constant corpus: every line of every doc is THE same
+    // line — the min-struct winner aggregate must collapse it map-side
+    // (flat wall-clock), the join-back hot key rides AQE skew handling,
+    // and exactly one doc keeps its text
+    time("q77_hot_line")(operators.CurationOps.q77_line_dedup.run(spark, "/tmp/sfconst").count())
     spark.stop()
   }
 
