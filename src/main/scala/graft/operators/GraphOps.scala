@@ -170,7 +170,11 @@ object GraphOps {
             (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"))
         // lazy: still truncates lineage (the optimizer sees a leaf),
         // but merely BUILDING the q51 plan (explain/PlanAudit) no
-        // longer executes the iterations — only nodes.count() runs
+        // longer executes the iterations — only nodes.count() runs.
+        // (A sparser every-2nd-iteration cadence was measured at only
+        // ~6% — the per-iteration broadcast exchanges dominate, and an
+        // un-pinned step is recomputed by its two consumers — so the
+        // simple one-pin-per-iteration invariant stays.)
         .localCheckpoint(false)
       converged = tol.exists { t =>
         // coalesce: sum over ZERO rows (empty graph) is null, and
@@ -312,6 +316,54 @@ object GraphOps {
     None // float order; invariants + fixture parity in GraphOpsSpec
   )
 
+  /** q79: weakly-connected components of the host graph, reported as a
+    * size histogram (how many islands of each size the crawl's link
+    * structure splits into — the connectivity audit next to q52's
+    * degree view). Components come from the SAME min-label propagation
+    * loop as the near-dup clustering ([[TextOps.clusterPairs]] — edges
+    * fed as undirected pairs, labels are lexicographic-min hosts), so
+    * its scale posture is shared and already 10×-rehearsed: one
+    * join+agg per round over the pinned edge list, lineage truncated,
+    * loud failure past the iteration bound (host graphs are
+    * small-diameter; the bound is a diameter cap, not a quota). The
+    * oracle recomputes components independently via DuckDB's recursive
+    * CTE (min reachable host per node).
+    */
+  val q79_host_components: GraftQuery = GraftQuery(
+    "q79_host_components",
+    (s, dir) => {
+      val labels = TextOps.clusterPairs(
+        edges(s, dir).select(col("src").as("a_id"), col("dst").as("b_id")))
+      labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("component_size"))
+        .groupBy(col("component_size"))
+        .agg(count(lit(1)).cast("bigint").as("n_components"))
+        .orderBy(col("component_size"))
+    },
+    Some("WITH RECURSIVE " + Tables.linksCte.stripPrefix("WITH ") +
+      """, e AS (
+        |  SELECT DISTINCT page_host AS src,
+        |    (CASE WHEN link_subdomain = '' THEN '' ELSE link_subdomain || '.' END)
+        |      || link_domain AS dst
+        |  FROM links
+        |), ed AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT dst, src FROM e
+        |), reach(src, lbl) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM ed) n
+        |  UNION
+        |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.src
+        |), comp AS (
+        |  SELECT src AS host, MIN(lbl) AS cid FROM reach GROUP BY src
+        |), sizes AS (
+        |  SELECT cid, COUNT(*) AS component_size FROM comp GROUP BY cid
+        |)
+        |SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+        |FROM sizes GROUP BY component_size ORDER BY component_size""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q51_pagerank, q52_degree_dist, q69_host_rank_serve, q78_hits)
+    Seq(q51_pagerank, q52_degree_dist, q69_host_rank_serve, q78_hits,
+      q79_host_components)
 }

@@ -126,6 +126,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q79 components histogram is exact on a hand-built multi-island graph") {
+    import spark.implicits._
+    // islands: {a,b,c,d} (a star + a chain), {e,f}, {g,h}, and the
+    // directed cycle {i,j} — sizes 4, 2, 2, 2
+    val pairs = Seq(
+      ("a", "b"), ("a", "c"), ("c", "d"),
+      ("e", "f"),
+      ("g", "h"),
+      ("i", "j"), ("j", "i"))
+      .toDF("a_id", "b_id")
+    val labels = graft.operators.TextOps.clusterPairs(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("a") == "a" && labels("d") == "a" && labels("j") == "i")
+    val hist = labels.groupBy(_._2).map(_._2.size)
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    assert(hist == Map(4 -> 1, 2 -> 3))
+    // the registered query over the crawl fixture: sizes sum to the
+    // host count, deterministic
+    val out = GraphOps.q79_host_components.run(spark, sfDir).collect()
+    val hostTotal = out.map(r =>
+      r.getAs[Long]("component_size") * r.getAs[Long]("n_components")).sum
+    val distinctHosts = Tables.links(spark, sfDir)
+      .select(col("page_host").as("h"))
+      .union(Tables.links(spark, sfDir).select(
+        concat(
+          when(col("link_subdomain") === "", lit(""))
+            .otherwise(concat(col("link_subdomain"), lit("."))),
+          col("link_domain"))))
+      .distinct().count()
+    assert(hostTotal == distinctHosts,
+      s"components cover $hostTotal hosts, graph has $distinctHosts")
+  }
+
   test("q78 HITS matches a driver-side reference on a hand-built graph") {
     // a: hub linking both authorities; c: the stronger authority (2
     // in-links); d also links c, making a the best hub
