@@ -662,12 +662,18 @@ object Pipeline {
 
   final case class ExportStats(
       input: Long, gated: Long, deduped: Long, semdeduped: Long,
-      decontaminated: Long, exported: Long, shards: Int)
+      decontaminated: Long, exported: Long, shards: Int,
+      lineDeduped: Long = -1)
 
   /** Curated-corpus delivery — the last mile of the training-data
     * story, wiring the individually-verified stages into ONE export:
     *
     *   gate (q47 Gopher verdicts + q57 classifier keep)
+    *   → [optional] LINE dedup (q77: duplicated lines survive only at
+    *     their globally-first occurrence; docs REWRITE to their kept
+    *     lines, docs left with nothing drop — the RefinedWeb
+    *     boilerplate killer, run before the doc-level passes so
+    *     shared chrome can't glue distinct docs into near-dups)
     *   → near-dedup (q31/q60 SimHash machinery; the LOWER doc_id of
     *     every pair within hamming ≤ 3 survives — exact dups are
     *     hamming 0, so one pass subsumes q24)
@@ -677,7 +683,9 @@ object Pipeline {
     *     lexical signature cannot)
     *   → decontaminate (q53 8-gram overlap vs the held-out eval set;
     *     any overlap drops the doc)
-    *   → mix (q65 temperature-smoothed source quotas)
+    *   → select: q65 temperature-smoothed source quotas, or — with
+    *     `dsirTarget` set — q76 DSIR importance resampling toward the
+    *     target predicate (top `mixTarget` by log importance ratio)
     *   → [[graft.sinks.JsonlSink]] gzip shards.
     *
     * Each arrow is an anti-join or semi-join against a frame the
@@ -699,6 +707,8 @@ object Pipeline {
       mixTarget: Int = 1000, docsPerShard: Int = 100000,
       evalPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 7,
       semdedupEmb: Option[DataFrame] = None,
+      lineDedup: Boolean = false,
+      dsirTarget: Option[org.apache.spark.sql.Column] = None,
       stats: Boolean = true): ExportStats = {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -709,7 +719,7 @@ object Pipeline {
       .filter(col("verdict") === "keep").select(col("doc_id"))
       .join(operators.InferenceOps.scoredFrame(train)
         .filter(col("keep") === 1).select(col("doc_id")), "doc_id")
-    val gated = train.join(keepIds, "doc_id")
+    val gated0 = train.join(keepIds, "doc_id")
       // gated is the input of THREE downstream plans (dedup pairs,
       // contamination grams, final join) — pin it once. TRADE: this
       // stores the gated corpus (text included) on executor-local
@@ -717,6 +727,19 @@ object Pipeline {
       // (3× the input IO). At 100 TB pick by cluster storage — the
       // stages are deterministic, so both choices export identically
       .localCheckpoint(false)
+
+    // optional line dedup: REWRITES text to the kept lines (q77's
+    // keep-first semantics); a doc whose every line lived elsewhere
+    // first drops here. Runs before the doc-level dedups so shared
+    // boilerplate can't make distinct docs look near-identical.
+    val gated = if (!lineDedup) gated0 else
+      gated0.drop("text")
+        .join(operators.CurationOps.lineDedupText(gated0)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("kept_text").as("text")), "doc_id")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .localCheckpoint(false)
 
     // near-dedup: drop the higher id of every hamming ≤ 3 pair
     // (pair frame ≪ corpus — near-dup density, not corpus size)
@@ -744,9 +767,17 @@ object Pipeline {
       // feeds the mix draw's count AND the final export join
       .localCheckpoint(false)
 
-    // mix: temperature-smoothed source quotas over the curated corpus
-    val drawn = operators.TextOps.sourceMixDraw(clean, mixTarget)
-      .select(col("doc_id"))
+    // select: source-quota mix by default; DSIR importance resampling
+    // toward the target predicate when the recipe asks for it
+    val drawn = dsirTarget match {
+      case None =>
+        operators.TextOps.sourceMixDraw(clean, mixTarget).select(col("doc_id"))
+      case Some(target) =>
+        operators.CurationOps.dsirScores(clean, target)
+          .orderBy(col("dsir_logw").desc, col("doc_id").asc)
+          .limit(mixTarget)
+          .select(col("doc_id"))
+    }
     val exported = clean.join(drawn, "doc_id")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
 
@@ -754,9 +785,10 @@ object Pipeline {
     val shards = math.max(1, math.ceil(nExported.toDouble / docsPerShard).toInt)
     sinks.JsonlSink.write(exported, outPath, shards)
     if (stats) ExportStats(
-      input = train.count(), gated = gated.count(), deduped = deduped.count(),
+      input = train.count(), gated = gated0.count(), deduped = deduped.count(),
       semdeduped = if (semdedupEmb.isDefined) semdeduped.count() else -1,
-      decontaminated = clean.count(), exported = nExported, shards = shards)
+      decontaminated = clean.count(), exported = nExported, shards = shards,
+      lineDeduped = if (lineDedup) gated.count() else -1)
     else ExportStats(-1, -1, -1, -1, -1, exported = nExported, shards = shards)
   }
 }

@@ -67,16 +67,22 @@ object CurationOps {
     *
     * Reference analogue: none (the reference curates nothing); this is
     * pure training-data-pipeline surface, like q47/q64/q65.
+    *
+    * This is the fit + score over any (doc_id, source, text) frame:
+    * (doc_id, source, dsir_logw, n_feats); highest-first selection is
+    * the caller's `orderBy.limit`. `isTarget` defines the target
+    * distribution as a row predicate (q76: two named sources;
+    * Pipeline.exportCorpus: whatever the delivery recipe says).
     */
-  val q76_dsir: GraftQuery = GraftQuery(
-    "q76_dsir",
-    (s, dir) => {
+  private[graft] def dsirScores(docs: org.apache.spark.sql.DataFrame,
+      isTarget: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
       val b = lit(DsirBuckets)
-      val fx = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
+      val fx = docs
+        .select(col("doc_id"), col("source"), isTarget.as("is_target"),
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
-        .select(col("doc_id"), col("source"), explode(expr(DsirFeats)).as("f"))
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), col("is_target"),
+          explode(expr(DsirFeats)).as("f"))
+        .select(col("doc_id"), col("source"), col("is_target"),
           (expr("cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint)") % b).as("b"))
       // ONE corpus scan: the per-(doc, bucket) count frame is the
       // sufficient statistic for BOTH the fit and the scoring
@@ -85,14 +91,14 @@ object CurationOps {
       // a frame capped at docs × DsirBuckets rows — the feature stream
       // itself never reaches an exchange (map-side combine collapses
       // it inside the scan stage)
-      val fb = fx.groupBy(col("doc_id"), col("source"), col("b"))
+      val fb = fx.groupBy(col("doc_id"), col("source"), col("is_target"), col("b"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false) // fit + scoring both branch from it
       // the fit: one aggregate over fb, 256 rows out (target counts as
       // a conditional sum riding the same pass)
       val counts = fb.groupBy(col("b")).agg(
         sum(col("cnt")).cast("double").as("r_cnt"),
-        sum(when(col("source").isin(DsirTarget: _*), col("cnt")).otherwise(lit(0L)))
+        sum(when(col("is_target"), col("cnt")).otherwise(lit(0L)))
           .cast("double").as("t_cnt"))
       val tot = counts.agg(sum(col("r_cnt")).as("rr"), sum(col("t_cnt")).as("tt"))
       val w = counts.crossJoin(broadcast(tot))
@@ -106,9 +112,15 @@ object CurationOps {
           round(sum((col("wt").cast("decimal(20,6)") * col("cnt")).cast("decimal(30,6)"))
             .cast("double"), 6).as("dsir_logw"),
           sum(col("cnt")).cast("int").as("n_feats"))
+  }
+
+  val q76_dsir: GraftQuery = GraftQuery(
+    "q76_dsir",
+    (s, dir) =>
+      dsirScores(Tables.table(s, dir, "documents"),
+        col("source").isin(DsirTarget: _*))
         .orderBy(col("dsir_logw").desc, col("doc_id").asc)
-        .limit(DsirTopK)
-    },
+        .limit(DsirTopK),
     Some(s"""WITH docs AS (
             |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS toks
             |  FROM documents
@@ -195,32 +207,42 @@ object CurationOps {
     * line; spread=false (q66's reasoning: the first shuffle
     * redistributes the derived line stream anyway).
     */
+  /** The line-dedup pass over any (doc_id, text, …) frame:
+    * (doc_id, n_lines, n_kept, kept_text) with kept_text the doc
+    * rebuilt from its surviving lines (normalized token stream —
+    * empty when every line was someone else's). q77 registers the
+    * md5 projection; Pipeline.exportCorpus consumes the text itself.
+    */
+  private[graft] def lineDedupText(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      .select(col("doc_id"), posexplode(expr(LinesExpr)).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"))
+    val winners = lines.groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    lines.join(winners, "lh")
+      .withColumn("kept",
+        (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
+          .cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(col("kept")).cast("int").as("n_kept"),
+        collect_list(when(col("kept") === 1, struct(col("pos"), col("line"))))
+          .as("kl"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(kl), x -> x.line)"))
+          .as("kept_text"))
+  }
+
   val q77_line_dedup: GraftQuery = GraftQuery(
     "q77_line_dedup",
-    (s, dir) => {
-      val lines = Tables.docsWithNearDups(s, dir, spread = false)
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
-        .select(col("doc_id"), posexplode(expr(LinesExpr)).as(Seq("pos", "line")))
-        .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"))
-      val winners = lines.groupBy(col("lh"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      lines.join(winners, "lh")
-        .withColumn("kept",
-          (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
-            .cast("int"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).cast("int").as("n_lines"),
-          sum(col("kept")).cast("int").as("n_kept"),
-          collect_list(when(col("kept") === 1, struct(col("pos"), col("line"))))
-            .as("kl"))
+    (s, dir) =>
+      lineDedupText(Tables.docsWithNearDups(s, dir, spread = false))
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
-          when(col("n_kept") > 0,
-            md5(concat_ws(" ",
-              expr("transform(array_sort(kl), x -> x.line)"))))
-            .as("kept_md5"))
-    },
+          when(col("n_kept") > 0, md5(col("kept_text"))).as("kept_md5")),
     Some(Tables.docsNearDupsCte +
       s""", toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM alldocs

@@ -501,6 +501,43 @@ class PipelineSpec extends SparkSpec {
       "shard membership must be deterministic across runs")
   }
 
+  test("exportCorpus composes the line-dedup rewrite and DSIR selection") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("export3").toString + "/corpus"
+    val target = col("source").isin("src0", "src1")
+    val stats = Pipeline.exportCorpus(spark, sfDir, out,
+      mixTarget = 40, docsPerShard = 10,
+      lineDedup = true, dsirTarget = Some(target))
+
+    // the funnel narrows through the new stage too
+    assert(stats.lineDeduped >= 0 && stats.lineDeduped <= stats.gated)
+    assert(stats.deduped <= stats.lineDeduped)
+    assert(stats.exported > 0 && stats.exported <= 40)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val back = graft.sinks.JsonlSink.read(spark, out, schema)
+    assert(back.count() == stats.exported)
+    // every exported text is a line-dedup REWRITE: the normalized
+    // token stream (lowercase words), never empty
+    assert(back.filter(!col("text").rlike("^[a-z]+( [a-z]+)*$")).count() == 0,
+      "exported text must be the rebuilt normalized token stream")
+    // DSIR selection overselects the target sources vs their 2-in-20
+    // base rate
+    val srcs = back.select("source").collect().map(_.getString(0))
+    val share = srcs.count(s => s == "src0" || s == "src1").toDouble / srcs.length
+    assert(share >= 0.1, s"target share $share below base rate")
+    // the composed recipe is deterministic end to end
+    val out2 = Files.createTempDirectory("export4").toString + "/corpus"
+    val stats2 = Pipeline.exportCorpus(spark, sfDir, out2,
+      mixTarget = 40, docsPerShard = 10,
+      lineDedup = true, dsirTarget = Some(target))
+    assert(stats2 == stats)
+  }
+
   test("publishRankedStore lands store + _RANKS in one generation; serving reads prune") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("pubrank").toString
