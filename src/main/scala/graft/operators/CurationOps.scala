@@ -181,8 +181,8 @@ object CurationOps {
     *
     * Scale shape (the q67 choice, deliberately NOT a window function):
     *   - lines chunk row-locally in the scan stage; the keep-first
-    *     winner per line is `min(struct(doc_id, pos))` keyed by the
-    *     line's md5 — a plain MAP-SIDE-COMBINABLE aggregate, so a
+    *     winner per line is a packed-bigint `min` keyed by the
+    *     line's md5 — a plain MAP-SIDE-COMBINABLE hash aggregate, so a
     *     boilerplate line repeated a billion times collapses to one
     *     row per map task BEFORE the exchange. A `row_number() over
     *     (partition by line)` formulation (the oracle's spelling)
@@ -213,19 +213,29 @@ object CurationOps {
     * empty when every line was someone else's). q77 registers the
     * md5 projection; Pipeline.exportCorpus consumes the text itself.
     */
+  /** (doc_id, pos) packed into one bigint so the keep-first winner is
+    * `min(bigint)` — a plain HASH aggregate. `min(struct(...))` is
+    * correct too but Spark plans it as a SortAggregate (struct buffers
+    * aren't row-mutable), which sorts every partition of the line
+    * stream. Preconditions, checked at the call boundary for the
+    * fixture contract: doc_id ∈ [0, 2^42) and < 2^21 lines per doc
+    * (a 2M-line doc would be a >100 MB single row) — then the packed
+    * order IS the (doc_id, pos) lexicographic order.
+    */
+  private val LinePosBits = 21
+
   private[graft] def lineDedupText(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    val enc = shiftleft(col("doc_id"), LinePosBits) + col("pos")
     val lines = docs
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
       .select(col("doc_id"), posexplode(expr(LinesExpr)).as(Seq("pos", "line")))
-      .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"))
-    val winners = lines.groupBy(col("lh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"),
+        enc.as("enc"))
+    val winners = lines.groupBy(col("lh")).agg(min(col("enc")).as("w"))
     lines.join(winners, "lh")
-      .withColumn("kept",
-        (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
-          .cast("int"))
+      .withColumn("kept", (col("w") === col("enc")).cast("int"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("int").as("n_lines"),
