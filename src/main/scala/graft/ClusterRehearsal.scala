@@ -56,7 +56,7 @@ object ClusterRehearsal {
       "q74_dedup_keep" -> SparkEntry.queries("q74_dedup_keep"),
       "q75_bpe_encode" -> SparkEntry.queries("q75_bpe_encode"),
       // r8c: q76's broadcast weight table + decimal cnt·w scoring,
-      // q77's min-struct winner aggregate and doc rebuild, q78's
+      // q77's packed-bigint-min winner aggregate and doc rebuild, q78's
       // deferred-norm score chain across 8 checkpointed rounds, s08's
       // sliding-window explode through TopKPerGroupExec — all in
       // executor JVMs that never ran the driver

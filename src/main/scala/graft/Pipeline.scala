@@ -737,8 +737,10 @@ object Pipeline {
         .join(operators.CurationOps.lineDedupText(gated0)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("kept_text").as("text")), "doc_id")
+        // n_chars re-derives from the REWRITTEN text — the original
+        // count would silently describe bytes the doc no longer has
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
+          length(col("text")).cast("bigint").as("n_chars"))
         .localCheckpoint(false)
 
     // near-dedup: drop the higher id of every hamming ≤ 3 pair
@@ -768,7 +770,12 @@ object Pipeline {
       .localCheckpoint(false)
 
     // select: source-quota mix by default; DSIR importance resampling
-    // toward the target predicate when the recipe asks for it
+    // toward the target predicate when the recipe asks for it.
+    // DOCUMENTED DIVERGENCE between the branches: DSIR scores docs by
+    // their extracted word features, so a doc with NO [a-z]+ runs
+    // (numeric tables, non-Latin text) has no score and can never be
+    // drawn here, while the quota draw could select it — a corpus
+    // where that matters should gate on langid (q28) first
     val drawn = dsirTarget match {
       case None =>
         operators.TextOps.sourceMixDraw(clean, mixTarget).select(col("doc_id"))

@@ -96,7 +96,7 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet("/tmp/sfconst/documents.parquet")
     time("q31_hot_band")(operators.SimilarityOps.q31_simhash.run(spark, "/tmp/sfconst").count())
     // q77 on the constant corpus: every line of every doc is THE same
-    // line — the min-struct winner aggregate must collapse it map-side
+    // line — the packed-bigint-min winner aggregate must collapse it map-side
     // (flat wall-clock), the join-back hot key rides AQE skew handling,
     // and exactly one doc keeps its text
     time("q77_hot_line")(operators.CurationOps.q77_line_dedup.run(spark, "/tmp/sfconst").count())

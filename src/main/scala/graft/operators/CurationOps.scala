@@ -101,6 +101,12 @@ object CurationOps {
         sum(when(col("is_target"), col("cnt")).otherwise(lit(0L)))
           .cast("double").as("t_cnt"))
       val tot = counts.agg(sum(col("r_cnt")).as("rr"), sum(col("t_cnt")).as("tt"))
+      // cross-engine note (q64's trade): JVM Math.log and DuckDB ln
+      // are each ~1-ulp accurate but not identically rounded, so a
+      // weight landing within ~1e-16 of a 0.5e-6 rounding boundary
+      // COULD round apart (~1e-7 odds across 256 buckets). Accepted
+      // for the hash-exact oracle like q61/q64; a flake here means
+      // this, not a logic bug.
       val w = counts.crossJoin(broadcast(tot))
         .select(col("b"), round(
           log((col("t_cnt") + lit(1.0)) / (col("tt") + b.cast("double"))) -
@@ -217,10 +223,12 @@ object CurationOps {
     * `min(bigint)` — a plain HASH aggregate. `min(struct(...))` is
     * correct too but Spark plans it as a SortAggregate (struct buffers
     * aren't row-mutable), which sorts every partition of the line
-    * stream. Preconditions, checked at the call boundary for the
-    * fixture contract: doc_id ∈ [0, 2^42) and < 2^21 lines per doc
-    * (a 2M-line doc would be a >100 MB single row) — then the packed
-    * order IS the (doc_id, pos) lexicographic order.
+    * stream. Preconditions for the packed order to BE the (doc_id,
+    * pos) lexicographic order: doc_id ∈ [0, 2^42) and < 2^21 lines per
+    * doc (a 2M-line doc would be a >100 MB single row) — enforced
+    * per row by an `assert_true` the optimizer cannot prune
+    * (LinkStore.write's validate idiom), so an out-of-contract corpus
+    * fails the job loudly instead of silently crowning wrong winners.
     */
   private val LinePosBits = 21
 
@@ -231,6 +239,11 @@ object CurationOps {
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
       .select(col("doc_id"), posexplode(expr(LinesExpr)).as(Seq("pos", "line")))
+      .filter(assert_true(
+        col("doc_id") >= 0 && col("doc_id") < lit(1L << (63 - LinePosBits)) &&
+          col("pos") < lit(1 << LinePosBits),
+        concat(lit("line-dedup packing contract violated at doc "),
+          col("doc_id"), lit(" pos "), col("pos"))).isNull)
       .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"),
         enc.as("enc"))
     val winners = lines.groupBy(col("lh")).agg(min(col("enc")).as("w"))

@@ -147,14 +147,10 @@ class GraphOpsSpec extends SparkSpec {
     val out = GraphOps.q79_host_components.run(spark, sfDir).collect()
     val hostTotal = out.map(r =>
       r.getAs[Long]("component_size") * r.getAs[Long]("n_components")).sum
-    val distinctHosts = Tables.links(spark, sfDir)
-      .select(col("page_host").as("h"))
-      .union(Tables.links(spark, sfDir).select(
-        concat(
-          when(col("link_subdomain") === "", lit(""))
-            .otherwise(concat(col("link_subdomain"), lit("."))),
-          col("link_domain"))))
-      .distinct().count()
+    // count hosts through the PRODUCTION edge extraction, not a copy
+    val e = GraphOps.edgesOf(Tables.links(spark, sfDir))
+    val distinctHosts = e.select(col("src").as("h"))
+      .union(e.select(col("dst"))).distinct().count()
     assert(hostTotal == distinctHosts,
       s"components cover $hostTotal hosts, graph has $distinctHosts")
   }
@@ -193,13 +189,7 @@ class GraphOpsSpec extends SparkSpec {
 
   test("q78 scores are L2-normalized over the full crawl graph") {
     val full = GraphOps.hitsOnEdges(
-      Tables.links(spark, sfDir)
-        .select(col("page_host").as("src"),
-          concat(
-            when(col("link_subdomain") === "", lit(""))
-              .otherwise(concat(col("link_subdomain"), lit("."))),
-            col("link_domain")).as("dst"))
-        .distinct()).collect()
+      GraphOps.edgesOf(Tables.links(spark, sfDir))).collect()
     assert(full.nonEmpty)
     val authNorm = math.sqrt(full.map(r => math.pow(r.getDouble(1), 2)).sum)
     val hubNorm = math.sqrt(full.map(r => math.pow(r.getDouble(2), 2)).sum)
