@@ -64,6 +64,90 @@ class CurationOpsSpec extends SparkSpec {
     assert(totKept < totLines)
   }
 
+  test("q77 differential fuzz: agrees with a driver-side reference line dedup") {
+    import spark.implicits._
+    val L = 10
+    // reference over raw line STRINGS (the operator keys on md5 of the
+    // same strings — equivalent modulo collisions)
+    def refDedup(docs: Seq[(Long, String)]): Map[Long, (Int, Int, String)] = {
+      val lined = docs.map { case (id, tx) =>
+        val t = "[a-z]+".r.findAllIn(tx.toLowerCase).toVector
+        id -> t.grouped(L).map(_.mkString(" ")).toVector
+      }
+      val flat = for {
+        (id, ls) <- lined
+        (line, pos) <- ls.zipWithIndex
+      } yield (id, pos, line)
+      val winners = flat.groupBy(_._3)
+        .map { case (line, os) => line -> os.minBy(o => (o._1, o._2)) }
+      lined.map { case (id, ls) =>
+        val kept = ls.zipWithIndex.filter { case (line, pos) =>
+          winners(line) == ((id, pos, line)) }
+        id -> ((ls.size, kept.size, kept.map(_._1).mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("ox", "ant", "bee", "cat", "dog", "elk")
+    for (trial <- 1 to 4) {
+      // tiny vocab + line-width-multiple and ragged lengths = dense
+      // duplicate lines, within-doc repeats, short trailing lines
+      val docs = (1L to (15 + rnd.nextInt(25)).toLong).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(35))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = CurationOps.lineDedupText(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got == refDedup(docs), s"trial $trial diverged")
+    }
+  }
+
+  test("q76 differential fuzz: agrees with a driver-side reference DSIR") {
+    import spark.implicits._
+    val B = 256
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    def refScores(docs: Seq[(Long, String, String)], target: Set[String])
+        : Map[Long, (Double, Int)] = {
+      val feats = docs.map { case (id, src, tx) =>
+        val t = "[a-z]+".r.findAllIn(tx.toLowerCase).toVector
+        (id, src, (t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket))
+      }
+      val all = feats.flatMap(_._3)
+      val tgt = feats.filter(f => target(f._2)).flatMap(_._3)
+      val rCnt = all.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+      val tCnt = tgt.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+      val (rr, tt) = (all.size.toDouble, tgt.size.toDouble)
+      def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val wt = rCnt.keys.map(b => b -> rnd6(
+        math.log((tCnt.getOrElse(b, 0.0) + 1.0) / (tt + B)) -
+          math.log((rCnt(b) + 1.0) / (rr + B)))).toMap
+      feats.map { case (id, _, fs) =>
+        id -> ((rnd6(fs.map(wt).sum.toDouble).toDouble, fs.size))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("ox", "ant", "bee", "cat", "dog", "elk", "fox")
+    for (trial <- 1 to 3) {
+      val docs = (1L to (20 + rnd.nextInt(20)).toLong).map { id =>
+        (id, s"src${rnd.nextInt(4)}",
+          Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = CurationOps.dsirScores(
+        docs.toDF("doc_id", "source", "text"),
+        col("source").isin("src0", "src1"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+      val want = refScores(docs, Set("src0", "src1"))
+      assert(got.keySet == want.keySet, s"trial $trial doc sets diverged")
+      got.foreach { case (id, (s, n)) =>
+        assert(n == want(id)._2, s"trial $trial n_feats($id)")
+        assert(math.abs(s - want(id)._1) < 1e-9, s"trial $trial score($id): $s vs ${want(id)._1}")
+      }
+    }
+  }
+
   test("q77 rebuilt text of an untouched doc is its normalized token stream") {
     // a doc whose lines are all kept reassembles to exactly
     // array_join(tokens, ' ') — pin that md5 equality for one such doc
