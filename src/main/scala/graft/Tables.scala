@@ -199,4 +199,46 @@ object Tables {
       |  SELECT doc_id + 2000000, 'Z' || substr(text, 2) AS text, n_chars FROM documents WHERE doc_id % 25 = 0
       |)
       |""".stripMargin
+
+  /** The host-template line every doc of a source carries (q80's
+    * boilerplate plant), parameterized by the source's letters-only
+    * name: exactly [[graft.operators.CurationOps]].LineWidth tokens, so
+    * it chunks into one whole pseudo-line at position 0.
+    */
+  val BoilerHeader = "nav home about contact footer copyright rights reserved site "
+
+  /** The RARE planted line (10% of each source's docs — strictly under
+    * q80's majority threshold, so it must survive the strip). Also
+    * exactly one pseudo-line wide.
+    */
+  val BoilerPromo = "subscribe weekly newsletter for updates offers and special deals now"
+
+  /** documents with a per-source template line planted at the head of
+    * EVERY doc (host chrome: 100% frequency → boilerplate) and
+    * [[BoilerPromo]] after it in 10% of each source's docs (a repeated
+    * but MINORITY line → must be kept). `source = doc_id % 20` in the
+    * testdata, so the 10% draw keys on `doc_id div 20` (the within-
+    * source index); `doc_id % 10` would hit all-or-nothing per source.
+    * Digits in the source name translate to letters because the token
+    * alphabet is `[a-z]+`.
+    */
+  def docsWithBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      concat(
+        lit(BoilerHeader),
+        translate(col("source"), "0123456789", "abcdefghij"),
+        when(expr("(doc_id div 20) % 10 = 0"), lit(" " + BoilerPromo))
+          .otherwise(lit("")),
+        lit(" "), col("text")).as("text"))
+
+  val docsBoilerplateCte: String =
+    s"""WITH alldocs AS (
+       |  SELECT doc_id, source,
+       |    '$BoilerHeader' || translate(source, '0123456789', 'abcdefghij') ||
+       |    CASE WHEN (doc_id // 20) % 10 = 0 THEN ' $BoilerPromo' ELSE '' END ||
+       |    ' ' || text AS text
+       |  FROM documents
+       |)
+       |""".stripMargin
 }

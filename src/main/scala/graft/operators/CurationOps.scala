@@ -287,5 +287,109 @@ object CurationOps {
          |FROM ranked GROUP BY doc_id""".stripMargin)
   )
 
-  val all: Seq[GraftQuery] = Seq(q76_dsir, q77_line_dedup)
+  /** A source's template line counts as boilerplate only when the
+    * source has enough docs for "majority" to mean anything — below
+    * this, nothing is stripped (a 2-doc host sharing a line is
+    * coincidence, not chrome). Every SF's fixture has ≥ 25 docs per
+    * source, so the planted header is always over the bar.
+    */
+  private val BoilerMinDocs = 5
+
+  /** Host-level boilerplate-line removal (the RefinedWeb/CCNet pass
+    * that runs BEFORE q77's global line dedup): a line appearing in a
+    * strict majority of a host's documents is site chrome (navigation,
+    * footers, cookie banners), and every occurrence of it is stripped
+    * from that host's docs. Differs from q77 on both axes: the key is
+    * (host, line) not (line), and a boilerplate line survives NOWHERE
+    * (q77 keeps the globally-first occurrence).
+    *
+    * Scale shape:
+    *   - lines chunk row-locally in the scan stage (shared
+    *     [[LinesExpr]]); the per-(source, line) document frequency is
+    *     `distinct` + a count aggregate — both hash aggregates on the
+    *     same (source, lh) key prefix, map-side combined, so a line
+    *     repeated a million times in ONE doc collapses before either
+    *     exchange.
+    *   - per-source doc totals are a broadcast-size frame (one row per
+    *     host).
+    *   - the boilerplate table is O(hosts × template-lines) — tiny
+    *     relative to the corpus but NOT provably broadcast-size at
+    *     crawl scale, so the join back is left un-hinted: AQE converts
+    *     it to broadcast at runtime when the built side is actually
+    *     small (locally it always is), and falls back to a shuffle
+    *     join on the fixed-width (source, lh) key beyond.
+    *   - rebuild is q77's: one groupBy(doc_id), per-group state
+    *     bounded by the doc itself.
+    *
+    * Thresholds compare as integers (`2·d > n_docs`) — no float
+    * boundary to round apart cross-engine; md5 line keys, rebuilt text
+    * pinned by md5 → hash-exact oracle.
+    *
+    * Reference analogue: none (the reference ingests link metadata,
+    * not page text); pure training-data-pipeline surface like q77.
+    */
+  private[graft] def boilerplateStrip(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(LinesExpr)).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val srcDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val boiler = lines.select(col("source"), col("lh"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("lh"))
+      .agg(count(lit(1)).as("d"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("n_docs") >= BoilerMinDocs && col("d") * 2 > col("n_docs"))
+      .select(col("source"), col("lh"), lit(1).as("is_boiler"))
+    lines.join(boiler, Seq("source", "lh"), "left")
+      .withColumn("kept", col("is_boiler").isNull.cast("int"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(col("kept")).cast("int").as("n_kept"),
+        collect_list(when(col("kept") === 1, struct(col("pos"), col("line"))))
+          .as("kl"))
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(kl), x -> x.line)"))
+          .as("kept_text"))
+  }
+
+  val q80_boilerplate: GraftQuery = GraftQuery(
+    "q80_boilerplate",
+    (s, dir) =>
+      boilerplateStrip(Tables.docsWithBoilerplate(s, dir))
+        .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+          when(col("n_kept") > 0, md5(col("kept_text"))).as("kept_md5")),
+    Some(Tables.docsBoilerplateCte +
+      s""", toks AS (
+         |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM alldocs
+         |), lines AS (
+         |  SELECT doc_id, source, pos,
+         |    array_to_string(ts[(pos * $LineWidth + 1):(pos * $LineWidth + $LineWidth)], ' ') AS line
+         |  FROM (
+         |    SELECT doc_id, source, ts,
+         |      unnest(range(0, CAST(ceil(len(ts) / $LineWidth.0) AS INT))) AS pos
+         |    FROM toks) x
+         |), srcdocs AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM alldocs GROUP BY source
+         |), boiler AS (
+         |  SELECT source, line FROM (
+         |    SELECT source, line, COUNT(DISTINCT doc_id) AS d
+         |    FROM lines GROUP BY source, line) f
+         |  JOIN srcdocs USING (source)
+         |  WHERE n_docs >= $BoilerMinDocs AND d * 2 > n_docs
+         |), flagged AS (
+         |  SELECT l.doc_id, l.source, l.pos, l.line,
+         |    CASE WHEN b.line IS NULL THEN 1 ELSE 0 END AS kept
+         |  FROM lines l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+         |)
+         |SELECT doc_id, source, CAST(COUNT(*) AS INT) AS n_lines,
+         |  CAST(SUM(kept) AS INT) AS n_kept,
+         |  md5(string_agg(CASE WHEN kept = 1 THEN line END, ' ' ORDER BY pos)) AS kept_md5
+         |FROM flagged GROUP BY doc_id, source""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(q76_dsir, q77_line_dedup, q80_boilerplate)
 }

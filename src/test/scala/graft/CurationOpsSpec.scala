@@ -163,4 +163,84 @@ class CurationOpsSpec extends SparkSpec {
       .head().getAs[String]("m")
     assert(out(0).getAs[String]("kept_md5") == expect)
   }
+
+  test("q80 strips the planted host template and keeps the minority promo line") {
+    val docs = Tables.docsWithBoilerplate(spark, sfDir)
+    val out = CurationOps.boilerplateStrip(docs).collect()
+    assert(out.length == Tables.table(spark, sfDir, "documents").count())
+    val promoIds = docs
+      .filter(col("text").contains(Tables.BoilerPromo))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10% of each source, never a majority, never zero
+    assert(promoIds.nonEmpty && promoIds.size * 10 == out.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val kept = r.getAs[String]("kept_text")
+      // exactly one line (the per-source header) is ever over the
+      // majority bar in this fixture: synthetic doc text never repeats
+      // a 10-token chunk across half a source's docs
+      assert(r.getAs[Int]("n_kept") == r.getAs[Int]("n_lines") - 1,
+        s"doc $id: ${r.getAs[Int]("n_kept")} of ${r.getAs[Int]("n_lines")} kept")
+      assert(!kept.contains("copyright rights reserved"),
+        s"doc $id kept the planted template")
+      assert(kept.contains(Tables.BoilerPromo) == promoIds(id),
+        s"doc $id promo-line survival wrong")
+    }
+  }
+
+  test("q80 differential fuzz: agrees with a driver-side reference boilerplate strip") {
+    import spark.implicits._
+    val (l, minDocs) = (10, 5)
+    def refStrip(docs: Seq[(Long, String, String)])
+        : Map[Long, (Int, Int, String)] = {
+      val lined = docs.map { case (id, src, tx) =>
+        val t = "[a-z]+".r.findAllIn(tx.toLowerCase).toVector
+        (id, src, t.grouped(l).map(_.mkString(" ")).toVector)
+      }
+      val nDocs = docs.groupBy(_._2).map { case (s, d) => s -> d.size }
+      val docFreq = lined.flatMap { case (id, src, ls) =>
+        ls.distinct.map(line => (src, line) -> id)
+      }.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val boiler = docFreq.collect {
+        case ((src, line), d) if nDocs(src) >= minDocs && d * 2 > nDocs(src) =>
+          (src, line)
+      }.toSet
+      lined.map { case (id, src, ls) =>
+        val kept = ls.filterNot(line => boiler((src, line)))
+        id -> ((ls.size, kept.size, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("ox", "ant", "bee", "cat", "dog", "elk")
+    for (trial <- 1 to 4) {
+      // docs assemble from a small per-source pool of whole lines (so
+      // per-(source, line) doc frequencies straddle the majority bar)
+      // plus random lines and a ragged tail; one source stays under
+      // MinDocs so nothing may be stripped from it
+      def line() = Seq.fill(l)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val pools = Map("alpha" -> Vector.fill(4)(line()),
+        "beta" -> Vector.fill(4)(line()), "tiny" -> Vector.fill(2)(line()))
+      val sizes = Map("alpha" -> (minDocs + rnd.nextInt(12)),
+        "beta" -> (minDocs + rnd.nextInt(12)), "tiny" -> (minDocs - 1))
+      var nextId = 0L
+      val docs = pools.keys.toSeq.sorted.flatMap { src =>
+        (1 to sizes(src)).map { _ =>
+          nextId += 1
+          val pool = pools(src)
+          val body = Seq.fill(1 + rnd.nextInt(4))(
+            if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size)) else line())
+          val tail = if (rnd.nextBoolean())
+            Seq(Seq.fill(1 + rnd.nextInt(l - 1))(
+              vocab(rnd.nextInt(vocab.size))).mkString(" "))
+          else Nil
+          (nextId, src, (body ++ tail).mkString(" "))
+        }
+      }
+      val got = CurationOps.boilerplateStrip(docs.toDF("doc_id", "source", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
+        .toMap
+      assert(got == refStrip(docs), s"trial $trial diverged")
+    }
+  }
 }
