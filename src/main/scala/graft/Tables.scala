@@ -207,7 +207,7 @@ object Tables {
     */
   val BoilerHeader = "nav home about contact footer copyright rights reserved site "
 
-  /** The RARE planted line (10% of each source's docs — strictly under
+  /** The RARE planted line (~10% of each source's docs — strictly under
     * q80's majority threshold, so it must survive the strip). Also
     * exactly one pseudo-line wide.
     */
@@ -215,7 +215,7 @@ object Tables {
 
   /** documents with a per-source template line planted at the head of
     * EVERY doc (host chrome: 100% frequency → boilerplate) and
-    * [[BoilerPromo]] after it in 10% of each source's docs (a repeated
+    * [[BoilerPromo]] after it in ~10% of each source's docs (a repeated
     * but MINORITY line → must be kept). `source = doc_id % 20` in the
     * testdata, so the 10% draw keys on `doc_id div 20` (the within-
     * source index); `doc_id % 10` would hit all-or-nothing per source.

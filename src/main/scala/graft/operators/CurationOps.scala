@@ -141,7 +141,7 @@ object CurationOps {
             |    FROM docs) u
             |), counts AS (
             |  SELECT b, CAST(COUNT(*) AS DOUBLE) AS r_cnt,
-            |    CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS DOUBLE) AS t_cnt
+            |    CAST(SUM(CASE WHEN source IN (${DsirTarget.map(s => s"'$s'").mkString(", ")}) THEN 1 ELSE 0 END) AS DOUBLE) AS t_cnt
             |  FROM fx GROUP BY b
             |), tot AS (
             |  SELECT SUM(r_cnt) AS rr, SUM(t_cnt) AS tt FROM counts

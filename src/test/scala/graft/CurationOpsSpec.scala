@@ -171,8 +171,22 @@ class CurationOpsSpec extends SparkSpec {
     val promoIds = docs
       .filter(col("text").contains(Tables.BoilerPromo))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // 10% of each source, never a majority, never zero
-    assert(promoIds.nonEmpty && promoIds.size * 10 == out.length)
+    // The plant predicate is (doc_id div 20) % 10 = 0 — roughly 10% of
+    // each source, but NOT exactly (within-source counts need not be a
+    // multiple of 10), so derive the expected set from the predicate
+    // rather than assuming a ratio.
+    val planted = docs.filter(expr("(doc_id div 20) % 10 = 0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(promoIds.nonEmpty && promoIds == planted)
+    // …and it must stay strictly under the majority bar per source, or
+    // the strip would (correctly) remove it and the test premise breaks
+    docs.groupBy("source")
+      .agg(count("*").as("n"),
+        sum(when(expr("(doc_id div 20) % 10 = 0"), 1L).otherwise(0L)).as("p"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("p") * 2 < r.getAs[Long]("n"),
+          s"source ${r.get(0)}: promo line planted in a majority of docs")
+      }
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val kept = r.getAs[String]("kept_text")
