@@ -62,6 +62,9 @@ object ClusterRehearsal {
       // executor JVMs that never ran the driver
       "q76_dsir" -> SparkEntry.queries("q76_dsir"),
       "q77_line_dedup" -> SparkEntry.queries("q77_line_dedup"),
+      // r9: q80's per-(source,line) doc-frequency aggregate + the
+      // un-hinted boilerplate join-back, cross-JVM
+      "q80_boilerplate" -> SparkEntry.queries("q80_boilerplate"),
       "q78_hits" -> SparkEntry.queries("q78_hits"),
       "s08_stream_trending" -> SparkEntry.queries("s08_stream_trending"))
 

@@ -653,27 +653,63 @@ object Pipeline {
   def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer =
     new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port,
       // a swap mid-request leaves the shared FileStatusCache holding
-      // the dead store's listing; drop it before the server's rebind
-      // retry (see LinkApiServer.queryWithRetry)
-      onStale = () => spark.catalog.refreshByPath(s"$outDir/links"),
+      // the dead store's listing; drop BOTH stores' listings before
+      // the server's rebind retry (see LinkApiServer.withStoreRetry —
+      // links and pages fold in one publish, so either can go stale)
+      onStale = () => Seq("links", "pages").foreach { s =>
+        try spark.catalog.refreshByPath(s"$outDir/$s")
+        catch { case _: Exception => () } // absent sub-store: nothing cached
+      },
       // rank serving rides the same server: pruned _RANKS read per
       // request; stores without a published ranks artifact just 404
-      rankOf = Some(host => hostRankOf(spark, outDir, host))).start()
+      rankOf = Some(host => hostRankOf(spark, outDir, host)),
+      // page serving too: fresh partition-pruned eTLD+1 page-store
+      // read per request, the page-side sibling of the links binding
+      pageDbOf = Some(host => pageDb(spark, outDir, host))).start()
 
   final case class ExportStats(
       input: Long, gated: Long, deduped: Long, semdeduped: Long,
       decontaminated: Long, exported: Long, shards: Int,
-      lineDeduped: Long = -1)
+      lineDeduped: Long = -1, boilerplated: Long = -1)
+
+  /** Rewrites `base`'s text to the surviving lines of a q77/q80-shaped
+    * kept-lines frame (doc_id, n_kept, kept_text). Docs ABSENT from
+    * the frame never produced a line — no [a-z]+ run at all (numeric
+    * tables, non-Latin scripts), so the line passes cannot see them —
+    * and pass through UNCHANGED: they can't be line-duplicates or
+    * chrome, and an inner join here would silently bias the corpus
+    * against non-Latin text (the DSIR divergence note's sibling
+    * case). Docs PRESENT with n_kept = 0 lost every line on the
+    * merits (all-duplicate / all-chrome) and drop. n_chars re-derives
+    * from the rewritten text — the original count would describe
+    * bytes the doc no longer has.
+    */
+  private[graft] def rewriteToKeptLines(base: DataFrame, kept: DataFrame): DataFrame =
+    base.join(
+        kept.select(col("doc_id"), col("n_kept"), col("kept_text")),
+        Seq("doc_id"), "left")
+      .filter(col("n_kept").isNull || col("n_kept") > 0)
+      .select(col("doc_id"),
+        when(col("n_kept").isNotNull, col("kept_text"))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
 
   /** Curated-corpus delivery — the last mile of the training-data
     * story, wiring the individually-verified stages into ONE export:
     *
     *   gate (q47 Gopher verdicts + q57 classifier keep)
+    *   → [optional] BOILERPLATE strip (q80: a line in a strict
+    *     majority of its host's docs is site chrome and is removed
+    *     from every doc of that host; runs FIRST among the line
+    *     passes — chrome should drop outright, not win q77's
+    *     first-occurrence survivorship in whichever doc the line
+    *     stream meets first)
     *   → [optional] LINE dedup (q77: duplicated lines survive only at
     *     their globally-first occurrence; docs REWRITE to their kept
     *     lines, docs left with nothing drop — the RefinedWeb
-    *     boilerplate killer, run before the doc-level passes so
-    *     shared chrome can't glue distinct docs into near-dups)
+    *     line-survivorship pass, run before the doc-level passes so
+    *     shared text can't glue distinct docs into near-dups)
     *   → near-dedup (q31/q60 SimHash machinery; the LOWER doc_id of
     *     every pair within hamming ≤ 3 survives — exact dups are
     *     hamming 0, so one pass subsumes q24)
@@ -708,6 +744,7 @@ object Pipeline {
       evalPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 7,
       semdedupEmb: Option[DataFrame] = None,
       lineDedup: Boolean = false,
+      boilerplate: Boolean = false,
       dsirTarget: Option[org.apache.spark.sql.Column] = None,
       stats: Boolean = true): ExportStats = {
     val docs = Tables.table(spark, sfDir, "documents")
@@ -728,19 +765,23 @@ object Pipeline {
       // stages are deterministic, so both choices export identically
       .localCheckpoint(false)
 
+    // optional host-boilerplate strip: q80's majority-line chrome
+    // removal, REWRITING text to the surviving lines. Runs before
+    // line dedup (chrome drops outright instead of surviving at its
+    // first occurrence) and before the doc-level dedups (shared
+    // chrome inflates SimHash similarity between distinct docs)
+    val stripped = if (!boilerplate) gated0 else
+      rewriteToKeptLines(gated0,
+        operators.CurationOps.boilerplateStrip(gated0))
+        .localCheckpoint(false)
+
     // optional line dedup: REWRITES text to the kept lines (q77's
     // keep-first semantics); a doc whose every line lived elsewhere
     // first drops here. Runs before the doc-level dedups so shared
-    // boilerplate can't make distinct docs look near-identical.
-    val gated = if (!lineDedup) gated0 else
-      gated0.drop("text")
-        .join(operators.CurationOps.lineDedupText(gated0)
-          .filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("kept_text").as("text")), "doc_id")
-        // n_chars re-derives from the REWRITTEN text — the original
-        // count would silently describe bytes the doc no longer has
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          length(col("text")).cast("bigint").as("n_chars"))
+    // text can't make distinct docs look near-identical.
+    val gated = if (!lineDedup) stripped else
+      rewriteToKeptLines(stripped,
+        operators.CurationOps.lineDedupText(stripped))
         .localCheckpoint(false)
 
     // near-dedup: drop the higher id of every hamming ≤ 3 pair
@@ -795,7 +836,8 @@ object Pipeline {
       input = train.count(), gated = gated0.count(), deduped = deduped.count(),
       semdeduped = if (semdedupEmb.isDefined) semdeduped.count() else -1,
       decontaminated = clean.count(), exported = nExported, shards = shards,
-      lineDeduped = if (lineDedup) gated.count() else -1)
+      lineDeduped = if (lineDedup) gated.count() else -1,
+      boilerplated = if (boilerplate) stripped.count() else -1)
     else ExportStats(-1, -1, -1, -1, -1, exported = nExported, shards = shards)
   }
 }

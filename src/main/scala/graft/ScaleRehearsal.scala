@@ -100,6 +100,39 @@ object ScaleRehearsal {
     // (flat wall-clock), the join-back hot key rides AQE skew handling,
     // and exactly one doc keeps its text
     time("q77_hot_line")(operators.CurationOps.q77_line_dedup.run(spark, "/tmp/sfconst").count())
+    // r9: q80 at 10x organic scale — the per-(source,line) document
+    // frequency is two hash aggregates on the same key prefix; cost
+    // must track the line stream linearly
+    time("q80_boiler_10x")(operators.CurationOps.boilerplateStrip(
+      spark.read.parquet("/tmp/sfx10/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))).count())
+    // q80 degenerate-source rehearsal: ONE line repeated across every
+    // doc of each source (50k docs, 5 sources). The (source, lh)
+    // distinct + count must collapse map-side (flat wall-clock), the
+    // join-back hot key rides AQE, and every doc strips to empty
+    // (n_kept = 0 across the board)
+    spark.range(50000).selectExpr("id AS doc_id",
+        "concat('src', id % 5) AS source",
+        "'the same chrome on every page of the site' AS text")
+      .write.mode("overwrite").parquet("/tmp/sfsrcconst/documents.parquet")
+    time("q80_hot_boiler")(operators.CurationOps.boilerplateStrip(
+      spark.read.parquet("/tmp/sfsrcconst/documents.parquet")).count())
+    // r9: the FULL delivery funnel at 10x with every optional stage
+    // on — boilerplate strip + line dedup + SemDeDup + DSIR. The run
+    // must complete with flat executor memory (every state frame is
+    // pair-, host-, or benchmark-sized, never corpus-sized); stage
+    // yields print so a selectivity regression is visible
+    val embSrc = Tables.table(spark, "/root/testdata/sf0.1", "embeddings")
+    val scaledEmb = (0 until 10).map(i =>
+      embSrc.select((col("vec_id") + i * 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionAll _)
+    val t0 = System.nanoTime()
+    val st = Pipeline.exportCorpus(spark, "/tmp/sfx10", "/tmp/sfx10_export/corpus",
+      mixTarget = 5000, docsPerShard = 1000,
+      semdedupEmb = Some(scaledEmb), lineDedup = true, boilerplate = true,
+      dsirTarget = Some(col("source").isin("src0", "src1")))
+    println(f"exportCorpus_10x     ${(System.nanoTime() - t0) / 1e9}%8.1fs  $st")
     spark.stop()
   }
 

@@ -22,18 +22,29 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS), which vanilla Spark 4
-      // refuses; read nanos as long, convert to a proper timestamp.
-      // Session-global by necessity (there is no per-read option for
-      // this flag); avoid the plan-build-time mutation when the session
-      // is already configured.
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
+      // generations (which vanilla Spark 4 refuses — read nanos as long,
+      // convert) and plain TIMESTAMP(MICROS) in others. Handle BOTH by
+      // inspecting what the scan actually produced, so a testdata regen
+      // can't silently break every events query. The conf is
+      // session-global by necessity (no per-read option); avoid the
+      // plan-build-time mutation when the session is already configured.
       if (spark.conf.get(NanosAsLong, "false") != "true")
         spark.conf.set(NanosAsLong, "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
         // integer `div`, not `/`: epoch-nanos exceed double's exact range,
         // and `/` is double division. Floor-to-micros matches DuckDB's own
         // nanos->micros truncation when it reads the same parquet.
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // micros parquet reads as NTZ; cast to the instant type under the
+        // UTC session zone — identical wall-clock values to the nanos
+        // path, so every downstream plan and oracle sees one type
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Link fact table derived from orders x customer (dim join is a

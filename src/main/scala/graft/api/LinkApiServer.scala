@@ -44,7 +44,12 @@ final class LinkApiServer(
     // beyond the reference's surface: when set, POST /api/ranks serves
     // the store-maintained PageRank of one host (Pipeline.hostRankOf —
     // a partition-pruned read of the live generation's _RANKS)
-    rankOf: Option[String => Option[Double]] = None) {
+    rankOf: Option[String => Option[Double]] = None,
+    // beyond the reference's surface: when set, POST /api/pages serves
+    // the page records of one host (Pipeline.pageDb — a fresh
+    // partition-pruned eTLD+1 read of the page store per request, same
+    // bind-late posture as /api/links)
+    pageDbOf: Option[String => PageDb] = None) {
 
   // isRateLimited (controller.go:282-307): fixed window anchored at the
   // first request, counter reset when the window expires
@@ -78,6 +83,8 @@ final class LinkApiServer(
   server.createContext("/api/health", (ex: HttpExchange) => safely(ex)(handleHealth))
   rankOf.foreach(_ => server.createContext("/api/ranks",
     (ex: HttpExchange) => safely(ex)(handleRanks)))
+  pageDbOf.foreach(_ => server.createContext("/api/pages",
+    (ex: HttpExchange) => safely(ex)(handlePages)))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
@@ -176,23 +183,60 @@ final class LinkApiServer(
     }
   }
 
+  /** POST /api/pages — page-record lookup for one host, same envelope
+    * rules as /api/links (method, rate limit, parse/validation
+    * errors, swap-retry). Request: `host` (required, exact
+    * case-insensitive page host), optional `path`/`title` ("any"
+    * substring/regex filters — PageDb's vocabulary), `limit`, `page`.
+    * An unknown host returns the empty array like an unmatched
+    * domain on /api/links: "no pages" is an answer, not an error.
+    */
+  private def handlePages(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+    val caller = ex.getRemoteAddress.getAddress.getHostAddress
+    if (isRateLimited(caller))
+      return send(ex, 429, err("ErrorTooManyRequests", "Too Many Requests"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try Some(JsonMethods.parse(body))
+      catch { case _: Exception => None }
+    parsed match {
+      case None =>
+        send(ex, 400, err("ErrorParsing", "Error parsing request"))
+      case Some(j) =>
+        (j \ "host") match {
+          case JString(raw) if raw.nonEmpty =>
+            val host = raw.trim.toLowerCase
+            if (!host.matches(UrlFns.DomainRegex))
+              send(ex, 400, err("ErrorInvalidDomain", "Invalid host"))
+            else {
+              def str(v: JValue): Option[String] = v match {
+                case JString(s) if s.nonEmpty => Some(s)
+                case _ => None
+              }
+              def int(v: JValue, dflt: Int): Int = v match {
+                case JInt(n) => n.toInt
+                case JLong(n) => n.toInt
+                case _ => dflt
+              }
+              val req = PageDbRequest(host,
+                pathAny = str(j \ "path"), titleAny = str(j \ "title"),
+                limit = int(j \ "limit", 100), page = int(j \ "page", 1))
+              val out = withStoreRetry(pageDbOf.get(host).query(req))
+              send(ex, 200, JsonMethods.compact(JArray(out.toList.map(renderPage))))
+            }
+          case _ =>
+            send(ex, 400, err("ErrorNoDomain", "Host is required"))
+        }
+    }
+  }
+
   /** Same stale-store handling as [[queryWithRetry]]: a fold swapping
     * generations mid-lookup re-resolves against the new pointer.
     */
-  private def rankWithRetry(host: String): Option[Double] = {
-    var attempt = 1
-    while (true) {
-      try return rankOf.get(host)
-      catch {
-        case e: Exception if isStaleStore(e) &&
-            attempt < (if (isMissingRoot(e)) 2 else 8) =>
-          attempt += 1
-          onStale()
-          Thread.sleep(25L * attempt)
-      }
-    }
-    None // unreachable
-  }
+  private def rankWithRetry(host: String): Option[Double] =
+    withStoreRetry(rankOf.get(host))
 
   /** A store rewrite (Pipeline.foldSegments/compactStream) that swaps
     * directories mid-request invalidates the part files an in-flight
@@ -204,21 +248,25 @@ final class LinkApiServer(
     * failing after the swap settles is a real error and surfaces as
     * the usual 500.
     */
-  private def queryWithRetry(domain: String, req: LinkDbRequest): Seq[LinkOut] = {
-    // 8 attempts: under a fold, serving jobs can queue behind the
-    // fold's own jobs long enough to outlive the store's two-generation
-    // retention — each retry rebinds to the then-current generation,
-    // so attempts only need to outnumber plausible consecutive misses.
-    // A bind-time missing ROOT (PATH_NOT_FOUND) gets only one retry: a
-    // store that was never created can't appear by waiting, and 8
-    // sleep-retry loops per request against a misconfigured path would
-    // let a modest request rate pin the whole worker pool
+  private def queryWithRetry(domain: String, req: LinkDbRequest): Seq[LinkOut] =
+    withStoreRetry(resolve(domain).query(req))
+
+  /** The retry policy every serving route shares. 8 attempts: under a
+    * fold, serving jobs can queue behind the fold's own jobs long
+    * enough to outlive the store's two-generation retention — each
+    * retry rebinds to the then-current generation, so attempts only
+    * need to outnumber plausible consecutive misses. A bind-time
+    * missing ROOT (PATH_NOT_FOUND) gets only one retry: a store that
+    * was never created can't appear by waiting, and 8 sleep-retry
+    * loops per request against a misconfigured path would let a
+    * modest request rate pin the whole worker pool.
+    */
+  private def withStoreRetry[T](f: => T): T = {
     val maxAttempts = 8
     val missingRootAttempts = 2
     var attempt = 1
-    var out: Seq[LinkOut] = null
-    while (out == null) {
-      try out = resolve(domain).query(req)
+    while (true) {
+      try return f
       catch {
         case e: Exception if isStaleStore(e) &&
             attempt < (if (isMissingRoot(e)) missingRootAttempts else maxAttempts) =>
@@ -232,7 +280,7 @@ final class LinkApiServer(
           Thread.sleep(25L * attempt)
       }
     }
-    out
+    throw new IllegalStateException("unreachable")
   }
 
   /** Missing ROOT only: a PATH_NOT_FOUND naming a `_gen-` directory is
@@ -343,6 +391,18 @@ final class LinkApiServer(
     "date_to" -> JString(o.dateTo),
     "ip" -> JArray(o.ips.toList.map(JString(_))),
     "qty" -> JInt(BigInt(o.qty)))
+
+  /** PageOut with tags matching the reference's page-file fields
+    * (importer/main.go FilePage; no JSON analogue exists in the
+    * reference — pages never had an endpoint there).
+    */
+  private def renderPage(o: PageOut): JObject = JObject(
+    "page_url" -> JString(o.pageUrl),
+    "title" -> JString(o.title),
+    "ip" -> JString(o.ip),
+    "crawl_date" -> JString(o.crawlDate),
+    "no_index" -> JInt(o.noIndex),
+    "page_no_follow" -> JInt(o.pageNoFollow))
 
   /** GenerateError (error.go): {errorCode, function, error}. */
   private def err(code: String, msg: String): String =

@@ -196,6 +196,93 @@ object GraphOps {
     None // float summation order is engine-specific; invariants in GraphOpsSpec
   )
 
+  private val VerifyIters = 3
+  private val PrVerifyScale = 1000000000000L // 1e12: rank 1.0 = 10^12 units
+
+  /** q51's DRIVER-GATED companion (the q30→q30_verify pattern): the
+    * same damped power method spelled in INTEGER arithmetic — ranks
+    * carried as `rank × 10^12` BIGINTs, every division a truncating
+    * integer `div` — so three fixed iterations produce bit-identical
+    * numbers in any engine and the query carries a full rows+schema+
+    * hash oracle. Float q51 stays rows-only (summation order); this
+    * pins the graph derivation, dangling-mass redistribution and
+    * update rule cross-engine, and GraphOpsSpec asserts the float and
+    * integer spellings agree to within the truncation error, so a
+    * rank regression fails the DRIVER gate, not just ScalaTest.
+    * Truncation loses < 1 unit (10^-12 of a rank) per division;
+    * magnitudes stay ≤ n·10^12 ≪ Long.Max.
+    */
+  private[graft] def pageRankExact(
+      edgeFrame: org.apache.spark.sql.DataFrame,
+      iters: Int = VerifyIters): org.apache.spark.sql.DataFrame = {
+    val e = edgeFrame.localCheckpoint(false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(false)
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(false)
+    var ranks = nodes.withColumn("r", lit(PrVerifyScale))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
+      val dmass = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+      val contribs = withDeg.filter(col("out_deg").isNotNull)
+        .select(col("host"), expr("r div out_deg").as("share"))
+        .join(e, col("host") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
+      ranks = ranks.select(col("host"))
+        .join(contribs, col("host") === col("dst"), "left")
+        .crossJoin(broadcast(dmass))
+        .select(col("host"),
+          (lit(15L * PrVerifyScale / 100) +
+            expr(s"(85 * ((dmass div $n) + coalesce(in_share, CAST(0 AS BIGINT)))) div 100"))
+            .as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("host"), col("r").cast("bigint").as("rank_scaled"))
+  }
+
+  private def prVerifyIterSql(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"it${k - 1}"
+    s""", d$k AS (
+       |  SELECT COALESCE(SUM(r), 0) AS dmass FROM $prev
+       |  WHERE host NOT IN (SELECT src FROM deg)
+       |), c$k AS (
+       |  SELECT e.dst AS host, SUM(p.r // g.out_deg) AS in_share
+       |  FROM $prev p JOIN deg g ON p.host = g.src JOIN e ON p.host = e.src
+       |  GROUP BY e.dst
+       |), it$k AS (
+       |  SELECT nd.host,
+       |    ${15L * PrVerifyScale / 100} +
+       |      (85 * ((SELECT dmass FROM d$k) // (SELECT COUNT(*) FROM nodes)
+       |        + COALESCE(c.in_share, 0))) // 100 AS r
+       |  FROM nodes nd LEFT JOIN c$k c ON nd.host = c.host
+       |)""".stripMargin
+  }
+
+  val q51_verify: GraftQuery = GraftQuery(
+    "q51_verify",
+    (s, dir) => pageRankExact(edges(s, dir))
+      .orderBy(col("rank_scaled").desc, col("host").asc),
+    Some(Tables.linksCte +
+      """, e AS (
+        |  SELECT DISTINCT page_host AS src,
+        |    (CASE WHEN link_subdomain = '' THEN '' ELSE link_subdomain || '.' END)
+        |      || link_domain AS dst
+        |  FROM links
+        |), nodes AS (
+        |  SELECT src AS host FROM e UNION SELECT dst FROM e
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src
+        |), r0 AS (
+        |  SELECT host, CAST(%S% AS BIGINT) AS r FROM nodes
+        |)""".stripMargin.replace("%S%", PrVerifyScale.toString) +
+      (1 to VerifyIters).map(prVerifyIterSql).mkString +
+      s"""
+         |SELECT host, CAST(r AS BIGINT) AS rank_scaled FROM it$VerifyIters
+         |ORDER BY rank_scaled DESC, host""".stripMargin)
+  )
+
   /** Rank SERVING — the read-side of the store-maintained incremental
     * PageRank (Pipeline.foldSegments(maintainRanks)/
     * publishRankedStore): look up the live generation's `_RANKS` for a
@@ -316,6 +403,79 @@ object GraphOps {
     None // float order; invariants + fixture parity in GraphOpsSpec
   )
 
+  private val HitsVerifyScale = 1000000000L // 1e9: max score = 10^9 units
+
+  /** q78's DRIVER-GATED companion (q51_verify's sibling): two full
+    * HITS rounds from hub₀ = 1 in pure INTEGER arithmetic —
+    * normalization-free iterates are exact integer sums (the update
+    * is linear, so skipping per-round normalization only rescales),
+    * then ONE final max-normalization to `score × 10^9` via
+    * truncating integer division. Bit-identical in any engine →
+    * full rows+schema+hash oracle; magnitudes stay ≤ n⁴ ≈ 10^7
+    * before the 10^9 scale-up, far under Long.Max. GraphOpsSpec
+    * asserts the float spelling ranks hosts in the same order.
+    */
+  private[graft] def hitsExact(edgeFrame: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = edgeFrame.localCheckpoint(false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst"))).distinct()
+    def step(scores: org.apache.spark.sql.DataFrame,
+        joinOn: String, groupTo: String): org.apache.spark.sql.DataFrame =
+      e.join(scores.withColumnRenamed("host", "jh"), col(joinOn) === col("jh"))
+        .groupBy(col(groupTo)).agg(sum(col("s")).as("s"))
+        .withColumnRenamed(groupTo, "host")
+    val a1 = e.groupBy(col("dst")).agg(count(lit(1)).cast("bigint").as("s"))
+      .withColumnRenamed("dst", "host") // auth₁ = in-degree (hub₀ = 1)
+    val h1 = step(a1, "dst", "src")
+    val a2 = step(h1, "src", "dst").localCheckpoint(false)
+    val h2 = step(a2, "dst", "src").localCheckpoint(false)
+    val aMax = a2.agg(coalesce(max(col("s")), lit(0L)).as("amax"))
+    val hMax = h2.agg(coalesce(max(col("s")), lit(0L)).as("hmax"))
+    nodes
+      .join(a2.select(col("host").as("ah"), col("s").as("a")),
+        col("host") === col("ah"), "left")
+      .join(h2.select(col("host").as("hh"), col("s").as("h")),
+        col("host") === col("hh"), "left")
+      .crossJoin(broadcast(aMax))
+      .crossJoin(broadcast(hMax))
+      .select(col("host"),
+        expr(s"cast(coalesce((a * $HitsVerifyScale) div nullif(amax, 0), 0) as bigint)")
+          .as("auth_scaled"),
+        expr(s"cast(coalesce((h * $HitsVerifyScale) div nullif(hmax, 0), 0) as bigint)")
+          .as("hub_scaled"))
+  }
+
+  val q78_verify: GraftQuery = GraftQuery(
+    "q78_verify",
+    (s, dir) => hitsExact(edges(s, dir))
+      .orderBy(col("auth_scaled").desc, col("host").asc),
+    Some(Tables.linksCte +
+      s""", e AS (
+         |  SELECT DISTINCT page_host AS src,
+         |    (CASE WHEN link_subdomain = '' THEN '' ELSE link_subdomain || '.' END)
+         |      || link_domain AS dst
+         |  FROM links
+         |), nodes AS (
+         |  SELECT src AS host FROM e UNION SELECT dst FROM e
+         |), a1 AS (
+         |  SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY dst
+         |), h1 AS (
+         |  SELECT e.src AS host, SUM(x.s) AS s FROM e JOIN a1 x ON e.dst = x.host GROUP BY e.src
+         |), a2 AS (
+         |  SELECT e.dst AS host, SUM(x.s) AS s FROM e JOIN h1 x ON e.src = x.host GROUP BY e.dst
+         |), h2 AS (
+         |  SELECT e.src AS host, SUM(x.s) AS s FROM e JOIN a2 x ON e.dst = x.host GROUP BY e.src
+         |)
+         |SELECT nd.host,
+         |  CAST(COALESCE((a.s * $HitsVerifyScale) // NULLIF((SELECT MAX(s) FROM a2), 0), 0) AS BIGINT) AS auth_scaled,
+         |  CAST(COALESCE((h.s * $HitsVerifyScale) // NULLIF((SELECT MAX(s) FROM h2), 0), 0) AS BIGINT) AS hub_scaled
+         |FROM nodes nd
+         |LEFT JOIN a2 a ON nd.host = a.host
+         |LEFT JOIN h2 h ON nd.host = h.host
+         |ORDER BY auth_scaled DESC, nd.host""".stripMargin)
+  )
+
   /** q79: weakly-connected components of the host graph, reported as a
     * size histogram (how many islands of each size the crawl's link
     * structure splits into — the connectivity audit next to q52's
@@ -364,6 +524,6 @@ object GraphOps {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q51_pagerank, q52_degree_dist, q69_host_rank_serve, q78_hits,
-      q79_host_components)
+    Seq(q51_pagerank, q51_verify, q52_degree_dist, q69_host_rank_serve,
+      q78_hits, q78_verify, q79_host_components)
 }

@@ -201,4 +201,40 @@ class GraphOpsSpec extends SparkSpec {
     val again = GraphOps.q78_hits.run(spark, sfDir).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q51_verify integer PageRank agrees with the float spelling to truncation error") {
+    val edges = GraphOps.edgesOf(Tables.links(spark, sfDir))
+    val exact = GraphOps.pageRankExact(edges).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rank_scaled")).toMap
+    val float = GraphOps.pageRankWithStats(spark, sfDir, maxIters = 3)._1.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+    assert(exact.keySet == float.keySet)
+    // each of the 3 iterations truncates < 1 unit (of 1e12) per
+    // division, compounded over ≤ n in-edges — the two spellings must
+    // sit within a generous 1e6 units (= 1e-6 of a rank)
+    exact.foreach { case (host, scaled) =>
+      val diff = math.abs(float(host) * 1e12 - scaled)
+      assert(diff < 1e6, s"$host: float=${float(host)} scaled=$scaled diff=$diff")
+    }
+  }
+
+  test("q78_verify integer HITS agrees with the float spelling after rescaling") {
+    val edges = GraphOps.edgesOf(Tables.links(spark, sfDir))
+    val exact = GraphOps.hitsExact(edges).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("auth_scaled"), r.getAs[Long]("hub_scaled"))).toMap
+    val float = GraphOps.hitsOnEdges(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == float.keySet)
+    // rescale the float scores from L2-normalized to max-normalized —
+    // the integer spelling's units — then compare within truncation
+    val aMaxF = float.valuesIterator.map(_._1).max
+    val hMaxF = float.valuesIterator.map(_._2).max
+    exact.foreach { case (host, (a, h)) =>
+      val af = float(host)._1 / aMaxF * 1e9
+      val hf = float(host)._2 / hMaxF * 1e9
+      assert(math.abs(af - a) < 10, s"$host auth: float=$af scaled=$a")
+      assert(math.abs(hf - h) < 10, s"$host hub: float=$hf scaled=$h")
+    }
+  }
 }

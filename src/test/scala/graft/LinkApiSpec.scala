@@ -169,6 +169,116 @@ class LinkApiSpec extends SparkSpec {
     }
   }
 
+  private def postTo(port: Int, route: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$route"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /api/pages serves the store's page records with the page-file tags") {
+    // the REAL production binding: fresh partition-pruned page-store
+    // read per request (Pipeline.pageDb), store built by the real import
+    val fixture = new WatSourceSpec {}.fixturePath
+    val out = java.nio.file.Files.createTempDirectory("pagesapi").toString
+    Pipeline.importSegments(spark, Seq(fixture), out, stats = false)
+    val srv = new LinkApiServer(domain => Pipeline.linkDb(spark, out, domain),
+      port = 0, pageDbOf = Some(h => Pipeline.pageDb(spark, out, h))).start()
+    try {
+      val port = srv.boundPort
+      def code(resp: HttpResponse[String]): String =
+        (JsonMethods.parse(resp.body()) \ "errorCode": @unchecked) match { case JString(s) => s }
+
+      val ok = postTo(port, "/api/pages", """{"host":" WWW.SiteA.com ","limit":50}""")
+      assert(ok.statusCode() == 200)
+      val JArray(rows) = JsonMethods.parse(ok.body()): @unchecked
+      val direct = Pipeline.pageDb(spark, out, "www.sitea.com")
+        .query(api.PageDbRequest("www.sitea.com", limit = 50))
+      assert(rows.nonEmpty && rows.length == direct.length)
+      val JString(firstUrl) = rows.head \ "page_url": @unchecked
+      assert(firstUrl == direct.head.pageUrl)
+      val tags = Seq("page_url", "title", "ip", "crawl_date", "no_index", "page_no_follow")
+      rows.foreach(r => tags.foreach(t => assert((r \ t) != JNothing, s"missing $t")))
+
+      // the "any" filter vocabulary passes through the body
+      val filtered = postTo(port, "/api/pages", """{"host":"www.sitea.com","title":"about"}""")
+      val JArray(frows) = JsonMethods.parse(filtered.body()): @unchecked
+      val fdirect = Pipeline.pageDb(spark, out, "www.sitea.com")
+        .query(api.PageDbRequest("www.sitea.com", titleAny = Some("about")))
+      assert(frows.length == fdirect.length)
+
+      // unknown host is an empty data answer, not an error
+      val cold = postTo(port, "/api/pages", """{"host":"cold.example.org"}""")
+      assert(cold.statusCode() == 200 && cold.body() == "[]")
+      // request errors mirror the links envelope
+      val invalid = postTo(port, "/api/pages", """{"host":"not a host"}""")
+      assert(invalid.statusCode() == 400 && code(invalid) == "ErrorInvalidDomain")
+      val missing = postTo(port, "/api/pages", """{"limit":3}""")
+      assert(missing.statusCode() == 400 && code(missing) == "ErrorNoDomain")
+      val badJson = postTo(port, "/api/pages", """{"host": no-quotes}""")
+      assert(badJson.statusCode() == 400 && code(badJson) == "ErrorParsing")
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/pages"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    } finally srv.stop()
+  }
+
+  test("/api/pages is unbound when the store has no page serving") {
+    withServer() { port =>
+      val resp = postTo(port, "/api/pages", """{"host":"www.sitea.com"}""")
+      assert(resp.statusCode() == 404, "no pageDbOf binding => no route")
+    }
+  }
+
+  test("/api/pages requests spanning a page-store swap succeed via rebind-and-retry") {
+    val fixture = new WatSourceSpec {}.fixturePath
+    val out = java.nio.file.Files.createTempDirectory("pagesswap").toString
+    Pipeline.importSegments(spark, Seq(fixture), out, stats = false)
+    // a memory-pinned snapshot of the page records, so re-publishing
+    // never reads the store being swapped underneath it
+    val snap = graft.sinks.PageStore.read(spark, s"$out/pages")
+      .drop("domain_bucket").localCheckpoint(true)
+    val srv = new LinkApiServer(domain => Pipeline.linkDb(spark, out, domain),
+      port = 0, rateLimitMax = Int.MaxValue,
+      onStale = () => spark.catalog.refreshByPath(s"$out/pages"),
+      pageDbOf = Some(h => Pipeline.pageDb(spark, out, h))).start()
+    try {
+      val port = srv.boundPort
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val hammers = (1 to 8).map(_ => new Thread(() => {
+        while (!stop.get()) {
+          try codes.add(postTo(port, "/api/pages",
+            """{"host":"www.sitea.com","limit":5}""").statusCode())
+          catch { case _: java.io.IOException => () }
+        }
+      }))
+      hammers.foreach(_.start())
+      // six full prepare+swap cycles of the PAGE store while page
+      // requests are in flight (the window foldSegments opens on it);
+      // interleave a pause so in-flight requests straddle each swap
+      (1 to 6).foreach { _ =>
+        val gen = graft.sinks.StoreGen.prepare(spark, s"$out/pages",
+          tmp => graft.sinks.PageStore.write(snap, tmp))
+        graft.sinks.StoreGen.commit(spark, s"$out/pages", gen)
+        Thread.sleep(200)
+      }
+      // the swaps outpace per-request Spark jobs — keep hammering
+      // until the sample is statistically meaningful
+      val deadline = System.currentTimeMillis() + 60000
+      while (codes.size < 100 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      stop.set(true)
+      hammers.foreach(_.join(30000))
+      val seen = codes.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+      assert(seen.size >= 100, s"want >=100 concurrent requests, got ${seen.size}")
+      val bad = seen.filterNot(_ == 200)
+      assert(bad.isEmpty,
+        s"${bad.size} of ${seen.size} requests failed across swaps: ${bad.take(5)}")
+    } finally srv.stop()
+  }
+
   test("requests spanning a store swap succeed via rebind-and-retry") {
     // a REAL store served by the REAL binding (fresh partition-pruned
     // read per request), with compactStream swapping the store

@@ -501,16 +501,17 @@ class PipelineSpec extends SparkSpec {
       "shard membership must be deterministic across runs")
   }
 
-  test("exportCorpus composes the line-dedup rewrite and DSIR selection") {
+  test("exportCorpus composes boilerplate strip, line dedup and DSIR selection") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("export3").toString + "/corpus"
     val target = col("source").isin("src0", "src1")
     val stats = Pipeline.exportCorpus(spark, sfDir, out,
       mixTarget = 40, docsPerShard = 10,
-      lineDedup = true, dsirTarget = Some(target))
+      lineDedup = true, boilerplate = true, dsirTarget = Some(target))
 
-    // the funnel narrows through the new stage too
-    assert(stats.lineDeduped >= 0 && stats.lineDeduped <= stats.gated)
+    // the funnel narrows through the optional stages too
+    assert(stats.boilerplated >= 0 && stats.boilerplated <= stats.gated)
+    assert(stats.lineDeduped >= 0 && stats.lineDeduped <= stats.boilerplated)
     assert(stats.deduped <= stats.lineDeduped)
     assert(stats.exported > 0 && stats.exported <= 40)
 
@@ -534,8 +535,34 @@ class PipelineSpec extends SparkSpec {
     val out2 = Files.createTempDirectory("export4").toString + "/corpus"
     val stats2 = Pipeline.exportCorpus(spark, sfDir, out2,
       mixTarget = 40, docsPerShard = 10,
-      lineDedup = true, dsirTarget = Some(target))
+      lineDedup = true, boilerplate = true, dsirTarget = Some(target))
     assert(stats2 == stats)
+  }
+
+  test("rewriteToKeptLines drops on the merits but passes token-less docs through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma", "en", "src0"), // rewritten to kept lines
+      (2L, "dup dup dup", "en", "src0"),      // present, n_kept = 0 → drops
+      (3L, "1234 5678 %%%", "xx", "src1")     // token-less: absent from kept
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val kept = Seq(
+      (1L, 2, "alpha beta"),
+      (2L, 0, "")
+    ).toDF("doc_id", "n_kept", "kept_text")
+
+    val out = Pipeline.rewriteToKeptLines(base, kept)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc 1 rewrote; its n_chars describes the NEW text
+    assert(out(0).getAs[String]("text") == "alpha beta")
+    assert(out(0).getAs[Long]("n_chars") == 10L)
+    // the token-less doc passes through byte-identical — the line
+    // passes never saw it, so it cannot be a duplicate
+    assert(out(1).getAs[String]("text") == "1234 5678 %%%")
+    assert(out(1).getAs[String]("lang") == "xx")
   }
 
   test("publishRankedStore lands store + _RANKS in one generation; serving reads prune") {
