@@ -85,6 +85,7 @@ final class LinkApiServer(
     (ex: HttpExchange) => safely(ex)(handleRanks)))
   pageDbOf.foreach(_ => server.createContext("/api/pages",
     (ex: HttpExchange) => safely(ex)(handlePages)))
+  server.createContext("/api/docs", (ex: HttpExchange) => safely(ex)(handleDocs))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
@@ -117,6 +118,72 @@ final class LinkApiServer(
   private def handleHealth(ex: HttpExchange): Unit =
     if (ex.getRequestMethod == "GET") send(ex, 200, """{"status":"ok"}""")
     else send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+
+  /** GET /api/docs — OpenAPI 3 description of the bound routes, the
+    * analogue of the reference's swagger route annotations
+    * (router.go:17-29, which declare the spec but never serve it;
+    * serving it makes the surface self-describing). Conditional
+    * routes (/api/ranks, /api/pages) appear only when bound.
+    */
+  private def handleDocs(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod == "GET") send(ex, 200, openApiSpec)
+    else send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+
+  private lazy val openApiSpec: String = {
+    def schema(props: (String, String)*): JObject = JObject(
+      "type" -> JString("object"),
+      "properties" -> JObject(props.toList.map { case (n, t) =>
+        n -> (JObject("type" -> JString(t)): JValue)
+      }))
+    def post(summary: String, body: JObject, respDesc: String): JObject = JObject(
+      "post" -> JObject(
+        "summary" -> JString(summary),
+        "requestBody" -> JObject("required" -> JBool(true), "content" ->
+          JObject("application/json" -> JObject("schema" -> body))),
+        "responses" -> JObject(
+          "200" -> JObject("description" -> JString(respDesc)),
+          "400" -> JObject("description" -> JString("Request error (errorCode envelope)")),
+          "429" -> JObject("description" -> JString("Rate limited: 50 requests / 15 min per caller")))))
+    val linksBody = JObject(
+      "type" -> JString("object"),
+      "required" -> JArray(List(JString("domain"))),
+      "properties" -> JObject(
+        "domain" -> (JObject("type" -> JString("string")): JValue),
+        "sort" -> (JObject("type" -> JString("string"),
+          "enum" -> JArray(List("linkUrl", "pageUrl", "linkText",
+            "dateFrom", "dateTo").map(JString(_)))): JValue),
+        "order" -> (JObject("type" -> JString("string"),
+          "enum" -> JArray(List(JString("asc"), JString("desc")))): JValue),
+        "limit" -> (JObject("type" -> JString("integer")): JValue),
+        "page" -> (JObject("type" -> JString("integer")): JValue),
+        "filters" -> (JObject(
+          "type" -> JString("array"),
+          "items" -> schema("name" -> "string", "kind" -> "string",
+            "val" -> "string")): JValue)))
+    val links = "/api/links" -> (post(
+      "Backlinks of a domain: exact/any filters, sort, paginate, adjacent-merge",
+      linksBody,
+      "Array of {link_url, page_url, link_text, no_follow, no_index, date_from, date_to, ip, qty}"): JValue)
+    val health = "/api/health" -> (JObject("get" -> JObject(
+      "summary" -> JString("Health check"),
+      "responses" -> JObject("200" -> JObject(
+        "description" -> JString("{\"status\":\"ok\"}"))))): JValue)
+    val ranks = rankOf.map(_ => "/api/ranks" -> (post(
+      "Store-maintained PageRank of one host",
+      schema("host" -> "string"),
+      "{host, rank}; 404 when the host has no published rank"): JValue))
+    val pages = pageDbOf.map(_ => "/api/pages" -> (post(
+      "Page records of one host: title/IP/crawl date/robots flags",
+      schema("host" -> "string", "path" -> "string", "title" -> "string",
+        "limit" -> "integer", "page" -> "integer"),
+      "Array of {page_url, title, ip, crawl_date, no_index, page_no_follow}"): JValue))
+    JsonMethods.compact(JObject(
+      "openapi" -> JString("3.0.3"),
+      "info" -> JObject(
+        "title" -> JString("graft link API"),
+        "version" -> JString("1")),
+      "paths" -> JObject(List(links, health) ++ ranks ++ pages)))
+  }
 
   /** HandlerGetDomainLinks (handler.go:24-74), decision for decision. */
   private def handleLinks(ex: HttpExchange): Unit = {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{LinkApiServer, LinkDb, LinkDbRequest}
+import graft.api.{LinkApiServer, LinkDb, LinkDbRequest, PageDb}
 import graft.operators.LinkCompaction
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -229,6 +229,38 @@ class LinkApiSpec extends SparkSpec {
       val resp = postTo(port, "/api/pages", """{"host":"www.sitea.com"}""")
       assert(resp.statusCode() == 404, "no pageDbOf binding => no route")
     }
+  }
+
+  test("GET /api/docs serves an OpenAPI spec listing exactly the bound routes") {
+    def docs(port: Int): JValue = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/docs"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      JsonMethods.parse(resp.body())
+    }
+    def routes(j: JValue): Set[String] = j \ "paths" match {
+      case JObject(fields) => fields.map(_._1).toSet
+      case _ => Set.empty
+    }
+    // minimal binding: conditional routes absent from the spec too
+    withServer() { port =>
+      val j = docs(port)
+      assert((j \ "openapi") == JString("3.0.3"))
+      assert(routes(j) == Set("/api/links", "/api/health"))
+    }
+    // full binding: ranks + pages appear
+    val srv = new LinkApiServer(_ => db, port = 0,
+      rankOf = Some(_ => None), pageDbOf = Some(_ => new PageDb(compacted))).start()
+    try {
+      val j = docs(srv.boundPort)
+      assert(routes(j) ==
+        Set("/api/links", "/api/health", "/api/ranks", "/api/pages"))
+      // the links request schema documents the filter vocabulary
+      val JArray(req) = j \ "paths" \ "/api/links" \ "post" \ "requestBody" \
+        "content" \ "application/json" \ "schema" \ "required": @unchecked
+      assert(req == List(JString("domain")))
+    } finally srv.stop()
   }
 
   test("/api/pages requests spanning a page-store swap succeed via rebind-and-retry") {
