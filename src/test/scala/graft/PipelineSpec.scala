@@ -539,6 +539,38 @@ class PipelineSpec extends SparkSpec {
     assert(stats2 == stats)
   }
 
+  test("boilerplate stage composition strips planted chrome and drops all-chrome docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the exact composition exportCorpus(boilerplate = true) runs —
+    // the organic pipeline fixture has no host-majority chrome, so the
+    // strip is exercised here on a corpus that does. 6 docs on one
+    // host: every doc opens with the same banner line (chrome), doc 5
+    // is ONLY the banner (drops), the rest keep their unique tails.
+    // Lines chunk at LineWidth (10) tokens, so the banner must fill
+    // whole chunks: 20 tokens = 2 chunks. Tokens must be pure [a-z]+
+    // runs — the tokenizer drops digits, so "cookie1" would collapse
+    // every word to "cookie"
+    def w(tag: String, k: Int) = tag + ('a' + k).toChar.toString
+    val banner = (0 until 20).map(w("cookie", _)).mkString(" ")
+    val docs = (0L to 5L).map { i =>
+      val tail = if (i == 5) ""
+        else (0 until 20).map(j => w("body" + ('a' + i.toInt).toChar, j)).mkString(" ")
+      (i, s"$banner $tail".trim, "en", "host-a")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val out = Pipeline.rewriteToKeptLines(docs,
+      operators.CurationOps.boilerplateStrip(docs)).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L to 4L), "all-chrome doc must drop")
+    out.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(!t.contains("cookie"), s"chrome survived in: $t")
+      assert(t.startsWith("body" + ('a' + r.getLong(0).toInt).toChar + "a"),
+        s"body lost from: $t")
+      assert(r.getAs[Long]("n_chars") == t.length.toLong)
+    }
+  }
+
   test("rewriteToKeptLines drops on the merits but passes token-less docs through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
