@@ -654,6 +654,101 @@ object TextOps {
            |GROUP BY tg.doc_id""".stripMargin)
   )
 
+  /** q81 threshold: a doc drops when MORE than this percentage of its
+    * distinct 13-grams appear in the eval set — the GPT-3-appendix /
+    * PaLM overlap-fraction rule, integer-compared (`100·shared >
+    * pct·total`) so no float boundary can round apart cross-engine.
+    */
+  private val ContamRatePct = 20
+  private val ContamGramTokens = 13
+
+  /** The fraction-threshold contamination rule — the published
+    * complement to q53's any-overlap drop: q53 kills a doc for ONE
+    * shared verbatim span (high precision against exact leakage);
+    * this scores each doc by what FRACTION of its distinct 13-token
+    * grams appear anywhere in the eval set, and flags past a
+    * percentage threshold — the GPT-3/PaLM rule that tolerates
+    * incidental phrase reuse but catches paraphrased/partial leaks a
+    * single-span rule underweights.
+    *
+    * Scale shape: the per-doc TOTAL distinct-gram count is computed
+    * ROW-LOCALLY in the scan stage (`array_distinct` + `size` over
+    * the doc's own gram array — a per-doc corpus-wide countDistinct
+    * would be the largest shuffle in the pipeline at 100 TB); only
+    * grams that MATCH the broadcast eval set survive to the one
+    * aggregate, so the exchange carries near-dup density, not corpus
+    * size. Grams travel as md5 of the normalized token window —
+    * DuckDB recomputes the identical strings, and every output column
+    * is an integer → full hash-exact oracle.
+    */
+  private[graft] def contaminationRate(train: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame,
+      gramTokens: Int = ContamGramTokens,
+      pctThreshold: Int = ContamRatePct): org.apache.spark.sql.DataFrame = {
+    val gramsExpr =
+      s"""if(size(toks) >= $gramTokens,
+         |  transform(sequence(0, size(toks) - $gramTokens),
+         |    i -> md5(concat_ws(' ', slice(toks, i + 1, $gramTokens)))),
+         |  cast(array() as array<string>))""".stripMargin
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      .select(col("doc_id"), array_distinct(expr(gramsExpr)).as("grams"))
+    val evalGrams = grams(evalDocs)
+      .select(explode(col("grams")).as("g")).distinct()
+    val trainGrams = grams(train)
+    val shared = trainGrams
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    trainGrams
+      .select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated",
+        (lit(100) * col("n_shared") > lit(pctThreshold) * col("n_grams"))
+          .cast("int"))
+  }
+
+  val q81_contamination_rate: GraftQuery = GraftQuery(
+    "q81_contamination_rate",
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      contaminationRate(docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7))
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+            |  FROM documents
+            |), g AS (
+            |  SELECT DISTINCT doc_id,
+            |    md5(array_to_string(ts[(i+1):(i+$ContamGramTokens)], ' ')) AS g
+            |  FROM (
+            |    SELECT doc_id, ts,
+            |      unnest(range(0, greatest(len(ts) - ${ContamGramTokens - 1}, 0))) AS i
+            |    FROM toks) x
+            |), tot AS (
+            |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id
+            |), eg AS (
+            |  SELECT DISTINCT g FROM g WHERE doc_id % 50 = 7
+            |), sh AS (
+            |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            |  FROM g JOIN eg USING (g) WHERE doc_id % 50 <> 7 GROUP BY doc_id
+            |)
+            |SELECT d.doc_id,
+            |  COALESCE(t.n_grams, 0) AS n_grams,
+            |  COALESCE(s.n_shared, 0) AS n_shared,
+            |  CAST(CASE WHEN 100 * COALESCE(s.n_shared, 0) >
+            |    $ContamRatePct * COALESCE(t.n_grams, 0) THEN 1 ELSE 0 END AS INT)
+            |    AS contaminated
+            |FROM documents d
+            |LEFT JOIN tot t ON d.doc_id = t.doc_id
+            |LEFT JOIN sh s ON d.doc_id = s.doc_id
+            |WHERE d.doc_id % 50 <> 7""".stripMargin)
+  )
+
   /** Sequence packing (concat-and-chunk): the batch-prep step between
     * a filtered corpus and a trainer — concatenate each source shard's
     * documents in doc_id order and cut the token stream every C=2048
@@ -1325,6 +1420,7 @@ object TextOps {
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
+    q81_contamination_rate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
     q65_source_mix, q66_substring_dup, q67_substring_scrub,
     q72_ngram_repetition, q74_dedup_keep)

@@ -109,6 +109,40 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.groupBy(_.getAs[String]("token")).exists(_._2.length > 1))
   }
 
+  test("q81 flags a doc past the 20% 13-gram overlap fraction, not below it") {
+    import spark.implicits._
+    def words(tag: String, n: Int) =
+      (0 until n).map(i => tag + ('a' + i % 26).toChar.toString + ('a' + i / 26).toChar.toString)
+    val evalWords = words("ev", 30)
+    val evalDf = Seq((7L, evalWords.mkString(" "))).toDF("doc_id", "text")
+    // A: 40 tokens, a 20-token verbatim eval span → 8 of 28 distinct
+    // grams shared (28.6% > 20%) → flagged
+    val aText = (words("aa", 20) ++ evalWords.take(20)).mkString(" ")
+    // B: shares only a 5-token run — below the gram width, zero shared
+    val bText = (words("bb", 30) ++ evalWords.take(5)).mkString(" ")
+    // C: 10 tokens — too short to produce any gram, never flagged
+    val cText = words("cc", 10).mkString(" ")
+    val train = Seq((1L, aText), (2L, bText), (3L, cText)).toDF("doc_id", "text")
+    val out = TextOps.contaminationRate(train, evalDf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+          r.getAs[Int]("contaminated"))).toMap
+    assert(out(1L) == ((28L, 8L, 1)), s"A: ${out(1L)}")
+    assert(out(2L) == ((23L, 0L, 0)), s"B: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0)), s"C: ${out(3L)}")
+    // the registered query runs the same rule over the corpus: every
+    // flag must satisfy the integer threshold, eval docs excluded
+    val reg = TextOps.q81_contamination_rate.run(spark, sfDir).collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 7)
+      val (g, s, c) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+        r.getAs[Int]("contaminated"))
+      assert(s <= g)
+      assert(c == (if (100 * s > 20 * g) 1 else 0))
+    }
+  }
+
   test("q53 decontamination flags every train doc sharing an 8-gram with eval") {
     val rows = TextOps.q53_decontaminate.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
