@@ -63,8 +63,10 @@ object ClusterRehearsal {
       "q76_dsir" -> SparkEntry.queries("q76_dsir"),
       "q77_line_dedup" -> SparkEntry.queries("q77_line_dedup"),
       // r9: q80's per-(source,line) doc-frequency aggregate + the
-      // un-hinted boilerplate join-back, cross-JVM
+      // un-hinted boilerplate join-back, cross-JVM; q81's broadcast
+      // eval gram set + row-local distinct-gram arrays
       "q80_boilerplate" -> SparkEntry.queries("q80_boilerplate"),
+      "q81_contamination_rate" -> SparkEntry.queries("q81_contamination_rate"),
       "q78_hits" -> SparkEntry.queries("q78_hits"),
       "s08_stream_trending" -> SparkEntry.queries("s08_stream_trending"))
 

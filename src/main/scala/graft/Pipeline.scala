@@ -717,8 +717,9 @@ object Pipeline {
     *     frame keyed vec_id = doc_id, clustered by the q40
     *     trained-centroid argmax — catches paraphrases SimHash's
     *     lexical signature cannot)
-    *   → decontaminate (q53 8-gram overlap vs the held-out eval set;
-    *     any overlap drops the doc)
+    *   → decontaminate (a verbatim 32-char span shared with the eval
+    *     set drops the doc; with `contamRatePct` set, q81's
+    *     13-token-gram overlap-fraction rule drops docs too)
     *   → select: q65 temperature-smoothed source quotas, or — with
     *     `dsirTarget` set — q76 DSIR importance resampling toward the
     *     target predicate (top `mixTarget` by log importance ratio)
@@ -745,6 +746,7 @@ object Pipeline {
       semdedupEmb: Option[DataFrame] = None,
       lineDedup: Boolean = false,
       boilerplate: Boolean = false,
+      contamRatePct: Option[Int] = None,
       dsirTarget: Option[org.apache.spark.sql.Column] = None,
       stats: Boolean = true): ExportStats = {
     val docs = Tables.table(spark, sfDir, "documents")
@@ -803,9 +805,19 @@ object Pipeline {
     // decontaminate: a verbatim 32-char span shared with the eval set
     // drops the doc (the ~13-token decontamination unit; q53's 8-char
     // grams are the diagnostic REPORT, not a drop predicate — see
-    // TextOps.contamination)
-    val contaminated = operators.TextOps.contamination(
+    // TextOps.contamination). `contamRatePct` ADDS q81's
+    // fraction-threshold rule on top: a doc whose shared 13-token-gram
+    // fraction exceeds the percentage also drops — the span rule
+    // catches exact leaks, the rate rule catches paraphrased/partial
+    // ones; both drop frames are eval-overlap-sized, not corpus-sized
+    val contamSpan = operators.TextOps.contamination(
       semdeduped, docs.filter(evalPred), gram = 32).select(col("doc_id"))
+    val contaminated = contamRatePct.fold(contamSpan) { pct =>
+      contamSpan.unionAll(
+        operators.TextOps.contaminationRate(
+          semdeduped, docs.filter(evalPred), pctThreshold = pct)
+          .filter(col("contaminated") === 1).select(col("doc_id")))
+    }
     val clean = semdeduped.join(contaminated, Seq("doc_id"), "left_anti")
       // feeds the mix draw's count AND the final export join
       .localCheckpoint(false)

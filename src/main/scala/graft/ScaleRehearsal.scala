@@ -106,6 +106,11 @@ object ScaleRehearsal {
     time("q80_boiler_10x")(operators.CurationOps.boilerplateStrip(
       spark.read.parquet("/tmp/sfx10/documents.parquet")
         .select(col("doc_id"), col("source"), col("text"))).count())
+    // r9: q81's fraction rule at 10x — the per-doc total stays in the
+    // scan stage (row-local array_distinct), so cost must track the
+    // corpus linearly with only eval-matching grams shuffling
+    time("q81_contam_10x")(
+      operators.TextOps.q81_contamination_rate.run(spark, "/tmp/sfx10").count())
     // q80 degenerate-source rehearsal: ONE line repeated across every
     // doc of each source (50k docs, 5 sources). The (source, lh)
     // distinct + count must collapse map-side (flat wall-clock), the

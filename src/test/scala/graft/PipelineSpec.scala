@@ -507,7 +507,8 @@ class PipelineSpec extends SparkSpec {
     val target = col("source").isin("src0", "src1")
     val stats = Pipeline.exportCorpus(spark, sfDir, out,
       mixTarget = 40, docsPerShard = 10,
-      lineDedup = true, boilerplate = true, dsirTarget = Some(target))
+      lineDedup = true, boilerplate = true, contamRatePct = Some(20),
+      dsirTarget = Some(target))
 
     // the funnel narrows through the optional stages too
     assert(stats.boilerplated >= 0 && stats.boilerplated <= stats.gated)
@@ -535,7 +536,8 @@ class PipelineSpec extends SparkSpec {
     val out2 = Files.createTempDirectory("export4").toString + "/corpus"
     val stats2 = Pipeline.exportCorpus(spark, sfDir, out2,
       mixTarget = 40, docsPerShard = 10,
-      lineDedup = true, boilerplate = true, dsirTarget = Some(target))
+      lineDedup = true, boilerplate = true, contamRatePct = Some(20),
+      dsirTarget = Some(target))
     assert(stats2 == stats)
   }
 
