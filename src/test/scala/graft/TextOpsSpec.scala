@@ -143,6 +143,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q81 differential fuzz: agrees with a driver-side reference contamination rate") {
+    import spark.implicits._
+    val G = 13
+    def gramsOf(tx: String): Set[String] =
+      "[a-z]+".r.findAllIn(tx.toLowerCase).toVector.sliding(G)
+        .filter(_.size == G).map(_.mkString(" ")).toSet
+    val rnd = new scala.util.Random(23)
+    // a tiny vocabulary makes 13-gram collisions common (stressing the
+    // row-local distinct) and some docs fall under one gram wide
+    val vocab = Vector("ox", "ant", "bee", "cat", "dog")
+    for (trial <- 1 to 4) {
+      val docs = (1L to (30 + rnd.nextInt(30)).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val (evalDocs, train) = docs.partition(_._1 % 5 == 0)
+      val evalGrams = evalDocs.flatMap(d => gramsOf(d._2)).toSet
+      val expect = train.map { case (id, tx) =>
+        val g = gramsOf(tx)
+        val shared = g.count(evalGrams)
+        id -> ((g.size.toLong, shared.toLong,
+          if (100 * shared > 20 * g.size) 1 else 0))
+      }.toMap
+      val out = TextOps.contaminationRate(
+        train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+            r.getAs[Int]("contaminated")))).toMap
+      assert(out == expect, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("q53 decontamination flags every train doc sharing an 8-gram with eval") {
     val rows = TextOps.q53_decontaminate.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
