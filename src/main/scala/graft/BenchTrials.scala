@@ -31,7 +31,11 @@ object BenchTrials {
         fn(spark, sfDir).count()
         math.rint((System.nanoTime() - t0) / 1e6) / 1e3
       }.sorted
-      val med = times(times.length / 2)
+      // True median: average the two middle elements for even N
+      // (previously reported the upper-middle element for even N).
+      val med =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else math.rint((times(times.length / 2 - 1) + times(times.length / 2)) / 2 * 1e3) / 1e3
       s""""$name":{"trials":[${times.mkString(",")}],"min":${times.head},"med":$med,"max":${times.last}}"""
     }
     println(out.mkString("{", ",", s"""},"sf":"$sfDir","trials_per_query":$trials}"""))

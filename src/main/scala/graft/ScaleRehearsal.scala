@@ -128,8 +128,12 @@ object ScaleRehearsal {
     // pair-, host-, or benchmark-sized, never corpus-sized); stage
     // yields print so a selectivity regression is visible
     val embSrc = Tables.table(spark, "/root/testdata/sf0.1", "embeddings")
+    // copy offset derived from the base table, not a constant: a fixed
+    // 1e6 stride would silently collide copies (shifting SemDeDup
+    // selectivity) if the base table ever outgrows it
+    val embStride = embSrc.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val scaledEmb = (0 until 10).map(i =>
-      embSrc.select((col("vec_id") + i * 1000000L).as("vec_id"),
+      embSrc.select((col("vec_id") + i * embStride).as("vec_id"),
         col("embedding"), col("label")))
       .reduce(_ unionAll _)
     val t0 = System.nanoTime()

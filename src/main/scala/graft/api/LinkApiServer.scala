@@ -79,13 +79,16 @@ final class LinkApiServer(
   private val lastSweep = new java.util.concurrent.atomic.AtomicLong(Long.MinValue / 2)
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.createContext("/api/links", (ex: HttpExchange) => safely(ex)(handleLinks))
-  server.createContext("/api/health", (ex: HttpExchange) => safely(ex)(handleHealth))
-  rankOf.foreach(_ => server.createContext("/api/ranks",
-    (ex: HttpExchange) => safely(ex)(handleRanks)))
-  pageDbOf.foreach(_ => server.createContext("/api/pages",
-    (ex: HttpExchange) => safely(ex)(handlePages)))
-  server.createContext("/api/docs", (ex: HttpExchange) => safely(ex)(handleDocs))
+  server.createContext("/api/links", (ex: HttpExchange) =>
+    safely(ex, "HandlerGetDomainLinks", "ErrorFailedLinks", "Error getting links")(handleLinks))
+  server.createContext("/api/health", (ex: HttpExchange) =>
+    safely(ex, "HandlerHealth", "ErrorFailedHealth", "Error serving health")(handleHealth))
+  rankOf.foreach(_ => server.createContext("/api/ranks", (ex: HttpExchange) =>
+    safely(ex, "HandlerGetHostRank", "ErrorFailedRanks", "Error getting ranks")(handleRanks)))
+  pageDbOf.foreach(_ => server.createContext("/api/pages", (ex: HttpExchange) =>
+    safely(ex, "HandlerGetHostPages", "ErrorFailedPages", "Error getting pages")(handlePages)))
+  server.createContext("/api/docs", (ex: HttpExchange) =>
+    safely(ex, "HandlerGetDocs", "ErrorFailedDocs", "Error serving docs")(handleDocs))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
@@ -98,9 +101,12 @@ final class LinkApiServer(
   def boundPort: Int = server.getAddress.getPort
 
   /** enableCORS (linkdb.go:80-95): headers on every response, OPTIONS
-    * preflight answered immediately.
+    * preflight answered immediately. The catch-all 500 envelope is
+    * per-route (fn/code/msg) so a failure on /api/pages or /api/ranks
+    * doesn't masquerade as a links error.
     */
-  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+  private def safely(ex: HttpExchange, fn: String, code: String, msg: String)(
+      f: HttpExchange => Unit): Unit =
     try {
       val h = ex.getResponseHeaders
       h.set("Access-Control-Allow-Origin", "*")
@@ -111,13 +117,13 @@ final class LinkApiServer(
       else f(ex)
     } catch {
       case _: Exception =>
-        try send(ex, 500, err("ErrorFailedLinks", "Error getting links"))
+        try send(ex, 500, envelope(fn, code, msg))
         catch { case _: Exception => () }
     } finally ex.close()
 
   private def handleHealth(ex: HttpExchange): Unit =
     if (ex.getRequestMethod == "GET") send(ex, 200, """{"status":"ok"}""")
-    else send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+    else send(ex, 405, envelope("HandlerHealth", "ErrorMethod", "Method Not Allowed"))
 
   /** GET /api/docs — OpenAPI 3 description of the bound routes, the
     * analogue of the reference's swagger route annotations
@@ -127,7 +133,7 @@ final class LinkApiServer(
     */
   private def handleDocs(ex: HttpExchange): Unit =
     if (ex.getRequestMethod == "GET") send(ex, 200, openApiSpec)
-    else send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
+    else send(ex, 405, envelope("HandlerGetDocs", "ErrorMethod", "Method Not Allowed"))
 
   private lazy val openApiSpec: String = {
     def schema(props: (String, String)*): JObject = JObject(
@@ -177,12 +183,18 @@ final class LinkApiServer(
       schema("host" -> "string", "path" -> "string", "title" -> "string",
         "limit" -> "integer", "page" -> "integer"),
       "Array of {page_url, title, ip, crawl_date, no_index, page_no_follow}"): JValue))
+    // the spec lists its own route too — a self-describing surface
+    // that omits /api/docs under-reports itself
+    val docs = "/api/docs" -> (JObject("get" -> JObject(
+      "summary" -> JString("This OpenAPI description of the bound routes"),
+      "responses" -> JObject("200" -> JObject(
+        "description" -> JString("OpenAPI 3 document (application/json)"))))): JValue)
     JsonMethods.compact(JObject(
       "openapi" -> JString("3.0.3"),
       "info" -> JObject(
         "title" -> JString("graft link API"),
         "version" -> JString("1")),
-      "paths" -> JObject(List(links, health) ++ ranks ++ pages)))
+      "paths" -> JObject(List(links, health) ++ ranks ++ pages ++ List(docs))))
   }
 
   /** HandlerGetDomainLinks (handler.go:24-74), decision for decision. */
@@ -220,6 +232,7 @@ final class LinkApiServer(
     * "no rank" is an answer about the data, not a request error.
     */
   private def handleRanks(ex: HttpExchange): Unit = {
+    def err(code: String, msg: String): String = envelope("HandlerGetHostRank", code, msg)
     if (ex.getRequestMethod != "POST")
       return send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
     val caller = ex.getRemoteAddress.getAddress.getHostAddress
@@ -259,6 +272,7 @@ final class LinkApiServer(
     * domain on /api/links: "no pages" is an answer, not an error.
     */
   private def handlePages(ex: HttpExchange): Unit = {
+    def err(code: String, msg: String): String = envelope("HandlerGetHostPages", code, msg)
     if (ex.getRequestMethod != "POST")
       return send(ex, 405, err("ErrorMethod", "Method Not Allowed"))
     val caller = ex.getRemoteAddress.getAddress.getHostAddress
@@ -287,11 +301,23 @@ final class LinkApiServer(
                 case JLong(n) => n.toInt
                 case _ => dflt
               }
-              val req = PageDbRequest(host,
-                pathAny = str(j \ "path"), titleAny = str(j \ "title"),
-                limit = int(j \ "limit", 100), page = int(j \ "page", 1))
-              val out = withStoreRetry(pageDbOf.get(host).query(req))
-              send(ex, 200, JsonMethods.compact(JArray(out.toList.map(renderPage))))
+              // rlike compiles these user patterns inside the Spark job
+              // (PageDb.anyMatch wraps them as "(?i)pattern") — validate
+              // up front so a malformed regex is a 400 request error,
+              // not a 500 from the failed job
+              val badPattern = Seq(str(j \ "path"), str(j \ "title")).flatten.find { p =>
+                try { java.util.regex.Pattern.compile(s"(?i)$p"); false }
+                catch { case _: Exception => true }
+              }
+              if (badPattern.isDefined)
+                send(ex, 400, err("ErrorParsing", "Error parsing filter pattern"))
+              else {
+                val req = PageDbRequest(host,
+                  pathAny = str(j \ "path"), titleAny = str(j \ "title"),
+                  limit = int(j \ "limit", 100), page = int(j \ "page", 1))
+                val out = withStoreRetry(pageDbOf.get(host).query(req))
+                send(ex, 200, JsonMethods.compact(JArray(out.toList.map(renderPage))))
+              }
             }
           case _ =>
             send(ex, 400, err("ErrorNoDomain", "Host is required"))
@@ -472,11 +498,15 @@ final class LinkApiServer(
     "page_no_follow" -> JInt(o.pageNoFollow))
 
   /** GenerateError (error.go): {errorCode, function, error}. */
-  private def err(code: String, msg: String): String =
+  private def envelope(fn: String, code: String, msg: String): String =
     JsonMethods.compact(JObject(
       "errorCode" -> JString(code),
-      "function" -> JString("HandlerGetDomainLinks"),
+      "function" -> JString(fn),
       "error" -> JString(msg)))
+
+  /** The reference route's envelope (/api/links and its validators). */
+  private def err(code: String, msg: String): String =
+    envelope("HandlerGetDomainLinks", code, msg)
 
   private def send(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -210,6 +210,11 @@ class LinkApiSpec extends SparkSpec {
       // unknown host is an empty data answer, not an error
       val cold = postTo(port, "/api/pages", """{"host":"cold.example.org"}""")
       assert(cold.statusCode() == 200 && cold.body() == "[]")
+      // a malformed filter regex is a 400 request error (validated
+      // before the rlike reaches the Spark job), in THIS route's envelope
+      val badRe = postTo(port, "/api/pages", """{"host":"www.sitea.com","title":"[unclosed"}""")
+      assert(badRe.statusCode() == 400 && code(badRe) == "ErrorParsing")
+      assert((JsonMethods.parse(badRe.body()) \ "function") == JString("HandlerGetHostPages"))
       // request errors mirror the links envelope
       val invalid = postTo(port, "/api/pages", """{"host":"not a host"}""")
       assert(invalid.statusCode() == 400 && code(invalid) == "ErrorInvalidDomain")
@@ -244,10 +249,11 @@ class LinkApiSpec extends SparkSpec {
       case _ => Set.empty
     }
     // minimal binding: conditional routes absent from the spec too
+    // (/api/docs lists itself — the spec covers every bound route)
     withServer() { port =>
       val j = docs(port)
       assert((j \ "openapi") == JString("3.0.3"))
-      assert(routes(j) == Set("/api/links", "/api/health"))
+      assert(routes(j) == Set("/api/links", "/api/health", "/api/docs"))
     }
     // full binding: ranks + pages appear
     val srv = new LinkApiServer(_ => db, port = 0,
@@ -255,11 +261,28 @@ class LinkApiSpec extends SparkSpec {
     try {
       val j = docs(srv.boundPort)
       assert(routes(j) ==
-        Set("/api/links", "/api/health", "/api/ranks", "/api/pages"))
+        Set("/api/links", "/api/health", "/api/ranks", "/api/pages", "/api/docs"))
       // the links request schema documents the filter vocabulary
       val JArray(req) = j \ "paths" \ "/api/links" \ "post" \ "requestBody" \
         "content" \ "application/json" \ "schema" \ "required": @unchecked
       assert(req == List(JString("domain")))
+    } finally srv.stop()
+  }
+
+  test("route failures answer with their own error envelope, not the links one") {
+    val srv = new LinkApiServer(_ => db, port = 0,
+      rankOf = Some(_ => throw new RuntimeException("boom")),
+      pageDbOf = Some(_ => throw new RuntimeException("boom"))).start()
+    try {
+      val port = srv.boundPort
+      val r = postTo(port, "/api/ranks", """{"host":"h0.example.org"}""")
+      assert(r.statusCode() == 500)
+      assert((JsonMethods.parse(r.body()) \ "errorCode") == JString("ErrorFailedRanks"))
+      assert((JsonMethods.parse(r.body()) \ "function") == JString("HandlerGetHostRank"))
+      val p = postTo(port, "/api/pages", """{"host":"h0.example.org"}""")
+      assert(p.statusCode() == 500)
+      assert((JsonMethods.parse(p.body()) \ "errorCode") == JString("ErrorFailedPages"))
+      assert((JsonMethods.parse(p.body()) \ "function") == JString("HandlerGetHostPages"))
     } finally srv.stop()
   }
 
