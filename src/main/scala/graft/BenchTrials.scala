@@ -38,7 +38,11 @@ object BenchTrials {
         else math.rint((times(times.length / 2 - 1) + times(times.length / 2)) / 2 * 1e3) / 1e3
       s""""$name":{"trials":[${times.mkString(",")}],"min":${times.head},"med":$med,"max":${times.last}}"""
     }
-    println(out.mkString("{", ",", s"""},"sf":"$sfDir","trials_per_query":$trials}"""))
+    // per-query objects nest under "queries" — the previous framing
+    // closed the outer object after the last query, leaving the sf/
+    // trials fields dangling outside (TRIALS_r9.json is malformed JSON)
+    println(out.mkString("""{"queries":{""", ",",
+      s"""},"sf":"$sfDir","trials_per_query":$trials}"""))
     spark.stop()
   }
 }
