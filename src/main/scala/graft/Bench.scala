@@ -97,11 +97,13 @@ object Bench {
     // line is a compact duplicate under the unique qNN/sNN prefixes
     // (~1.3k chars incl. the sbt [success] trailer) — same totals, same
     // values at ms precision; the full-name record stays in BENCH.json.
-    // qNN/sNN prefixes are unique except the q30 pair (minhash_lsh /
-    // verify) — colliding prefixes keep their full name
-    val prefixCount = results.groupBy(_._1.take(3)).map { case (p, g) => p -> g.size }
+    // qNN/sNN prefixes are unique once _verify companions get a "v"
+    // suffix (qNNv); any residual collision keeps its full name
+    def shortKey(k: String): String =
+      k.take(3) + (if (k.endsWith("_verify")) "v" else "")
+    val prefixCount = results.groupBy(r => shortKey(r._1)).map { case (p, g) => p -> g.size }
     val shortQs = results.map { case (k, v) =>
-      val key = if (prefixCount(k.take(3)) == 1) k.take(3) else k
+      val key = if (prefixCount(shortKey(k)) == 1) shortKey(k) else k
       "\"" + key + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$shortQs,""" +

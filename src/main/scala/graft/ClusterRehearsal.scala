@@ -89,28 +89,131 @@ object ClusterRehearsal {
     withExec.getOrCreate()
   }
 
-  private def runAll(master: String): Map[String, Long] = {
+  private def runAll(master: String): (Map[String, Long], Map[String, String]) = {
     val spark = session(master)
     spark.sparkContext.setLogLevel("ERROR")
-    try queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, Sf).count()
-      println(f"[cluster-rehearsal] $master%-24s $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.1fs rows=$n")
-      name -> n
-    }.toMap
-    finally spark.stop()
+    try {
+      val counts = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, Sf).count()
+        println(f"[cluster-rehearsal] $master%-24s $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.1fs rows=$n")
+        name -> n
+      }.toMap
+      (counts, servingRehearsal(spark, master))
+    } finally spark.stop()
+  }
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val resp = client.send(
+      java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = client.send(
+      java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private val LinksBody = """{"domain":"d3.com","limit":5,"sort":"linkUrl","order":"asc"}"""
+
+  /** Serving-layer shakeout — the one surface the query sweep can't
+    * reach: [[Pipeline.publishRankedStore]] builds a real ranked store
+    * on THIS master's executors, [[Pipeline.serveLinkApi]] binds the
+    * HTTP surface to partition-pruned per-request reads, and a second
+    * publish swaps the live generation out from under 4 hammer threads
+    * mid-request (the rebind-retry window LinkApiSpec pins in local
+    * mode, here with the store read fanned across executor JVMs).
+    * Returns the canonical responses so [[main]] can assert PARITY
+    * across local[8] and local-cluster; the all-200 swap invariant is
+    * asserted here, inside each master's run.
+    */
+  private def servingRehearsal(spark: SparkSession, master: String): Map[String, String] = {
+    val out = java.nio.file.Files.createTempDirectory("graft-serve-rehearsal").toString
+    val links = Tables.links(spark, Sf)
+    // tol=0 never converges early: both masters run EXACTLY 8 rank
+    // iterations, so rank parity is a pure float-tolerance comparison
+    Pipeline.publishRankedStore(spark, links, out, rankTol = 0.0, rankMaxIters = 8)
+    // rate limit out of the way so every hammer request hits the store
+    val srv = Pipeline.serveLinkApi(spark, out, port = 0, rateLimitMax = Int.MaxValue)
+    try {
+      val port = srv.boundPort
+      val health = get(port, "/api/health")
+      val linksResp = post(port, "/api/links", LinksBody)
+      val ranksResp = post(port, "/api/ranks", """{"host":"h3.example.org"}""")
+      require(health._1 == 200 && linksResp._1 == 200 && ranksResp._1 == 200,
+        s"serving bind failed: health=$health links=$linksResp ranks=$ranksResp")
+      // live-store-swap under load
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val hammers = (1 to 4).map(_ => new Thread(() => {
+        while (!stop.get())
+          try codes.add(post(port, "/api/links", LinksBody)._1)
+          catch { case _: java.io.IOException => () }
+      }))
+      hammers.foreach(_.start())
+      Pipeline.publishRankedStore(spark, links, out, rankTol = 0.0, rankMaxIters = 8)
+      stop.set(true)
+      hammers.foreach(_.join(60000))
+      val seen = codes.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+      val bad = seen.filterNot(_ == 200)
+      require(seen.size >= 20, s"want >=20 in-flight requests across the swap, got ${seen.size}")
+      require(bad.isEmpty, s"${bad.size} of ${seen.size} requests failed across the swap: ${bad.take(5)}")
+      // the swapped-in generation was published from the same links
+      // frame — the served window must come back identical
+      val afterSwap = post(port, "/api/links", LinksBody)
+      require(afterSwap == linksResp,
+        s"post-swap response diverged: before=$linksResp after=$afterSwap")
+      println(s"[cluster-rehearsal] $master serving: ${seen.size} requests across live swap, all 200")
+      Map(
+        "serve_health" -> s"${health._1}:${health._2}",
+        "serve_links" -> s"${linksResp._1}:${linksResp._2}",
+        "serve_ranks" -> s"${ranksResp._1}:${ranksResp._2}")
+    } finally srv.stop()
+  }
+
+  /** serve_ranks carries a float rank: 8 fixed iterations are the same
+    * arithmetic on both masters, but executor-count changes summation
+    * order — equal within 1e-9, not bit-equal. Everything else must
+    * match byte-for-byte.
+    */
+  private def servingParity(a: Map[String, String], b: Map[String, String]): Seq[String] = {
+    val RankRe = """(\{"host":[^,]+,"rank":)(-?[\d.eE+-]+)(\})""".r
+    a.keySet.union(b.keySet).toSeq.sorted.flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) if k == "serve_ranks" =>
+          (RankRe.findFirstMatchIn(x), RankRe.findFirstMatchIn(y)) match {
+            case (Some(mx), Some(my))
+              if mx.group(1) == my.group(1) &&
+                math.abs(mx.group(2).toDouble - my.group(2).toDouble) < 1e-9 => None
+            case _ => Some(s"$k: local=$x cluster=$y")
+          }
+        case (Some(x), Some(y)) if x == y => None
+        case (x, y) => Some(s"$k: local=$x cluster=$y")
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
-    val local = runAll("local[8]")
-    val cluster = runAll("local-cluster[2,4,2048]")
+    val (local, localServe) = runAll("local[8]")
+    val (cluster, clusterServe) = runAll("local-cluster[2,4,2048]")
     val diverged = queries.map(_._1).filter(n => local(n) != cluster(n))
+      .map(n => s"$n: local=${local(n)} cluster=${cluster(n)}") ++
+      servingParity(localServe, clusterServe)
     if (diverged.nonEmpty) {
       diverged.foreach(n => System.err.println(
-        s"[cluster-rehearsal] DIVERGED $n: local=${local(n)} cluster=${cluster(n)}"))
+        s"[cluster-rehearsal] DIVERGED $n"))
       sys.exit(1)
     }
-    println(s"[cluster-rehearsal] OK: ${queries.size} queries identical across " +
-      "local[8] and local-cluster[2,4,2048]")
+    println(s"[cluster-rehearsal] OK: ${queries.size} queries + serving surface " +
+      "(health/links/ranks + live-swap) identical across local[8] and local-cluster[2,4,2048]")
   }
 }

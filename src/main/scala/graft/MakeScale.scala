@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic testdata scale-up: replicate an sf dir N× with
+  * key-space offsets so Bench/BASELINE get a second, 10×-bigger scale
+  * factor (r9 verdict: at sf0.1 Spark's fixed per-job overhead
+  * dominates 60 of 77 queries and single-run noise can move the
+  * aggregate 50% — the 2× bar needs a scale where data work is the
+  * signal). The output is BENCH data, not a correctness fixture: the
+  * driver's oracle gate stays at sf0.01 on the driver's own parquet.
+  *
+  * Replication rules (copy i of N):
+  *   - dims (region, nation) copy verbatim; every fact/dim key offsets
+  *     by `i × stride` with stride = max(key)+1 rounded up to a
+  *     multiple of 100, so foreign keys keep their 1:1 mapping onto the
+  *     replicated dimension (orders→customer, lineitem→orders/part/
+  *     supplier) and the fixture moduli (doc_id % 25 planting,
+  *     % 20 source derivation) keep the same per-copy fractions.
+  *   - `documents.text` passes through a per-copy Caesar rotation of
+  *     [a-z]: copies are textually DISTINCT (shingle overlap ≈ 0), so
+  *     dedup/LSH work scales like an organic corpus instead of a
+  *     45×-denser duplicate swamp, while lengths, whitespace, token
+  *     counts and n_chars are preserved exactly.
+  *   - `embeddings.embedding` circularly shifts by (i·7) mod 64:
+  *     copies are new isotropic vectors (cosine vs original ≈ random),
+  *     norms and dim preserved, so ANN/semdedup candidate density
+  *     scales linearly like a real corpus.
+  *   - `events` keeps its timestamp distribution (10× events per
+  *     window — a denser stream, the realistic scale-up) with
+  *     event_id/user_id offset; `ts` is normalized to TIMESTAMP micros
+  *     via [[Tables.table]] so the written parquet reads identically
+  *     in Spark 4 and DuckDB regardless of the source generation's
+  *     nanos/micros encoding.
+  *
+  * Usage: runMain graft.MakeScale [srcDir dstDir copies]
+  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10).
+  */
+object MakeScale {
+
+  private def stride(df: DataFrame, key: String): Long = {
+    val m = df.agg(max(col(key))).head().getLong(0)
+    ((m + 1 + 99) / 100) * 100
+  }
+
+  private def replicate(df: DataFrame, copies: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(i => f(df, i)).reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString).toInt
+    val spark = GraftConf.local(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = Tables.table(spark, src, name)
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[make-scale] $name -> $dst/$name.parquet")
+    }
+
+    // dims: verbatim
+    write("region", t("region"))
+    write("nation", t("nation"))
+
+    val cStr = stride(t("customer"), "c_custkey")
+    val sStr = stride(t("supplier"), "s_suppkey")
+    val pStr = stride(t("part"), "p_partkey")
+    val oStr = stride(t("orders"), "o_orderkey")
+    val eStr = stride(t("events"), "event_id")
+    val uStr = stride(t("events"), "user_id")
+    val dStr = stride(t("documents"), "doc_id")
+    val vStr = stride(t("embeddings"), "vec_id")
+
+    write("customer", replicate(t("customer"), copies)((df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * cStr))))
+    write("supplier", replicate(t("supplier"), copies)((df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * sStr))))
+    write("part", replicate(t("part"), copies)((df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * pStr))))
+    write("orders", replicate(t("orders"), copies)((df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStr))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cStr))))
+    write("lineitem", replicate(t("lineitem"), copies)((df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStr))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pStr))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStr))))
+    write("events", replicate(t("events"), copies)((df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eStr))
+        .withColumn("user_id", col("user_id") + lit(i * uStr))))
+
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    write("documents", replicate(t("documents"), copies)((df, i) => {
+      val shift = i % 26
+      val rot = az.substring(shift) + az.substring(0, shift)
+      df.withColumn("doc_id", col("doc_id") + lit(i * dStr))
+        .withColumn("text", translate(col("text"), az, rot))
+    }))
+    write("embeddings", replicate(t("embeddings"), copies)((df, i) => {
+      val s = (i * 7) % Tables.EmbeddingDim
+      val rolled =
+        if (s == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${s + 1}, ${Tables.EmbeddingDim - s}), " +
+          s"slice(embedding, 1, $s))")
+      df.withColumn("vec_id", col("vec_id") + lit(i * vStr))
+        .withColumn("embedding", rolled)
+    }))
+
+    println(s"[make-scale] done: $copies x $src -> $dst")
+    spark.stop()
+  }
+}

@@ -650,8 +650,10 @@ object Pipeline {
     * would pin deleted part files after a rewrite. `port = 0` picks an
     * ephemeral port.
     */
-  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010): api.LinkApiServer =
+  def serveLinkApi(spark: SparkSession, outDir: String, port: Int = 8010,
+      rateLimitMax: Int = 50): api.LinkApiServer =
     new api.LinkApiServer(domain => linkDb(spark, outDir, domain), port,
+      rateLimitMax = rateLimitMax,
       // a swap mid-request leaves the shared FileStatusCache holding
       // the dead store's listing; drop BOTH stores' listings before
       // the server's rebind retry (see LinkApiServer.withStoreRetry —

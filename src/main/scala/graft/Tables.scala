@@ -119,6 +119,21 @@ object Tables {
       |)
       |""".stripMargin
 
+  /** The sfDir the driver always verifies at. Oracle-companion queries
+    * that dump an intermediate frame for DuckDB to re-read hardcode
+    * this dir into their SQL (the q30_verify pattern): the dump path is
+    * keyed by input dir, so a Bench run at another scale can never
+    * overwrite the verify-scale dump between the Verify pass and the
+    * driver's DuckDB pass.
+    */
+  val VerifyDir = "/root/testdata/sf0.01"
+
+  /** Dir-keyed dump location for oracle-companion intermediates. */
+  def oracleDumpPath(name: String, dir: String): String = {
+    val norm = dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_oracle/${name}_$norm"
+  }
+
   /** Planting convention shared by every injected-duplicate fixture
     * (and by the Bench recall probe, which re-derives the planted
     * pairs from these constants): every [[DupEvery]]-th id gets a

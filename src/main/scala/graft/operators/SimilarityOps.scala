@@ -282,6 +282,86 @@ object SimilarityOps {
     None // float-order across engines; exactness covered by SimilaritySpec
   )
 
+  // ---- quantized-cosine verify companions (q32/q40/q73) -------------
+  //
+  // The float ANN queries stay rows-only (cross-engine float ORDERING
+  // is not a contract worth pinning), but the scoring + top-k-selection
+  // arithmetic is deterministic: both engines promote float→double
+  // exactly, run the same left-to-right sum / sqrt / divide sequence,
+  // and IEEE doubles make those bit-identical. Quantizing the score to
+  // BIGINT units of 1e-9 (truncating floor — the q51_verify pattern)
+  // and ranking on the INTEGER (ties → n_id) turns the whole top-k
+  // into integer arithmetic the driver can hash-compare against DuckDB.
+
+  /** `floor(cosine(q_emb, n_emb) * 1e9)` as BIGINT. */
+  private def cosqCol: Column =
+    floor((expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb")))) * lit(1e9))
+      .cast("bigint")
+
+  /** The DuckDB spelling of [[cosqCol]] over two FLOAT[] columns. */
+  private def cosqSql(q: String, n: String): String =
+    s"""CAST(floor(
+       |    list_sum(list_transform(list_zip($q, $n),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($n, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |    * 1e9) AS BIGINT)""".stripMargin
+
+  /** Quantized exact top-10 over a (q_id, n_id) candidate frame, with
+    * rank decided on the integer score — shared by all three verify
+    * companions (q32 feeds it the full cross product, q40/q73 their
+    * dumped candidate sets).
+    */
+  private def quantizedTopK(e: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = pairs
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+      .withColumn("cosq", cosqCol)
+    graft.plans.TopKPerGroup(scored,
+      Seq(col("q_id")), Seq(col("cosq").desc, col("n_id")), 10, rank = Some("rank"))
+      .select(col("q_id"), col("n_id"), col("rank"), col("cosq"))
+  }
+
+  /** The shared SQL tail: quantized score + row_number top-10 over a
+    * `cand(q_id, n_id)` CTE the caller prepends.
+    */
+  private def quantizedTopKSql: String =
+    s""",
+       |s AS (
+       |  SELECT c.q_id, c.n_id,
+       |    ${cosqSql("q.embedding", "n.embedding")} AS cosq
+       |  FROM cand c
+       |  JOIN embeddings q ON c.q_id = q.vec_id
+       |  JOIN embeddings n ON c.n_id = n.vec_id)
+       |SELECT q_id, n_id, rank, cosq FROM (
+       |  SELECT q_id, n_id, cosq,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosq DESC, n_id) AS INT) AS rank
+       |  FROM s) r
+       |WHERE rank <= 10""".stripMargin
+
+  /** q32's DRIVER-GATED companion: the same brute-force scoring and
+    * per-query top-10, quantized — a full rows+schema+hash oracle under
+    * the exact-ANN baseline (float q32 stays rows-only).
+    */
+  val q32_verify: GraftQuery = GraftQuery(
+    "q32_verify",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val pairs = e.select(col("vec_id").as("n_id"))
+        .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
+          col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"))
+      quantizedTopK(e, pairs)
+    },
+    Some(
+      """WITH cand AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM embeddings n
+        |  JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+        |    ON n.vec_id <> q.vec_id)""".stripMargin + quantizedTopKSql)
+  )
+
   /** Vector aggregates: per-label count, total dim, and an exact sum of
     * per-row rounded norms (row-local double math → round(…,4) →
     * DECIMAL sum, so the cross-row aggregation is order-independent).
@@ -379,20 +459,38 @@ object SimilarityOps {
     * real: binary column, per-row feature vector, per-source rollup.
     * The payload is hashed ONCE; features derive arithmetically.
     */
+  /** The per-row fake-decode frame (doc_id, source, n_bytes, width,
+    * height, features) — deterministic integer math off one payload
+    * hash. The marked block is the swap-in point for a real decoder.
+    */
+  private def multimodalDecoded(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      // --- fake decode starts here: replace with a real image decoder ---
+      .withColumn("n_bytes", expr("octet_length(payload)"))
+      .withColumn("seed", expr("xxhash64(payload) & 4294967295"))
+      .withColumn("width", (crc32(col("payload")) % 640 + 16).cast("int"))
+      .withColumn("height", (expr("pmod(seed, 480)") + 16).cast("int"))
+      .withColumn("features",
+        expr("transform(sequence(0, 7), i -> pmod(seed * (2 * i + 61) + i, 1000))"))
+      // --- fake decode ends ---
+      .drop("payload", "seed")
+
+  /** crc32/xxhash64 have no DuckDB equivalent, but the decode output is
+    * deterministic INTEGERS — so the decoded frame dumps to a dir-keyed
+    * path (q30_verify pattern) and the per-source rollup runs from the
+    * dump in BOTH engines: the aggregation semantics carry a full
+    * rows+schema+hash oracle; the decode arithmetic itself is pinned in
+    * SimilaritySpec.
+    */
   val q35_multimodal: GraftQuery = GraftQuery(
     "q35_multimodal",
-    (s, dir) =>
-      Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          col("text").cast("binary").as("payload"))
-        // --- fake decode starts here: replace with a real image decoder ---
-        .withColumn("n_bytes", expr("octet_length(payload)"))
-        .withColumn("seed", expr("xxhash64(payload) & 4294967295"))
-        .withColumn("width", (crc32(col("payload")) % 640 + 16).cast("int"))
-        .withColumn("height", (expr("pmod(seed, 480)") + 16).cast("int"))
-        .withColumn("features",
-          expr("transform(sequence(0, 7), i -> pmod(seed * (2 * i + 61) + i, 1000))"))
-        // --- fake decode ends ---
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q35_decoded", dir)
+      multimodalDecoded(s, dir).write.mode("overwrite").parquet(dump)
+      s.read.parquet(dump)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_images"),
@@ -400,8 +498,16 @@ object SimilarityOps {
           sum(col("width")).cast("bigint").as("sum_width"),
           sum(col("height")).cast("bigint").as("sum_height"),
           sum(expr("aggregate(features, cast(0 as bigint), (acc, v) -> acc + v)"))
-            .cast("bigint").as("sum_features")),
-    None // crc32/xxhash64 fake-decode has no DuckDB equivalent; covered by SimilaritySpec
+            .cast("bigint").as("sum_features"))
+    },
+    Some(
+      s"""SELECT source, COUNT(*) AS n_images,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(width) AS BIGINT) AS sum_width,
+         |  CAST(SUM(height) AS BIGINT) AS sum_height,
+         |  CAST(SUM(list_sum(features)) AS BIGINT) AS sum_features
+         |FROM read_parquet('${Tables.oracleDumpPath("q35_decoded", Tables.VerifyDir)}/*.parquet')
+         |GROUP BY source""".stripMargin)
   )
 
   private val IvfCells = 16
@@ -515,25 +621,38 @@ object SimilarityOps {
   private[graft] def fitIvf(e: org.apache.spark.sql.DataFrame): IvfIndex =
     fitIvf(embSample(e))
 
+  /** Row-local top-[[IvfProbes]] probe-cell explode for a
+    * `(q_id, q_emb)` query frame — shared by q40, q73 and their verify
+    * companions (pure code motion out of q40; the plan is unchanged).
+    */
+  private def probeCells(idx: IvfIndex,
+      qs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idx.withCentroids(qs)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(array_sort(transform(sequence(0, ${idx.n - 1}), i -> " +
+          s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
+          "p -> p.cell)")))
+      .select(col("q_id"), col("q_emb"), col("cell"))
+
+  /** The IVF candidate frame (q_id, q_emb, n_id, n_emb): probed-cell
+    * join, self-pairs dropped — everything in q40 upstream of scoring.
+    */
+  private def ivfCandidates(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx = fitIvf(e)
+    val assigned = idx.assignCell(e)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assigned.join(broadcast(probeCells(idx, qs)), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+  }
+
   val q40_ivf_cosine: GraftQuery = GraftQuery(
     "q40_ivf_cosine",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val idx = fitIvf(e)
-      val n = idx.n
-      val assigned = idx.assignCell(e)
-        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
-      // search: top-IvfProbes cells per query, also row-local
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probes = idx.withCentroids(qs)
-        .withColumn("cell", explode(expr(
-          s"transform(slice(array_sort(transform(sequence(0, ${n - 1}), i -> " +
-            s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
-            "p -> p.cell)")))
-        .select(col("q_id"), col("q_emb"), col("cell"))
-      val scored = assigned.join(broadcast(probes), "cell")
-        .filter(col("n_id") =!= col("q_id"))
+      val scored = ivfCandidates(s, dir)
         .withColumn("cosine",
           expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
       graft.plans.TopKPerGroup(scored,
@@ -541,6 +660,28 @@ object SimilarityOps {
         .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
     },
     None // ANN recall measured against q32's exact top-k in SimilaritySpec
+  )
+
+  /** q40's DRIVER-GATED companion: the IVF candidate set (cell
+    * assignment + probing — deterministic given the driver-fit
+    * centroids, but not SQL-expressible) dumps to a dir-keyed path,
+    * and the quantized exact scoring + top-10 over THE SAME candidates
+    * carries a full DuckDB oracle — everything downstream of the index
+    * fit is hash-pinned, the q30→q30_verify split applied to ANN.
+    */
+  val q40_verify: GraftQuery = GraftQuery(
+    "q40_verify",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q40_candidates", dir)
+      ivfCandidates(s, dir).select(col("q_id"), col("n_id"))
+        .write.mode("overwrite").parquet(dump)
+      quantizedTopK(Tables.embeddings(s, dir), s.read.parquet(dump))
+    },
+    Some(
+      s"""WITH cand AS (
+         |  SELECT q_id, n_id
+         |  FROM read_parquet('${Tables.oracleDumpPath("q40_candidates", Tables.VerifyDir)}/*.parquet'))""".stripMargin
+        + quantizedTopKSql)
   )
 
   // q41 banding: 24 bands x 2 sketch positions, with a STRICT > 0.5
@@ -982,38 +1123,44 @@ object SimilarityOps {
     * Recall@10 vs q32's exact top-k is recorded per-round in
     * RECALL.json next to q40/q34; SimilaritySpec enforces ≥ 0.8.
     */
+  /** Stages 1-3 of q73 — train, encode, probe, ADC, bounded-heap
+    * shortlist — as a (q_id, q_emb, n_id) frame (pure code motion out
+    * of q73; the plan is unchanged). The verify companion dumps this
+    * frame's id pairs for its oracle.
+    */
+  private def pqShortlist(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val sample = embSample(e)
+    val ivf = fitIvf(sample)
+    val pq = fitPq(sample)
+    // corpus side: (n_id, cell, codes) — the compact index frame.
+    // Encode is the corpus-wide hot path: one codegen'd expression
+    // (normalize + argmin per subspace in a single call), not HOF
+    // lambdas — same rationale as MinHashSig (see plans/PqCodes)
+    val enc = ivf.assignCell(e)
+      .withColumn("codes", graft.plans.PqEncode.of(col("embedding"), pq.books))
+      .select(col("vec_id").as("n_id"), col("cell"), col("codes"))
+    // query side: probe cells + LUT, both row-local before broadcast
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = pq.withBooks(probeCells(ivf, qs))
+      .withColumn("q_nemb", expr(pq.normalized("q_emb")))
+      .withColumn("lut", expr(pq.lutExpr("q_nemb")))
+      .select(col("q_id"), col("q_emb"), col("cell"), col("lut"))
+    val adc = enc.join(broadcast(probes), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc", graft.plans.PqAdc.of(col("lut"), col("codes"), pq.k))
+    graft.plans.TopKPerGroup(adc,
+      Seq(col("q_id")), Seq(col("adc").desc, col("n_id")), PqShortlist)
+      .select(col("q_id"), col("q_emb"), col("n_id"))
+  }
+
   val q73_pq_ann: GraftQuery = GraftQuery(
     "q73_pq_ann",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val sample = embSample(e)
-      val ivf = fitIvf(sample)
-      val pq = fitPq(sample)
-      val n = ivf.n
-      // corpus side: (n_id, cell, codes) — the compact index frame.
-      // Encode is the corpus-wide hot path: one codegen'd expression
-      // (normalize + argmin per subspace in a single call), not HOF
-      // lambdas — same rationale as MinHashSig (see plans/PqCodes)
-      val enc = ivf.assignCell(e)
-        .withColumn("codes", graft.plans.PqEncode.of(col("embedding"), pq.books))
-        .select(col("vec_id").as("n_id"), col("cell"), col("codes"))
-      // query side: probe cells + LUT, both row-local before broadcast
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probes = pq.withBooks(ivf.withCentroids(qs))
-        .withColumn("cell", explode(expr(
-          s"transform(slice(array_sort(transform(sequence(0, ${n - 1}), i -> " +
-            s"struct(-(${ivf.cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
-            "p -> p.cell)")))
-        .withColumn("q_nemb", expr(pq.normalized("q_emb")))
-        .withColumn("lut", expr(pq.lutExpr("q_nemb")))
-        .select(col("q_id"), col("q_emb"), col("cell"), col("lut"))
-      val adc = enc.join(broadcast(probes), "cell")
-        .filter(col("n_id") =!= col("q_id"))
-        .withColumn("adc", graft.plans.PqAdc.of(col("lut"), col("codes"), pq.k))
-      val shortlist = graft.plans.TopKPerGroup(adc,
-        Seq(col("q_id")), Seq(col("adc").desc, col("n_id")), PqShortlist)
-        .select(col("q_id"), col("q_emb"), col("n_id"))
+      val shortlist = pqShortlist(s, dir)
       // exact re-rank: full vectors fetched for the shortlist ONLY
       val rer = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         .join(broadcast(shortlist), "n_id")
@@ -1026,8 +1173,30 @@ object SimilarityOps {
     None // ANN recall measured against q32's exact top-k in SimilaritySpec
   )
 
+  /** q73's DRIVER-GATED companion (same split as q40_verify): the
+    * IVF-PQ shortlist — the product of codebook training, encode and
+    * ADC, deterministic but not SQL-expressible — dumps to a dir-keyed
+    * path; the quantized exact re-rank + top-10 over THE SAME shortlist
+    * carries a full DuckDB oracle, hash-pinning the re-rank semantics.
+    */
+  val q73_verify: GraftQuery = GraftQuery(
+    "q73_verify",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q73_shortlist", dir)
+      pqShortlist(s, dir).select(col("q_id"), col("n_id"))
+        .write.mode("overwrite").parquet(dump)
+      quantizedTopK(Tables.embeddings(s, dir), s.read.parquet(dump))
+    },
+    Some(
+      s"""WITH cand AS (
+         |  SELECT q_id, n_id
+         |  FROM read_parquet('${Tables.oracleDumpPath("q73_shortlist", Tables.VerifyDir)}/*.parquet'))""".stripMargin
+        + quantizedTopKSql)
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q33_embed_stats,
-    q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q41_domain_sketch,
-    q60_delta_dedup, q63_quantize_int8, q70_semdedup, q73_pq_ann)
+    q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q32_verify,
+    q33_embed_stats, q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q40_verify,
+    q41_domain_sketch, q60_delta_dedup, q63_quantize_int8, q70_semdedup,
+    q73_pq_ann, q73_verify)
 }

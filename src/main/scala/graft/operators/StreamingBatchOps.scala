@@ -146,6 +146,43 @@ object StreamingBatchOps {
     None // xxhash64 membership has no DuckDB equivalent; StreamExportSpec
   )
 
+  /** s07's DRIVER-GATED companion (q30_verify dump pattern): the
+    * per-doc shard assignment — deterministic but xxhash64-based, so
+    * DuckDB can't recompute it — dumps to a dir-keyed path as the shard
+    * MANIFEST, and the per-shard rollup joins back to the documents
+    * table from the dump in BOTH engines. Everything downstream of the
+    * hash (membership totals, id ranges) is hash-pinned cross-engine;
+    * the streamed-vs-batch shard equality stays in StreamExportSpec.
+    */
+  val s07_verify: GraftQuery = GraftQuery(
+    "s07_verify",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("s07_shards", dir)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(StreamOps.ExportShards.toLong)).as("shard"))
+        .write.mode("overwrite").parquet(dump)
+      s.read.parquet(dump)
+        .join(Tables.table(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    },
+    Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, shard
+         |  FROM read_parquet('${Tables.oracleDumpPath("s07_shards", Tables.VerifyDir)}/*.parquet'))
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+         |  MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
+         |FROM sh JOIN documents d USING (doc_id)
+         |GROUP BY shard""".stripMargin)
+  )
+
   /** Batch form of the trending-hosts query (s08): sliding-window
     * (10 min / 5 min) counts per event type, top-3 per window through
     * the bounded-heap TopKPerGroup. The oracle spells the slide as a
@@ -177,5 +214,6 @@ object StreamingBatchOps {
 
   val all: Seq[GraftQuery] =
     Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich,
-      s05_stream_neardup, s06_stream_join, s07_stream_export, s08_stream_trending)
+      s05_stream_neardup, s06_stream_join, s07_stream_export, s07_verify,
+      s08_stream_trending)
 }

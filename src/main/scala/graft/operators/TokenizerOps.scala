@@ -121,6 +121,92 @@ object TokenizerOps {
     None // iterative argmax loop — no single-statement oracle; see TokenizerSpec
   )
 
+  private val VerifyMerges = 5
+
+  /** One unrolled BPE iteration as DuckDB CTEs (the q51_verify
+    * unrolled-iteration pattern): count adjacent pairs from v{k-1},
+    * pick the argmax (count desc, then pair lexicographic — the same
+    * tie-break as [[bpeFit]]), then apply the merge greedily
+    * left-to-right. The greedy scan is spelled relationally: positions
+    * matching (l, r) form runs of consecutive indices; within a run the
+    * 1st, 3rd, 5th… merge and the position after each merged one is
+    * consumed — exactly the left-to-right fold [[applyMerge]] runs
+    * (a merged symbol l||r can never re-trigger the same (l, r) match,
+    * since that would need r = '').
+    */
+  private def bpeIterSql(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s""", p$k AS (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS c
+       |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $prev) t
+       |  GROUP BY 1, 2
+       |), t$k AS (
+       |  SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1
+       |), x$k AS (
+       |  SELECT e.wid, e.cnt, e.i, e.sym, t.l, t.r,
+       |    CASE WHEN e.sym = t.l
+       |          AND lead(e.sym) OVER (PARTITION BY e.wid ORDER BY e.i) = t.r
+       |         THEN 1 ELSE 0 END AS mt
+       |  FROM (SELECT wid, cnt, unnest(syms) AS sym, generate_subscripts(syms, 1) AS i
+       |        FROM $prev) e
+       |  CROSS JOIN t$k t
+       |), g$k AS (
+       |  SELECT *, i - row_number() OVER (PARTITION BY wid, mt ORDER BY i) AS grp
+       |  FROM x$k
+       |), f$k AS (
+       |  SELECT wid, cnt, i, sym, l, r, mt,
+       |    CASE WHEN mt = 1
+       |          AND row_number() OVER (PARTITION BY wid, mt, grp ORDER BY i) % 2 = 1
+       |         THEN 1 ELSE 0 END AS dm
+       |  FROM g$k
+       |), o$k AS (
+       |  SELECT wid, cnt, i,
+       |    CASE WHEN dm = 1 THEN l || r ELSE sym END AS osym,
+       |    COALESCE(lag(dm) OVER (PARTITION BY wid ORDER BY i), 0) AS consumed
+       |  FROM f$k
+       |), v$k AS (
+       |  SELECT wid, ANY_VALUE(cnt) AS cnt, list(osym ORDER BY i) AS syms
+       |  FROM o$k WHERE consumed = 0 GROUP BY wid
+       |)""".stripMargin
+  }
+
+  private def bpeVerifySql(k: Int): String =
+    """WITH wf AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents) t
+      |  WHERE length(w) > 0
+      |  GROUP BY w
+      |), v0 AS (
+      |  SELECT row_number() OVER (ORDER BY w) AS wid, cnt,
+      |    string_split(w, '') AS syms
+      |  FROM wf
+      |)""".stripMargin +
+      (1 to k).map(bpeIterSql).mkString +
+      "\nSELECT * FROM (\n" +
+      (1 to k).map(i =>
+        s"SELECT $i AS step, l AS lsym, r AS rsym, l || r AS merged, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM t$i").mkString("\n UNION ALL ") +
+      "\n) ORDER BY step"
+
+  /** q71's DRIVER-GATED companion: the SAME [[bpeFit]] loop truncated
+    * to [[VerifyMerges]] fixed iterations, with BIGINT pair counts and
+    * the lexicographic tie-break — fully SQL-expressible by unrolling
+    * (q51_verify's pattern), so the merge-selection + merge-application
+    * core carries a rows+schema+hash DuckDB oracle while the full
+    * 30-merge q71 stays rows-only.
+    */
+  val q71_verify: GraftQuery = GraftQuery(
+    "q71_verify",
+    (s, dir) => {
+      import s.implicits._
+      bpeFit(Tables.table(s, dir, "documents"), VerifyMerges)
+        .map { case (step, l, r, c) => (step, l, r, l + r, c) }
+        .toDF("step", "lsym", "rsym", "merged", "pair_count")
+        .orderBy(col("step"))
+    },
+    Some(bpeVerifySql(VerifyMerges))
+  )
+
   /** The fit's merge chain applied to a symbol-array column, in
     * training order — BPE ENCODE. Legal because a merge only ever
     * creates pairs involving its own output symbol: by the time merge
@@ -167,5 +253,5 @@ object TokenizerOps {
     //      pinned word-for-word against a reference BPE in TokenizerSpec
   )
 
-  val all: Seq[GraftQuery] = Seq(q71_bpe_train, q75_bpe_encode)
+  val all: Seq[GraftQuery] = Seq(q71_bpe_train, q71_verify, q75_bpe_encode)
 }

@@ -31,5 +31,34 @@ object WarcOps {
     None // raw-WARC input — no parquet table for a DuckDB oracle
   )
 
-  val all: Seq[GraftQuery] = Seq(q59_warc_links)
+  /** q59's DRIVER-GATED companion (the q30_verify dump pattern): DuckDB
+    * cannot read WARC, but the POST-EXTRACTION link rows are plain
+    * columns — dump them to a dir-keyed path and run the per-domain
+    * rollup from the dump in BOTH engines, so the aggregation semantics
+    * carry a full rows+schema+hash oracle while the WARC framing +
+    * HTML extraction stay pinned record-by-record in WarcSourceSpec.
+    */
+  val q59_verify: GraftQuery = GraftQuery(
+    "q59_verify",
+    (s, dir) => {
+      val dump = graft.Tables.oracleDumpPath("q59_links", dir)
+      WarcSource.links(s, Seq(WarcFixture.dir()))
+        .select(col("link_domain"), col("page_host"), col("link_path"), col("qty"))
+        .write.mode("overwrite").parquet(dump)
+      s.read.parquet(dump)
+        .groupBy(col("link_domain"))
+        .agg(
+          sum(col("qty")).cast("bigint").as("qty"),
+          countDistinct(col("page_host")).as("n_src_hosts"),
+          countDistinct(col("link_path")).as("n_paths"))
+    },
+    Some(
+      s"""SELECT link_domain, CAST(SUM(qty) AS BIGINT) AS qty,
+         |  COUNT(DISTINCT page_host) AS n_src_hosts,
+         |  COUNT(DISTINCT link_path) AS n_paths
+         |FROM read_parquet('${graft.Tables.oracleDumpPath("q59_links", graft.Tables.VerifyDir)}/*.parquet')
+         |GROUP BY link_domain""".stripMargin)
+  )
+
+  val all: Seq[GraftQuery] = Seq(q59_warc_links, q59_verify)
 }

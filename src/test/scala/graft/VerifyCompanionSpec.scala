@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{SimilarityOps, TokenizerOps, WarcOps}
+import graft.operators.StreamingBatchOps
+import org.apache.spark.sql.functions._
+
+/** The round-10 oracle companions (q32/q40/q73/q71/q59/s07 _verify +
+  * the q35 flip): each one must agree with the float/rows-only query it
+  * pins — otherwise a green DuckDB hash would certify a DIFFERENT
+  * computation than the one users run.
+  */
+class VerifyCompanionSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+
+  test("q32_verify ranks the same neighbors as float q32") {
+    val float = pairs(SimilarityOps.q32_cosine_topk.run(spark, sfDir))
+    val quant = pairs(SimilarityOps.q32_verify.run(spark, sfDir))
+    assert(float.nonEmpty)
+    // 1e-9 quantization can only reorder pairs whose cosines differ by
+    // < 1e-9 — none exist in the testdata, so the id sets are EQUAL
+    assert(quant == float, s"sym-diff: ${(quant diff float) ++ (float diff quant)}")
+  }
+
+  test("q40_verify ranks the same neighbors as float q40 (same candidates)") {
+    val float = pairs(SimilarityOps.q40_ivf_cosine.run(spark, sfDir))
+    val quant = pairs(SimilarityOps.q40_verify.run(spark, sfDir))
+    assert(quant == float, s"sym-diff: ${(quant diff float) ++ (float diff quant)}")
+  }
+
+  test("q73_verify ranks the same neighbors as float q73 (same shortlist)") {
+    val float = pairs(SimilarityOps.q73_pq_ann.run(spark, sfDir))
+    val quant = pairs(SimilarityOps.q73_verify.run(spark, sfDir))
+    assert(quant == float, s"sym-diff: ${(quant diff float) ++ (float diff quant)}")
+  }
+
+  test("q71_verify is the exact 5-merge prefix of the 30-merge q71 fit") {
+    val full = TokenizerOps.q71_bpe_train.run(spark, sfDir)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    val short = TokenizerOps.q71_verify.run(spark, sfDir)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lsym"),
+        r.getAs[String]("rsym"), r.getAs[Long]("pair_count")))
+    assert(short.length == 5)
+    assert(full.take(5).toSeq == short.toSeq)
+  }
+
+  test("q59_verify rollup equals q59 over the same WARC fixture") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("link_domain"), r.getAs[Long]("qty"),
+        r.getAs[Long]("n_src_hosts"), r.getAs[Long]("n_paths"))).toSet
+    val direct = rows(WarcOps.q59_warc_links.run(spark, sfDir))
+    val dumped = rows(WarcOps.q59_verify.run(spark, sfDir))
+    assert(direct.nonEmpty)
+    assert(dumped == direct)
+  }
+
+  test("s07_verify rollup equals s07 shard membership") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_chars"), r.getAs[Long]("min_doc"),
+        r.getAs[Long]("max_doc"))).toSet
+    val direct = rows(StreamingBatchOps.s07_stream_export.run(spark, sfDir))
+    val dumped = rows(StreamingBatchOps.s07_verify.run(spark, sfDir))
+    assert(direct.nonEmpty)
+    assert(dumped == direct)
+  }
+
+  test("q35 aggregate from the dump equals the direct decode aggregate") {
+    // the dump round-trip must be semantically transparent: re-derive
+    // the rollup straight from the decode frame (no dump) and compare
+    val viaDump = SimilarityOps.q35_multimodal.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_images"),
+        r.getAs[Long]("total_bytes"), r.getAs[Long]("sum_width"),
+        r.getAs[Long]("sum_height"), r.getAs[Long]("sum_features"))).toSet
+    val direct = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .withColumn("n_bytes", expr("octet_length(payload)"))
+      .withColumn("seed", expr("xxhash64(payload) & 4294967295"))
+      .withColumn("width", (crc32(col("payload")) % 640 + 16).cast("int"))
+      .withColumn("height", (expr("pmod(seed, 480)") + 16).cast("int"))
+      .withColumn("features",
+        expr("transform(sequence(0, 7), i -> pmod(seed * (2 * i + 61) + i, 1000))"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+        sum(col("width")).cast("bigint").as("sum_width"),
+        sum(col("height")).cast("bigint").as("sum_height"),
+        sum(expr("aggregate(features, cast(0 as bigint), (acc, v) -> acc + v)"))
+          .cast("bigint").as("sum_features"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_images"),
+        r.getAs[Long]("total_bytes"), r.getAs[Long]("sum_width"),
+        r.getAs[Long]("sum_height"), r.getAs[Long]("sum_features"))).toSet
+    assert(viaDump == direct)
+  }
+}
