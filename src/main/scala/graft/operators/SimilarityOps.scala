@@ -391,14 +391,29 @@ object SimilarityOps {
            |GROUP BY label""".stripMargin)
   )
 
-  private val LshPlanes = 8
   private val LshBandsCos = 2
+
+  /** Hyperplanes PER BAND, sized to the corpus: 2^planes buckets per
+    * band must keep expected occupancy (n / 2^planes) safely under the
+    * [[MaxBucket]] hot-bucket cap, or the cap silently drops MOST
+    * buckets and recall collapses — exactly what the first sf1 bench
+    * recorded (8 fixed planes = 256 buckets; 20k vectors → ~80/bucket
+    * > 64 → planted-pair recall 0.36). planes = log2(n/32) targets
+    * ~32 occupancy; the floor keeps every scale ≤ sf0.1 on the
+    * original 8-plane behavior. Recall for true near-dups is
+    * plane-count-insensitive (a cos≈1 pair flips a plane with
+    * probability θ/π ≈ 0), so more planes only cut the false-candidate
+    * reservoir — this is THE (b,r)-style scale lever for hyperplane
+    * LSH, and it must grow with log(corpus).
+    */
+  private def lshPlanesFor(n: Long): Int =
+    math.max(8, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
 
   /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
     * of the dot product matters). Components in [-0.5, 0.5).
     */
-  private def hyperplanes(dim: Int): Seq[Seq[Double]] =
-    (0 until LshPlanes * LshBandsCos).map { p =>
+  private def hyperplanes(dim: Int, planes: Int): Seq[Seq[Double]] =
+    (0 until planes * LshBandsCos).map { p =>
       (0 until dim).map { j =>
         ((splitmix(p * 131071L + j) & Long.MaxValue) % 100000L) / 100000.0 - 0.5
       }
@@ -422,7 +437,10 @@ object SimilarityOps {
         .filter(assert_true(size(col("embedding")) === Tables.EmbeddingDim,
           concat(lit(s"embedding dim != ${Tables.EmbeddingDim}: "),
             size(col("embedding")).cast("string"))).isNull)
-      val planes = typedLit(hyperplanes(Tables.EmbeddingDim))
+      // corpus-sized bucket space (one metadata-cheap count — index
+      // sizing, the same class of plan-build work as q40's embSample)
+      val nPlanes = lshPlanesFor(Tables.table(s, dir, "embeddings").count())
+      val planes = typedLit(hyperplanes(Tables.EmbeddingDim, nPlanes))
       val bits = e.withColumn("bits",
         transform(planes, pl =>
           when(aggregate(
@@ -431,7 +449,7 @@ object SimilarityOps {
       val bands = bits.select(col("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${LshBandsCos - 1}), b -> " +
-            s"aggregate(slice(bits, b * $LshPlanes + 1, $LshPlanes), 0, (acc, x) -> acc * 2 + x))"))
+            s"aggregate(slice(bits, b * $nPlanes + 1, $nPlanes), 0, (acc, x) -> acc * 2 + x))"))
           .as(Seq("band_id", "bucket")))
       val pairs = bands
         .groupBy(col("band_id"), col("bucket"))
@@ -1006,11 +1024,22 @@ object SimilarityOps {
   // ------------------------------------------------------------- q73
   private val PqSub = 16       // subspaces: 64-dim → 4 dims each
   private val PqK = 16         // centroids per subspace → 4-bit codes
-  private val PqShortlist = 128 // ADC survivors re-ranked exactly
+  private val PqShortlistFloor = 128 // ADC survivors re-ranked exactly
   // sized so the 4-bit-code ADC ordering keeps the true top-10 inside
   // the shortlist at every test SF (recorded 0.92/0.90/0.90 at
   // sf0.001/0.01/0.1 — RECALL.json tracks it per round); re-rank cost
   // is |Q| × shortlist rows, noise at any scale
+
+  /** Shortlist size must scale WITH the per-query candidate count
+    * (n × probes/cells): 4-bit ADC ordering is noisy, so a fixed 128
+    * over 10× more candidates lets the true top-10 slip out — the
+    * first sf1 bench recorded recall@10 falling 0.90 → 0.66 on the
+    * fixed constant. ~5% of the candidate stream (floor 128 keeps
+    * every scale ≤ sf0.1 unchanged) restores headroom; re-rank cost
+    * stays |Q| × shortlist — noise at any corpus size.
+    */
+  private def pqShortlistFor(n: Long): Int =
+    math.max(PqShortlistFloor, (n * IvfProbes / IvfCells / 20).toInt)
   private val PqIters = 10
 
   /** Plain L2 Lloyd over a driver-side sample — the per-subspace PQ
@@ -1113,7 +1142,8 @@ object SimilarityOps {
     *      (row-local, then broadcast); candidates in probed cells are
     *      scored by ADC — [[PqSub]] lookup-adds per candidate, never
     *      touching the embedding column — and the bounded-heap
-    *      TopKPerGroup keeps [[PqShortlist]] per query.
+    *      TopKPerGroup keeps [[pqShortlistFor]] (≥ 128, ~5% of the
+    *      candidate stream) per query.
     *   4. RE-RANK the shortlist exactly: join the ≤ shortlist×|Q| id
     *      set back to the embedding table (broadcast — the only point
     *      where full vectors are read for scoring) and emit true-cosine
@@ -1152,7 +1182,8 @@ object SimilarityOps {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("adc", graft.plans.PqAdc.of(col("lut"), col("codes"), pq.k))
     graft.plans.TopKPerGroup(adc,
-      Seq(col("q_id")), Seq(col("adc").desc, col("n_id")), PqShortlist)
+      Seq(col("q_id")), Seq(col("adc").desc, col("n_id")),
+      pqShortlistFor(Tables.table(s, dir, "embeddings").count()))
       .select(col("q_id"), col("q_emb"), col("n_id"))
   }
 
