@@ -425,40 +425,48 @@ object SimilarityOps {
     * Candidate generation is one shuffle on (band, bucket). The plane
     * matrix is a plan-time literal (broadcast with the plan, no join).
     */
+  /** q34's banded candidate stage as a (a_id, b_id) frame — pure code
+    * motion so the verify companion can dump it.
+    */
+  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame = {
+    // dim is part of the dataset contract (TESTDATA.md) — a plan-build
+    // head() here would run a tiny job per plan construction. The
+    // per-row assert fails LOUDLY if data arrives at another dim
+    // (zip_with against a shorter plane vector would otherwise
+    // silently null out every plane bit).
+    val e = Tables.embWithNearDups(s, dir)
+      .filter(assert_true(size(col("embedding")) === Tables.EmbeddingDim,
+        concat(lit(s"embedding dim != ${Tables.EmbeddingDim}: "),
+          size(col("embedding")).cast("string"))).isNull)
+    // corpus-sized bucket space (one metadata-cheap count — index
+    // sizing, the same class of plan-build work as q40's embSample)
+    val nPlanes = lshPlanesFor(Tables.table(s, dir, "embeddings").count())
+    val planes = typedLit(hyperplanes(Tables.EmbeddingDim, nPlanes))
+    val bits = e.withColumn("bits",
+      transform(planes, pl =>
+        when(aggregate(
+          zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) > 0, 1).otherwise(0)))
+    val bands = bits.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${LshBandsCos - 1}), b -> " +
+          s"aggregate(slice(bits, b * $nPlanes + 1, $nPlanes), 0, (acc, x) -> acc * 2 + x))"))
+        .as(Seq("band_id", "bucket")))
+    bands
+      .groupBy(col("band_id"), col("bucket"))
+      .agg(graft.plans.BoundedCollectSet.of(col("vec_id"), MaxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+  }
+
   val q34_lsh_cosine: GraftQuery = GraftQuery(
     "q34_lsh_cosine",
     (s, dir) => {
-      // dim is part of the dataset contract (TESTDATA.md) — a plan-build
-      // head() here would run a tiny job per plan construction. The
-      // per-row assert fails LOUDLY if data arrives at another dim
-      // (zip_with against a shorter plane vector would otherwise
-      // silently null out every plane bit).
       val e = Tables.embWithNearDups(s, dir)
-        .filter(assert_true(size(col("embedding")) === Tables.EmbeddingDim,
-          concat(lit(s"embedding dim != ${Tables.EmbeddingDim}: "),
-            size(col("embedding")).cast("string"))).isNull)
-      // corpus-sized bucket space (one metadata-cheap count — index
-      // sizing, the same class of plan-build work as q40's embSample)
-      val nPlanes = lshPlanesFor(Tables.table(s, dir, "embeddings").count())
-      val planes = typedLit(hyperplanes(Tables.EmbeddingDim, nPlanes))
-      val bits = e.withColumn("bits",
-        transform(planes, pl =>
-          when(aggregate(
-            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v) > 0, 1).otherwise(0)))
-      val bands = bits.select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${LshBandsCos - 1}), b -> " +
-            s"aggregate(slice(bits, b * $nPlanes + 1, $nPlanes), 0, (acc, x) -> acc * 2 + x))"))
-          .as(Seq("band_id", "bucket")))
-      val pairs = bands
-        .groupBy(col("band_id"), col("bucket"))
-        .agg(graft.plans.BoundedCollectSet.of(col("vec_id"), MaxBucket).as("ids"))
-        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-        .select(explode(expr(pairExpr)).as("p"))
-        .select(col("p.a_id"), col("p.b_id"))
-        .distinct()
-      pairs
+      lshCandidatePairs(s, dir)
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("q_emb")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("n_emb")), "b_id")
         .withColumn("cosine",
@@ -467,6 +475,51 @@ object SimilarityOps {
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
     },
     None // LSH bucketing not SQL-expressible; recall vs injected dups in SimilaritySpec
+  )
+
+  /** The embWithNearDups fixture as a DuckDB CTE (mirrors q70's inline
+    * spelling — float addition then FLOAT cast, IEEE-identical).
+    */
+  private val embNearDupsCte: String =
+    """WITH allvecs AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_prepend(CAST(embedding[1] + CAST(0.001 AS FLOAT) AS FLOAT),
+      |                 embedding[2:])
+      |  FROM embeddings WHERE vec_id % 25 = 0
+      |)""".stripMargin
+
+  /** q34's DRIVER-GATED companion (the q30_verify split applied to
+    * hyperplane LSH): the banded candidate pairs dump dir-keyed, and
+    * the exact-cosine ≥ 0.99 verification runs over THE SAME pairs in
+    * both engines with the score quantized to BIGINT 1e-9 units — the
+    * threshold compares integers, so no float boundary can flip a row.
+    */
+  val q34_verify: GraftQuery = GraftQuery(
+    "q34_verify",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q34_candidates", dir)
+      lshCandidatePairs(s, dir).write.mode("overwrite").parquet(dump)
+      val e = Tables.embWithNearDups(s, dir)
+      s.read.parquet(dump)
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("q_emb")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("n_emb")), "b_id")
+        .withColumn("cosq", cosqCol)
+        .filter(col("cosq") >= lit(990000000L))
+        .select(col("a_id"), col("b_id"), col("cosq"))
+    },
+    Some(embNearDupsCte +
+      s""", cand AS (
+         |  SELECT a_id, b_id
+         |  FROM read_parquet('${Tables.oracleDumpPath("q34_candidates", Tables.VerifyDir)}/*.parquet')),
+         |scored AS (
+         |  SELECT c.a_id, c.b_id,
+         |    ${cosqSql("a.embedding", "b.embedding")} AS cosq
+         |  FROM cand c
+         |  JOIN allvecs a ON c.a_id = a.vec_id
+         |  JOIN allvecs b ON c.b_id = b.vec_id)
+         |SELECT a_id, b_id, cosq FROM scored WHERE cosq >= 990000000""".stripMargin)
   )
 
   /** Multimodal column plumbing: documents carry an opaque `binary`
@@ -1227,7 +1280,7 @@ object SimilarityOps {
 
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q32_verify,
-    q33_embed_stats, q34_lsh_cosine, q35_multimodal, q40_ivf_cosine, q40_verify,
-    q41_domain_sketch, q60_delta_dedup, q63_quantize_int8, q70_semdedup,
-    q73_pq_ann, q73_verify)
+    q33_embed_stats, q34_lsh_cosine, q34_verify, q35_multimodal,
+    q40_ivf_cosine, q40_verify, q41_domain_sketch, q60_delta_dedup,
+    q63_quantize_int8, q70_semdedup, q73_pq_ann, q73_verify)
 }

@@ -137,7 +137,7 @@ object TokenizerOps {
   private def bpeIterSql(k: Int): String = {
     val prev = if (k == 1) "v0" else s"v${k - 1}"
     s""", p$k AS (
-       |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS c
+       |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
        |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $prev) t
        |  GROUP BY 1, 2
        |), t$k AS (
@@ -170,23 +170,53 @@ object TokenizerOps {
        |)""".stripMargin
   }
 
-  private def bpeVerifySql(k: Int): String =
+  /** The shared CTE chain: word frequencies → char-split v0 → k
+    * unrolled merge iterations (v0 keeps the word so the encode
+    * verify can map v{k}'s wid-keyed symbol arrays back to words).
+    */
+  private def bpeChainSql(k: Int): String =
     """WITH wf AS (
       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents) t
       |  WHERE length(w) > 0
       |  GROUP BY w
       |), v0 AS (
-      |  SELECT row_number() OVER (ORDER BY w) AS wid, cnt,
+      |  SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
       |    string_split(w, '') AS syms
       |  FROM wf
       |)""".stripMargin +
-      (1 to k).map(bpeIterSql).mkString +
+      (1 to k).map(bpeIterSql).mkString
+
+  private def bpeVerifySql(k: Int): String =
+    bpeChainSql(k) +
       "\nSELECT * FROM (\n" +
       (1 to k).map(i =>
         s"SELECT $i AS step, l AS lsym, r AS rsym, l || r AS merged, " +
           s"CAST(c AS BIGINT) AS pair_count FROM t$i").mkString("\n UNION ALL ") +
       "\n) ORDER BY step"
+
+  /** q75_verify's oracle: run the same k-merge chain, then ENCODE —
+    * v{k}'s symbol arrays ARE the encoded lexicon (len = subword count
+    * per distinct word; wid maps back to the word through v0), joined
+    * onto the exploded corpus for the per-doc rollup q75 emits.
+    */
+  private def bpeEncodeVerifySql(k: Int): String =
+    bpeChainSql(k) +
+      s""", lex AS (
+         |  SELECT v0.w, len(v$k.syms) AS n_tok
+         |  FROM v$k JOIN v0 USING (wid)
+         |), wt AS (
+         |  SELECT doc_id, source, w FROM (
+         |    SELECT doc_id, source,
+         |      unnest(string_split_regex(text, ' +')) AS w
+         |    FROM documents) t
+         |  WHERE length(w) > 0
+         |)
+         |SELECT doc_id, source, COUNT(*) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(MAX(n_tok) AS INT) AS max_word_tokens
+         |FROM wt JOIN lex USING (w)
+         |GROUP BY doc_id, source""".stripMargin
 
   /** q71's DRIVER-GATED companion: the SAME [[bpeFit]] loop truncated
     * to [[VerifyMerges]] fixed iterations, with BIGINT pair counts and
@@ -230,6 +260,26 @@ object TokenizerOps {
     * AQE falls back to a shuffle join on the word key beyond that),
     * and the per-doc rollup is one map-side-combinable aggregate.
     */
+  /** The q75 encode pipeline over an explicit merge table: merge fold
+    * paid once per DISTINCT word (Heaps'-law lexicon), joined back onto
+    * the exploded corpus, per-doc rollup map-side combined. Shared by
+    * q75 (full 30-merge fit) and q75_verify (fixed 5-merge fit).
+    */
+  private def encodeRollup(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wtoks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+    val lexicon = wtoks.select(col("w")).distinct()
+      .withColumn("n_tok", size(applyMerges(split(col("w"), ""), merges)))
+    wtoks.join(lexicon, "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("bigint").as("n_bpe_tokens"),
+        max(col("n_tok")).as("max_word_tokens"))
+  }
+
   val q75_bpe_encode: GraftQuery = GraftQuery(
     "q75_bpe_encode",
     (s, dir) => {
@@ -237,21 +287,29 @@ object TokenizerOps {
       val merges = fitCache
         .computeIfAbsent(s"$dir#$BpeMerges", _ => bpeFit(docs, BpeMerges))
         .map { case (_, l, r, _) => (l, r) }
-      val wtoks = docs.select(col("doc_id"), col("source"),
-        explode(split(col("text"), " +")).as("w"))
-        .filter(length(col("w")) > 0)
-      val lexicon = wtoks.select(col("w")).distinct()
-        .withColumn("n_tok", size(applyMerges(split(col("w"), ""), merges)))
-      wtoks.join(lexicon, "w")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(col("n_tok")).cast("bigint").as("n_bpe_tokens"),
-          max(col("n_tok")).as("max_word_tokens"))
+      encodeRollup(docs, merges)
     },
     None // merge table is data-dependent (q71's iterative fit); encode
     //      pinned word-for-word against a reference BPE in TokenizerSpec
   )
 
-  val all: Seq[GraftQuery] = Seq(q71_bpe_train, q71_verify, q75_bpe_encode)
+  /** q75's DRIVER-GATED companion: the SAME encode pipeline under the
+    * fixed 5-merge fit q71_verify pins, so merge APPLICATION at encode
+    * time (the sequential fold) carries a full hash oracle — the
+    * oracle reruns the unrolled merge chain and reads each word's
+    * subword count straight off the final vocab iterate's symbol
+    * arrays. The 30-merge q75 stays rows-only (data-dependent table).
+    */
+  val q75_verify: GraftQuery = GraftQuery(
+    "q75_verify",
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      encodeRollup(docs,
+        bpeFit(docs, VerifyMerges).map { case (_, l, r, _) => (l, r) })
+    },
+    Some(bpeEncodeVerifySql(VerifyMerges))
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(q71_bpe_train, q71_verify, q75_bpe_encode, q75_verify)
 }

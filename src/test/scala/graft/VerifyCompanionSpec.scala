@@ -35,6 +35,32 @@ class VerifyCompanionSpec extends SparkSpec {
     assert(quant == float, s"sym-diff: ${(quant diff float) ++ (float diff quant)}")
   }
 
+  test("q34_verify keeps exactly the float q34 pair set (same candidates)") {
+    def ab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val float = ab(SimilarityOps.q34_lsh_cosine.run(spark, sfDir))
+    val quant = ab(SimilarityOps.q34_verify.run(spark, sfDir))
+    assert(float.nonEmpty)
+    // both filter the SAME dumped candidates at 0.99; the fixture has
+    // no cosine inside [floor(0.99e9)/1e9, 0.99), so the sets are EQUAL
+    assert(quant == float, s"sym-diff: ${(quant diff float) ++ (float diff quant)}")
+  }
+
+  test("q75_verify matches q75's word counts and dominates its token counts") {
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val full = byDoc(TokenizerOps.q75_bpe_encode.run(spark, sfDir))
+    val short = byDoc(TokenizerOps.q75_verify.run(spark, sfDir))
+    assert(full.nonEmpty && full.keySet == short.keySet)
+    full.foreach { case (id, (nw, ntok30)) =>
+      val (nw5, ntok5) = short(id)
+      assert(nw5 == nw, s"doc $id word count diverged: $nw5 vs $nw")
+      // a 5-merge prefix can only merge LESS than the full 30-merge fit
+      assert(ntok5 >= ntok30, s"doc $id: 5-merge tokens $ntok5 < 30-merge $ntok30")
+    }
+  }
+
   test("q71_verify is the exact 5-merge prefix of the 30-merge q71 fit") {
     val full = TokenizerOps.q71_bpe_train.run(spark, sfDir)
       .orderBy(col("step")).collect()
