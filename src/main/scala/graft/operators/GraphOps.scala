@@ -309,6 +309,38 @@ object GraphOps {
     None // serving read of a store artifact; no parquet table for DuckDB
   )
 
+  /** q69's DRIVER-GATED companion: the store's FULL `_RANKS` artifact
+    * dumps dir-keyed with ranks floored to BIGINT 1e-9 units, and the
+    * query runs the PRUNED serving read ([[graft.Pipeline.hostRanksFor]]
+    * — bucket-pruned partition scan) with the same quantization; the
+    * oracle filters the full dump to the requested hosts. Green means
+    * the pruned read returns exactly the full artifact's rows for the
+    * hot set — partition pruning certified value-exact, cross-engine,
+    * while float q69 stays rows-only.
+    */
+  val q69_verify: GraftQuery = GraftQuery(
+    "q69_verify",
+    (s, dir) => {
+      val store = graft.sources.RankedStoreFixture.dir(s, dir)
+      val dump = Tables.oracleDumpPath("q69_ranks", dir)
+      graft.Pipeline.hostRanks(s, store)
+        .getOrElse(sys.error(s"store at $store has no _RANKS artifact"))
+        .select(col("host"), floor(col("rank") * 1e9).cast("bigint").as("rank_scaled"))
+        .write.mode("overwrite").parquet(dump)
+      val hosts = (0 to 4).map(i => s"h$i.example.org")
+      graft.Pipeline.hostRanksFor(s, store, hosts)
+        .select(col("host"), floor(col("rank") * 1e9).cast("bigint").as("rank_scaled"))
+        .orderBy(col("host"))
+    },
+    Some {
+      val hostList = (0 to 4).map(i => s"'h$i.example.org'").mkString(", ")
+      s"""SELECT host, rank_scaled
+         |FROM read_parquet('${Tables.oracleDumpPath("q69_ranks", Tables.VerifyDir)}/*.parquet')
+         |WHERE host IN ($hostList)
+         |ORDER BY host""".stripMargin
+    }
+  )
+
   private val HitsIters = 8
 
   /** HITS (Kleinberg 1999) hubs & authorities over an arbitrary
@@ -525,5 +557,5 @@ object GraphOps {
 
   val all: Seq[GraftQuery] =
     Seq(q51_pagerank, q51_verify, q52_degree_dist, q69_host_rank_serve,
-      q78_hits, q78_verify, q79_host_components)
+      q69_verify, q78_hits, q78_verify, q79_host_components)
 }

@@ -490,6 +490,37 @@ object TextOps {
     None // deflate has no DuckDB equivalent; property-tested in SignaturesSpec
   )
 
+  /** q48's DRIVER-GATED companion (q30_verify dump pattern): DuckDB has
+    * no deflate, but the per-doc ratio is one deterministic double —
+    * dump (doc_id, source, ratio) dir-keyed and run the decile
+    * bucketing + rollup FROM THE DUMP in both engines (parquet doubles
+    * round-trip exactly), so everything downstream of the compressor
+    * is hash-pinned; the compressor itself stays in SignaturesSpec.
+    */
+  val q48_verify: GraftQuery = GraftQuery(
+    "q48_verify",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q48_ratios", dir)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.plans.CompressionRatio.of(col("text")).as("ratio"))
+        .write.mode("overwrite").parquet(dump)
+      s.read.parquet(dump)
+        .groupBy(col("source"),
+          floor(col("ratio") * 10).cast("int").as("ratio_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("ratio")), 4).as("min_ratio"),
+          round(max(col("ratio")), 4).as("max_ratio"))
+    },
+    Some(
+      s"""SELECT source, CAST(floor(ratio * 10) AS INT) AS ratio_decile,
+         |  COUNT(*) AS n_docs,
+         |  round(MIN(ratio), 4) AS min_ratio,
+         |  round(MAX(ratio), 4) AS max_ratio
+         |FROM read_parquet('${Tables.oracleDumpPath("q48_ratios", Tables.VerifyDir)}/*.parquet')
+         |GROUP BY source, CAST(floor(ratio * 10) AS INT)""".stripMargin)
+  )
+
   private val WordTokens = "regexp_extract_all(lower(text), '[a-z]+', 0)"
 
   /** Corpus vocabulary histogram: global top-50 word tokens by
@@ -1419,6 +1450,7 @@ object TextOps {
     q24_dedup_exact, q25_fingerprint, q26_token_count, q27_quality_score,
     q28_langid, q29_ngram_jaccard, q36_dup_clusters, q44_winnow_fingerprint,
     q45_stratified_sample, q46_profile, q47_gopher_quality, q48_repetition,
+    q48_verify,
     q49_token_histogram, q50_inverted_index, q53_decontaminate,
     q81_contamination_rate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,

@@ -74,6 +74,32 @@ class VerifyCompanionSpec extends SparkSpec {
     assert(full.take(5).toSeq == short.toSeq)
   }
 
+  test("q48_verify rollup equals the direct q48 aggregate") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("ratio_decile"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("min_ratio"),
+        r.getAs[Double]("max_ratio"))).toSet
+    val direct = rows(graft.operators.TextOps.q48_repetition.run(spark, sfDir))
+    val dumped = rows(graft.operators.TextOps.q48_verify.run(spark, sfDir))
+    assert(direct.nonEmpty)
+    assert(dumped == direct)
+  }
+
+  test("q69_verify's pruned serving read equals the quantized float q69") {
+    val served = graft.operators.GraphOps.q69_host_rank_serve.run(spark, sfDir)
+      .collect().map(r => r.getAs[String]("host")).toList
+    val quant = graft.operators.GraphOps.q69_verify.run(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("rank_scaled")))
+      .toList
+    assert(quant.map(_._1) == served, "host sets diverged")
+    // the full-artifact dump must agree with the pruned read row-for-row
+    val dump = spark.read.parquet(Tables.oracleDumpPath("q69_ranks", sfDir))
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("rank_scaled")).toMap
+    quant.foreach { case (h, rs) =>
+      assert(dump(h) == rs, s"pruned read of $h diverged from the full artifact")
+    }
+  }
+
   test("q59_verify rollup equals q59 over the same WARC fixture") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("link_domain"), r.getAs[Long]("qty"),
