@@ -406,7 +406,7 @@ object SimilarityOps {
     * reservoir — this is THE (b,r)-style scale lever for hyperplane
     * LSH, and it must grow with log(corpus).
     */
-  private def lshPlanesFor(n: Long): Int =
+  private[graft] def lshPlanesFor(n: Long): Int =
     math.max(8, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
 
   /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
@@ -1091,7 +1091,7 @@ object SimilarityOps {
     * every scale ≤ sf0.1 unchanged) restores headroom; re-rank cost
     * stays |Q| × shortlist — noise at any corpus size.
     */
-  private def pqShortlistFor(n: Long): Int =
+  private[graft] def pqShortlistFor(n: Long): Int =
     math.max(PqShortlistFloor, (n * IvfProbes / IvfCells / 20).toInt)
   private val PqIters = 10
 

@@ -74,6 +74,23 @@ class VerifyCompanionSpec extends SparkSpec {
     assert(full.take(5).toSeq == short.toSeq)
   }
 
+  test("corpus-scaled ANN parameters: floors pin every test SF, growth is logarithmic/linear") {
+    // the floors are a CONTRACT: every SF at or below sf0.1 must keep
+    // the pre-round-10 constants bit-identical (8 planes, 128 shortlist)
+    for (n <- Seq(200L, 2000L, 2080L, 20000L /* sf0.1 embWithNearDups max */ ))
+      assert(SimilarityOps.lshPlanesFor(math.min(n, 2000L)) == 8)
+    assert(SimilarityOps.lshPlanesFor(20000L) == 10)  // sf1
+    // bucket occupancy stays under the MaxBucket cap at every scale:
+    // n / 2^planes ≤ 64 is the invariant whose violation the first
+    // sf1 bench surfaced as recall collapse
+    for (n <- Seq(20000L, 200000L, 2000000L, 200000000L))
+      assert(n.toDouble / (1L << SimilarityOps.lshPlanesFor(n)) <= 64.0,
+        s"bucket occupancy exceeds MaxBucket at n=$n")
+    assert(SimilarityOps.pqShortlistFor(200L) == 128)
+    assert(SimilarityOps.pqShortlistFor(2000L) == 128)  // sf0.1 unchanged
+    assert(SimilarityOps.pqShortlistFor(20000L) == 562) // sf1: ~5% of candidates
+  }
+
   test("q48_verify rollup equals the direct q48 aggregate") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Int]("ratio_decile"),
