@@ -103,12 +103,19 @@ object ClusterRehearsal {
     } finally spark.stop()
   }
 
-  private val client = java.net.http.HttpClient.newHttpClient()
+  // explicit timeouts: a request wedged in send() would otherwise keep
+  // a non-daemon hammer thread alive past its join and hang the JVM
+  // after main() returns
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  private val ReqTimeout = java.time.Duration.ofSeconds(30)
 
   private def post(port: Int, path: String, body: String): (Int, String) = {
     val resp = client.send(
       java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .timeout(ReqTimeout)
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -118,7 +125,8 @@ object ClusterRehearsal {
   private def get(port: Int, path: String): (Int, String) = {
     val resp = client.send(
       java.net.http.HttpRequest
-        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .timeout(ReqTimeout).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
@@ -156,10 +164,16 @@ object ClusterRehearsal {
       val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
       val hammers = (1 to 4).map(_ => new Thread(() => {
         while (!stop.get())
+          // catch broadly: a non-IO throw (interrupt, HTTP-client
+          // internal error) must not silently kill the thread and
+          // quietly degrade the 4-thread hammer to fewer
           try codes.add(post(port, "/api/links", LinksBody)._1)
-          catch { case _: java.io.IOException => () }
+          catch {
+            case _: InterruptedException => stop.set(true)
+            case _: Exception => ()
+          }
       }))
-      hammers.foreach(_.start())
+      hammers.foreach { t => t.setDaemon(true); t.start() }
       Pipeline.publishRankedStore(spark, links, out, rankTol = 0.0, rankMaxIters = 8)
       stop.set(true)
       hammers.foreach(_.join(60000))

@@ -140,10 +140,8 @@ object SimilarityOps {
     * another scale can never overwrite the verify-scale candidates
     * between the Verify dump and the driver's DuckDB pass.
     */
-  private[graft] def q30CandidateDump(dir: String): String = {
-    val norm = dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/tmp/graft_oracle/q30_candidates_$norm"
-  }
+  private[graft] def q30CandidateDump(dir: String): String =
+    graft.Tables.oracleDumpPath("q30_candidates", dir) // same path as pre-r10
 
   /** q30's VERIFICATION stage under a full DuckDB oracle. The banding
     * stage is probabilistic-by-design (P(candidate|j=0.8) ≈ 0.52 — a
@@ -169,7 +167,7 @@ object SimilarityOps {
         |                  i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
         |  FROM alldocs),
         |cand AS (
-        |  SELECT a_id, b_id FROM read_parquet('${q30CandidateDump("/root/testdata/sf0.01")}/*.parquet'))
+        |  SELECT a_id, b_id FROM read_parquet('${q30CandidateDump(Tables.VerifyDir)}/*.parquet'))
         |SELECT c.a_id, c.b_id,
         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
@@ -409,6 +407,18 @@ object SimilarityOps {
   private[graft] def lshPlanesFor(n: Long): Int =
     math.max(8, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
 
+  /** Corpus-size memo for index sizing, keyed by dir: q34 and q73 (and
+    * their verify companions, which rebuild the same frames) would
+    * otherwise each re-run the count job at every plan construction.
+    * Semantically transparent for a given dir — the testdata dirs are
+    * immutable within a session.
+    */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    embCountCache.computeIfAbsent(dir, _ => Tables.table(s, dir, "embeddings").count())
+
   /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
     * of the dot product matters). Components in [-0.5, 0.5).
     */
@@ -439,9 +449,9 @@ object SimilarityOps {
       .filter(assert_true(size(col("embedding")) === Tables.EmbeddingDim,
         concat(lit(s"embedding dim != ${Tables.EmbeddingDim}: "),
           size(col("embedding")).cast("string"))).isNull)
-    // corpus-sized bucket space (one metadata-cheap count — index
+    // corpus-sized bucket space (one memoized count per dir — index
     // sizing, the same class of plan-build work as q40's embSample)
-    val nPlanes = lshPlanesFor(Tables.table(s, dir, "embeddings").count())
+    val nPlanes = lshPlanesFor(embCount(s, dir))
     val planes = typedLit(hyperplanes(Tables.EmbeddingDim, nPlanes))
     val bits = e.withColumn("bits",
       transform(planes, pl =>
@@ -1236,7 +1246,7 @@ object SimilarityOps {
       .withColumn("adc", graft.plans.PqAdc.of(col("lut"), col("codes"), pq.k))
     graft.plans.TopKPerGroup(adc,
       Seq(col("q_id")), Seq(col("adc").desc, col("n_id")),
-      pqShortlistFor(Tables.table(s, dir, "embeddings").count()))
+      pqShortlistFor(embCount(s, dir)))
       .select(col("q_id"), col("q_emb"), col("n_id"))
   }
 

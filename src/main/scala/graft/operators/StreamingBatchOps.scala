@@ -170,7 +170,6 @@ object StreamingBatchOps {
           sum(col("n_chars")).cast("bigint").as("total_chars"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
-        .orderBy(col("shard"))
     },
     Some(
       s"""WITH sh AS (

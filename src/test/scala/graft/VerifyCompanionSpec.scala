@@ -77,8 +77,8 @@ class VerifyCompanionSpec extends SparkSpec {
   test("corpus-scaled ANN parameters: floors pin every test SF, growth is logarithmic/linear") {
     // the floors are a CONTRACT: every SF at or below sf0.1 must keep
     // the pre-round-10 constants bit-identical (8 planes, 128 shortlist)
-    for (n <- Seq(200L, 2000L, 2080L, 20000L /* sf0.1 embWithNearDups max */ ))
-      assert(SimilarityOps.lshPlanesFor(math.min(n, 2000L)) == 8)
+    for (n <- Seq(200L, 2000L, 2080L /* sf0.1 embWithNearDups max */ ))
+      assert(SimilarityOps.lshPlanesFor(n) == 8, s"floor broken at n=$n")
     assert(SimilarityOps.lshPlanesFor(20000L) == 10)  // sf1
     // bucket occupancy stays under the MaxBucket cap at every scale:
     // n / 2^planes ≤ 64 is the invariant whose violation the first

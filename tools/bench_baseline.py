@@ -56,55 +56,73 @@ def run_in_subprocess(sql, q):
         q.put(("err", str(e)))
 
 
-oracle = json.load(open(oracle_path))
+def sweep():
+    oracle = json.load(open(oracle_path))
+    rows, timed_out, errored = [], [], []
+    shared_con = None if per_query_timeout else connect()
+    for name in sorted(oracle):
+        if per_query_timeout:
+            q = multiprocessing.Queue()
+            proc = multiprocessing.Process(target=run_in_subprocess, args=(oracle[name], q))
+            proc.start()
+            proc.join(per_query_timeout * 2)  # two reps inside
+            if proc.is_alive():
+                proc.terminate()
+                proc.join()
+                timed_out.append(name)
+                print(f"{name:26s} TIMEOUT (> {per_query_timeout:.0f}s/rep)")
+                continue
+            kind, val = q.get() if not q.empty() else ("err", "no result from subprocess")
+            if kind == "err":
+                errored.append((name, val))
+                print(f"{name}: ERROR {val}")
+                continue
+            best = val
+        else:
+            try:
+                best = best_of_two(shared_con, oracle[name])
+            except Exception as e:
+                errored.append((name, str(e)))
+                print(f"{name}: ERROR {e}")
+                continue
+        rows.append((name, best))
+        print(f"{name:26s} {best:8.3f}s")
+    return rows, timed_out, errored
 
-rows = []
-timed_out = []
-shared_con = None if per_query_timeout else connect()
-for name in sorted(oracle):
-    if per_query_timeout:
-        q = multiprocessing.Queue()
-        proc = multiprocessing.Process(target=run_in_subprocess, args=(oracle[name], q))
-        proc.start()
-        proc.join(per_query_timeout * 2)  # two reps inside
-        if proc.is_alive():
-            proc.terminate()
-            proc.join()
-            timed_out.append(name)
-            print(f"{name:26s} TIMEOUT (> {per_query_timeout:.0f}s/rep)")
-            continue
-        kind, val = q.get() if not q.empty() else ("err", "no result")
-        if kind == "err":
-            print(f"{name}: ERROR {val}")
-            continue
-        best = val
-    else:
-        try:
-            best = best_of_two(shared_con, oracle[name])
-        except Exception as e:
-            print(f"{name}: ERROR {e}")
-            continue
-    rows.append((name, best))
-    print(f"{name:26s} {best:8.3f}s")
 
-total = sum(t for _, t in rows)
-with open(out_md, "w") as f:
-    f.write("# BASELINE — DuckDB wall-times for the oracle-expressible queries\n\n")
-    f.write(f"Engine: DuckDB {duckdb.__version__} (single node, {os.cpu_count()} threads), "
-            f"best-of-two, data `{sf_dir}`.\n")
-    f.write("DuckDB stands in for \"a native single-node engine\" because the\n"
-            "reference publishes no query-level numbers (its README only cites\n"
-            "import throughput). The comparable Spark numbers are the same-named\n"
-            "entries in `BENCH_r{N}.json` (graft.Bench, also best-of-two, local[32]).\n"
-            "Queries without oracle SQL (LSH/ANN/multimodal) have no DuckDB\n"
-            "equivalent and are excluded.\n\n")
-    f.write("| query | duckdb sec |\n|---|---|\n")
-    for name, t in rows:
-        f.write(f"| {name} | {t:.3f} |\n")
-    f.write(f"| **total ({len(rows)} queries)** | **{total:.3f}** |\n")
-    if timed_out:
-        f.write(f"\nExcluded (oracle spelling exceeded {per_query_timeout:.0f}s/rep — "
-                "deliberate brute-force correctness mirrors of banded/bucketed "
-                "Spark plans, quadratic by construction): "
-                + ", ".join(timed_out) + "\n")
-print(f"\ntotal {total:.3f}s over {len(rows)} queries -> {out_md}")
+# guard REQUIRED: on spawn-start-method platforms (macOS/Windows) each
+# multiprocessing child re-imports this module to reach
+# run_in_subprocess — an unguarded top-level sweep would recursively
+# re-enter the benchmark from every child
+if __name__ == "__main__":
+    rows, timed_out, errored = sweep()
+
+    total = sum(t for _, t in rows)
+    with open(out_md, "w") as f:
+        f.write("# BASELINE — DuckDB wall-times for the oracle-expressible queries\n\n")
+        f.write(f"Engine: DuckDB {duckdb.__version__} (single node, {os.cpu_count()} threads), "
+                f"best-of-two, data `{sf_dir}`.\n")
+        f.write("DuckDB stands in for \"a native single-node engine\" because the\n"
+                "reference publishes no query-level numbers (its README only cites\n"
+                "import throughput). The comparable Spark numbers are the same-named\n"
+                "entries in `BENCH_r{N}.json` (graft.Bench, also best-of-two, local[32]).\n"
+                "Queries without oracle SQL (LSH/ANN/multimodal) have no DuckDB\n"
+                "equivalent and are excluded.\n\n")
+        f.write("| query | duckdb sec |\n|---|---|\n")
+        for name, t in rows:
+            f.write(f"| {name} | {t:.3f} |\n")
+        f.write(f"| **total ({len(rows)} queries)** | **{total:.3f}** |\n")
+        if timed_out:
+            f.write(f"\nExcluded (oracle spelling exceeded {per_query_timeout:.0f}s/rep — "
+                    "deliberate brute-force correctness mirrors of banded/bucketed "
+                    "Spark plans, quadratic by construction): "
+                    + ", ".join(timed_out) + "\n")
+        if errored:
+            # an incomplete sweep must be visible in the artifact, not
+            # only on stdout — a missing verify-dump (Verify not run
+            # first) is the common cause
+            f.write("\nERRORED (not in the table or total): "
+                    + "; ".join(f"{n}: {e}" for n, e in errored) + "\n")
+    print(f"\ntotal {total:.3f}s over {len(rows)} queries -> {out_md}")
+    if errored:
+        sys.exit(1)
