@@ -34,14 +34,36 @@ import org.apache.spark.sql.functions._
   *     in Spark 4 and DuckDB regardless of the source generation's
   *     nanos/micros encoding.
   *
-  * Usage: runMain graft.MakeScale [srcDir dstDir copies]
-  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10).
+  * Usage: runMain graft.MakeScale [srcDir dstDir copies [textMode]]
+  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10, textMode
+  * `rot`). textMode `perm` swaps the Caesar rotation for a SEEDED
+  * alphabet permutation (and coordinate permutation for embeddings):
+  * required when STACKING scale-ups (sf1 → sf10), because a second
+  * rotation layer composes into rot(i+j) and copies with i+j ≡ i'+j'
+  * (mod 26) would collapse into exact duplicates — permutations drawn
+  * from 26! (resp. 64!) don't compose into collisions.
   */
 object MakeScale {
 
   private def stride(df: DataFrame, key: String): Long = {
     val m = df.agg(max(col(key))).head().getLong(0)
     ((m + 1 + 99) / 100) * 100
+  }
+
+  /** Deterministic Fisher-Yates permutation of 0 until n, seeded per
+    * copy via the shared splitmix mixer; copy 0 is the IDENTITY (the
+    * original data must pass through unchanged).
+    */
+  private def seededPerm(n: Int, copy: Int): Array[Int] = {
+    val p = Array.tabulate(n)(identity)
+    if (copy == 0) return p
+    var state = graft.plans.Signatures.splitmix(copy * 2654435761L)
+    for (i <- (n - 1) to 1 by -1) {
+      state = graft.plans.Signatures.splitmix(state)
+      val j = ((state & Long.MaxValue) % (i + 1)).toInt
+      val t = p(i); p(i) = p(j); p(j) = t
+    }
+    p
   }
 
   private def replicate(df: DataFrame, copies: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -51,6 +73,10 @@ object MakeScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val textMode = if (args.length > 3) args(3) else "rot"
+    require(textMode == "rot" || textMode == "perm", s"bad textMode $textMode")
+    require(textMode == "perm" || copies <= 26,
+      "rot mode collides past 26 copies — use perm")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftConf.local(cpus).getOrCreate()
@@ -94,19 +120,30 @@ object MakeScale {
 
     val az = "abcdefghijklmnopqrstuvwxyz"
     write("documents", replicate(t("documents"), copies)((df, i) => {
-      val shift = i % 26
-      val rot = az.substring(shift) + az.substring(0, shift)
+      val mapped =
+        if (textMode == "rot") az.substring(i % 26) + az.substring(0, i % 26)
+        else seededPerm(26, i).map(az.charAt).mkString
       df.withColumn("doc_id", col("doc_id") + lit(i * dStr))
-        .withColumn("text", translate(col("text"), az, rot))
+        .withColumn("text", translate(col("text"), az, mapped))
     }))
     write("embeddings", replicate(t("embeddings"), copies)((df, i) => {
-      val s = (i * 7) % Tables.EmbeddingDim
-      val rolled =
-        if (s == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${s + 1}, ${Tables.EmbeddingDim - s}), " +
-          s"slice(embedding, 1, $s))")
+      val dim = Tables.EmbeddingDim
+      val perturbed =
+        if (textMode == "rot") {
+          val s = (i * 7) % dim
+          if (s == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${s + 1}, ${dim - s}), " +
+            s"slice(embedding, 1, $s))")
+        } else {
+          // coordinate permutation: norm-preserving, cosine vs the
+          // original ≈ random for isotropic data, collision-free when
+          // stacked on a rotated layer
+          val p = seededPerm(dim, i)
+          if (i == 0) col("embedding")
+          else expr(p.map(j => s"embedding[$j]").mkString("array(", ", ", ")"))
+        }
       df.withColumn("vec_id", col("vec_id") + lit(i * vStr))
-        .withColumn("embedding", rolled)
+        .withColumn("embedding", perturbed)
     }))
 
     println(s"[make-scale] done: $copies x $src -> $dst")

@@ -7,13 +7,48 @@ import org.apache.spark.sql.functions._
   * the official testdata sizes. Writes only to /tmp.
   */
 object ScaleRehearsal {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosAsLong, "true").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def timeIt(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime(); val n = f
+    println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.1fs  rows=$n")
+  }
+
+  /** Decontamination eval-shape A/B over an existing sf dir: the q53
+    * fixture's eval set is a PROPORTIONAL 2% slice of the corpus, so
+    * the broadcast eval-gram set (and the matched-gram stream) grows
+    * WITH the corpus and the fixture's wall-clock bends superlinear at
+    * 100× (the sf10 scaling table). Production eval sets are
+    * FIXED-SIZE benchmarks; this probe pins that with eval pinned at
+    * 500 docs the same operator tracks the corpus ~linearly.
+    *
+    *   sbt "runMain graft.ScaleRehearsal fixedEval /tmp/graft_sf10"
+    */
+  private def fixedEvalProbe(dir: String): Unit = {
+    val spark = session()
+    val docs = Tables.table(spark, dir, "documents")
+    timeIt("contam_prop_2pct")(operators.TextOps.contamination(
+      docs.filter(col("doc_id") % 50 =!= 7),
+      docs.filter(col("doc_id") % 50 === 7)).count())
+    timeIt("contam_fixed_500")(operators.TextOps.contamination(
+      docs.filter(col("doc_id") >= 500),
+      docs.filter(col("doc_id") < 500)).count())
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "fixedEval")
+      return fixedEvalProbe(if (args.length > 1) args(1) else "/tmp/graft_sf10")
+    val spark = session()
     val src = Tables.table(spark, "/root/testdata/sf0.1", "documents")
     val scaled = (0 until 10).map(i =>
       src.select((col("doc_id") + i * 1000000L).as("doc_id"),
