@@ -795,11 +795,18 @@ object Pipeline {
     val deduped = gated.join(dupIds, Seq("doc_id"), "left_anti")
 
     // semantic dedup: q70 verdicts over the embedding table (vec_id =
-    // doc_id), centroid-cell clustered; only the drop-id frame (near-
-    // dup density, not corpus size) reaches the corpus-side anti-join
+    // doc_id), centroid-cell clustered with k ∝ corpus (|cluster| held
+    // ~flat — semdedupCellsFor — so the within-cluster pair stage
+    // cannot grow quadratically with the corpus; ≥ 0.99 pairs share
+    // their argmax cell under any k, so true-near-dup verdicts are
+    // unchanged); only the drop-id frame (near-dup density, not corpus
+    // size) reaches the corpus-side anti-join
     val semdeduped = semdedupEmb.fold(deduped) { emb =>
+      val cells = operators.SimilarityOps.semdedupCellsFor(emb.count())
+      val idx = operators.SimilarityOps.fitIvfK(
+        operators.SimilarityOps.embSample(emb), cells)
       val dropIds = operators.SimilarityOps.semdedupVerdicts(
-        operators.SimilarityOps.fitIvf(emb).assignCell(emb), col("cell"))
+        idx.assignCell(emb), col("cell"))
         .filter(!col("kept")).select(col("vec_id").as("doc_id"))
       deduped.join(dropIds, Seq("doc_id"), "left_anti")
     }

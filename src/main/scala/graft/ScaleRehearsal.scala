@@ -45,9 +45,41 @@ object ScaleRehearsal {
     spark.stop()
   }
 
+  /** Scaled-cell SemDeDup probe over a MakeScale dir: the production
+    * clustering with k ∝ corpus ([[operators.SimilarityOps.semdedupCellsFor]]).
+    * Wall-clock must stay ~flat per vector (clusters held ~512-wide)
+    * and every planted near-dup must still drop — ≥ 0.99 pairs share
+    * their argmax cell under any k.
+    *
+    *   sbt "runMain graft.ScaleRehearsal semdedup /tmp/graft_sf10"
+    */
+  private def semdedupProbe(dir: String): Unit = {
+    val spark = session()
+    val e = Tables.embWithNearDups(spark, dir)
+    val n = e.count()
+    val cells = operators.SimilarityOps.semdedupCellsFor(n)
+    val idx = operators.SimilarityOps.fitIvfK(
+      operators.SimilarityOps.embSample(e), cells)
+    val t0 = System.nanoTime()
+    val dropped = operators.SimilarityOps
+      .semdedupVerdicts(idx.assignCell(e), col("cell"))
+      .filter(!col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val planted = Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % Tables.DupEvery === 0).select("vec_id")
+      .collect().map(_.getLong(0) + Tables.EmbDupOffset).toSet
+    val recall = planted.count(dropped).toDouble / planted.size
+    println(f"semdedup_scaled      ${(System.nanoTime() - t0) / 1e9}%8.1fs  " +
+      f"n=$n cells=$cells dropped=${dropped.size} planted_recall=$recall%.3f")
+    require(recall >= 0.99, s"planted semdedup recall $recall under scaled cells")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "fixedEval")
       return fixedEvalProbe(if (args.length > 1) args(1) else "/tmp/graft_sf10")
+    if (args.nonEmpty && args(0) == "semdedup")
+      return semdedupProbe(if (args.length > 1) args(1) else "/tmp/graft_sf10")
     val spark = session()
     val src = Tables.table(spark, "/root/testdata/sf0.1", "documents")
     val scaled = (0 until 10).map(i =>

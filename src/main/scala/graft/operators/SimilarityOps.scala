@@ -693,14 +693,40 @@ object SimilarityOps {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
 
-  private[graft] def fitIvf(sample: Array[Array[Double]]): IvfIndex = {
+  private[graft] def fitIvf(sample: Array[Array[Double]]): IvfIndex =
+    fitIvfK(sample, IvfCells)
+
+  /** IVF fit with an explicit cell count — the SemDeDup clustering
+    * path wants k ∝ corpus (see [[semdedupCellsFor]]); the ANN search
+    * path keeps the fixed [[IvfCells]] (its probes/cells ratio is
+    * recall-tuned for the isotropic corpus and scaling it is a
+    * different trade).
+    */
+  private[graft] def fitIvfK(sample: Array[Array[Double]], k: Int): IvfIndex = {
     val cents: Seq[Seq[Double]] =
-      lloydCentroids(sample, math.min(IvfCells, sample.length)).map(_.toSeq).toSeq
+      lloydCentroids(sample, math.min(k, sample.length)).map(_.toSeq).toSeq
     IvfIndex(cents, cents.map(c => math.sqrt(c.map(x => x * x).sum)))
   }
 
   private[graft] def fitIvf(e: org.apache.spark.sql.DataFrame): IvfIndex =
     fitIvf(embSample(e))
+
+  /** SemDeDup cluster count: |cluster| ≈ 512 keeps the within-cluster
+    * quadratic FLAT as the corpus grows (the Abbas et al. k ∝ n
+    * posture — a fixed 16 cells would make clusters n/16 and the pair
+    * stage n²/16). A cos ≥ 0.99 pair shares its argmax cell under any
+    * centroid count (near-identical vectors, identical scores), so
+    * verdicts for true near-dups are cell-count-invariant — scaling k
+    * only removes never-matching pair work. Floor [[IvfCells]] keeps
+    * every test SF ≤ sf0.1 on the search-index constants; cap 256 =
+    * [[IvfSample]]/8 sample points per cell, the driver-Lloyd quality
+    * bound — past ~131k vectors the cap holds clusters to n/256
+    * (still 16× less pair work than fixed-16); beyond ~1M, swap the
+    * driver fit for a distributed Lloyd on a sampled frame (the
+    * [[IvfIndex]] literal interface is unchanged).
+    */
+  private[graft] def semdedupCellsFor(n: Long): Int =
+    math.max(IvfCells, math.min(IvfSample / 8, (n / 512L).toInt))
 
   /** Row-local top-[[IvfProbes]] probe-cell explode for a
     * `(q_id, q_emb)` query frame — shared by q40, q73 and their verify
