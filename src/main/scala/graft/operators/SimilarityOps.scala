@@ -182,9 +182,11 @@ object SimilarityOps {
     * position; sign → signature bit. The 64 per-bit vote sums are one
     * codegen'd hash aggregate over exploded tokens (map-side combine
     * collapses each doc locally — the shuffle carries 64 ints per doc).
-    * Near-dups = hamming ≤ 3, found via the 4-chunk pigeonhole (two
-    * docs within hamming 3 share at least one exact 16-bit chunk), so
-    * candidates come from a chunk-bucket groupBy instead of all-pairs.
+    * Near-dups = hamming ≤ 3, found via the two-level pigeonhole (two
+    * docs within hamming 3 share at least one exact 28-bit key — see
+    * SimHashSig.pigeonholeChunks for the losslessness argument and the
+    * bucket-saturation rationale), so candidates come from a
+    * key-bucket groupBy instead of all-pairs.
     */
   /** The q31 core over any `(doc_id, text)` frame — also the dedup
     * pass Pipeline.exportCorpus runs on the gated corpus.
@@ -221,8 +223,8 @@ object SimilarityOps {
     // pigeonhole bucketing is lossless at that radius, so the banded
     // Spark plan and the brute-force oracle agree on the full pair set.
     // Only modeled divergence: the MaxBucket hot-bucket guard (>64 docs
-    // sharing one 16-bit chunk get dropped); the gate corpus stays far
-    // below it — chance chunk collisions are ~n²/2¹⁷ docs per bucket.
+    // sharing one 28-bit key get dropped); the gate corpus stays far
+    // below it — chance key collisions are ~n²/2²⁹ docs per bucket.
     Some(Tables.docsNearDupsCte +
       """, th AS (
         |  SELECT doc_id,
@@ -893,7 +895,7 @@ object SimilarityOps {
     * |delta| × bucket density, not |corpus|²:
     *
     *   - corpus side: row-local codegen'd [[graft.plans.SimHashSig]]
-    *     → 4 pigeonhole chunks per doc (at scale this is the stored
+    *     → 16 two-level pigeonhole keys per doc (at scale this is the stored
     *     dedup INDEX, built once per fold and reused every batch);
     *     one map-side-combined count caps degenerate hot chunks
     *     (`MaxBucket`, same guard as q31);
@@ -905,7 +907,7 @@ object SimilarityOps {
     *     hamming is a row-local `bit_count` — NO re-join with either
     *     side (q31 must re-join because its bucket collects ids only).
     *
-    * The 4-chunk pigeonhole is lossless at hamming ≤ 3, so the banded
+    * The two-level pigeonhole is lossless at hamming ≤ 3, so the banded
     * plan emits exactly the brute-force delta×corpus pair set and the
     * DuckDB oracle is hash-exact (same argument as q31; the only
     * modeled divergence is the MaxBucket guard, which the fixture

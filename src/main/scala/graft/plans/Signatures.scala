@@ -407,15 +407,51 @@ object SimHashSig {
   def of(c: Column): Column =
     CB.column(SimHashSig(CB.expression(c)))
 
-  /** The 4×16-bit pigeonhole chunk array of a signature column — THE
-    * shared banding for every SimHash consumer (q31, q60, s05): two
-    * signatures within hamming ≤ 3 must agree on at least one chunk
-    * (4 chunks, ≤ 3 differing bits), so chunk-bucket candidate
-    * generation is LOSSLESS at that radius. The losslessness argument
-    * and the cross-operator equivalence specs (q60 ≡ q31 restricted,
-    * s05 ≡ q31) all assume this exact chunking — change it HERE only.
+  /** The TWO-LEVEL pigeonhole key array of a signature column — THE
+    * shared banding for every SimHash consumer (q31, q60, s05).
+    *
+    * Key k ∈ 0..15 encodes (chunk c = k div 4, sub s = k mod 4):
+    * value = chunk c's 16 bits ‖ sub-chunk s of the OTHER 48 bits
+    * (4 × 12-bit subs) — 28 signature bits per key. LOSSLESS at
+    * hamming ≤ 3: some 16-bit chunk c is untouched (4 chunks, ≤ 3
+    * flips), and GIVEN c the remaining 48 bits carry those ≤ 3 flips,
+    * so some 12-bit sub s is untouched too — the pair agrees on key
+    * (c, s) exactly.
+    *
+    * Why two levels instead of the classic 4×16-bit chunks: a 16-bit
+    * bucket space saturates the MaxBucket=64 hot-bucket guard once
+    * random chunk collisions reach ~64 docs per value — n ≈ 4M docs —
+    * and the guard then silently drops ORGANIC buckets (the q34
+    * sf1 failure mode, one level down). 28-bit keys push that
+    * saturation past 10¹⁰ docs and cut false-candidate density by
+    * ~2¹² per key; the cost is a 16-row explode per doc instead of 4
+    * (same single-shuffle plan shape). Degenerate corpora (identical
+    * docs) are hot at BOTH levels and still bounded by the guard.
+    * The losslessness argument and the cross-operator equivalence
+    * specs (q60 ≡ q31 restricted, s05 ≡ q31) all assume this exact
+    * keying — change it HERE only.
     */
-  def pigeonholeChunks(sigCol: String): Column =
+  def pigeonholeChunks(sigCol: String): Column = {
+    // rem = the three non-c chunks concatenated (48 bits, c+1 high)
+    val rem =
+      s"(shiftleft(shiftright($sigCol, (((k div 4) + 1) % 4) * 16) & 65535, 32) | " +
+        s"shiftleft(shiftright($sigCol, (((k div 4) + 2) % 4) * 16) & 65535, 16) | " +
+        s"(shiftright($sigCol, (((k div 4) + 3) % 4) * 16) & 65535))"
     org.apache.spark.sql.functions.expr(
-      s"transform(sequence(0, 3), i -> shiftright($sigCol, i * 16) & 65535)")
+      s"transform(sequence(0, 15), k -> " +
+        s"shiftleft(shiftright($sigCol, (k div 4) * 16) & 65535, 12) | " +
+        s"(shiftright($rem, (k % 4) * 12) & 4095))")
+  }
+
+  /** Driver-side reference of [[pigeonholeChunks]] for differential
+    * specs. */
+  def pigeonholeChunksRef(sig: Long): Seq[Long] =
+    (0 until 16).map { k =>
+      val c = k / 4
+      val chunk = (sig >>> (c * 16)) & 0xFFFFL
+      val rem = (((sig >>> (((c + 1) % 4) * 16)) & 0xFFFFL) << 32) |
+        (((sig >>> (((c + 2) % 4) * 16)) & 0xFFFFL) << 16) |
+        ((sig >>> (((c + 3) % 4) * 16)) & 0xFFFFL)
+      (chunk << 12) | ((rem >>> ((k % 4) * 12)) & 0xFFFL)
+    }
 }

@@ -100,7 +100,7 @@ object StreamOps {
         expr("ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6)").as("sum_value"))
   }
 
-  /** One SimHash pigeonhole chunk of one document (4 per doc). */
+  /** One SimHash two-level pigeonhole key of one document (16 per doc). */
   final case class ChunkDoc(chunk_id: Int, chunk_val: Long, doc_id: Long, sig: Long)
 
   final case class NearDupPair(a_id: Long, b_id: Long, hamming: Int)

@@ -6,6 +6,33 @@ import org.apache.spark.unsafe.types.UTF8String
 
 class SignaturesSpec extends SparkSpec {
 
+  test("two-level pigeonhole keys: SQL expr equals the reference, lossless at hamming <= 3") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sigs = Seq(0L, -1L, Long.MinValue, Long.MaxValue, 0x123456789abcdefL) ++
+      (1 to 50).map(_ => rnd.nextLong())
+    val got = sigs.toDF("sig")
+      .select(col("sig"), SimHashSig.pigeonholeChunks("sig").as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs.foreach { s =>
+      assert(got(s) == SimHashSig.pigeonholeChunksRef(s), s"sig $s")
+      assert(got(s).length == 16)
+      // every key carries 28 bits
+      assert(got(s).forall(k => k >= 0 && k < (1L << 28)))
+    }
+    // losslessness: for random sigs and every <=3-bit perturbation
+    // pattern sampled, the pair shares at least one (position, key)
+    for (_ <- 1 to 200) {
+      val a = rnd.nextLong()
+      val flips = 1 + rnd.nextInt(3)
+      val b = (1 to flips).foldLeft(a)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      val ka = SimHashSig.pigeonholeChunksRef(a).zipWithIndex
+      val kb = SimHashSig.pigeonholeChunksRef(b).zipWithIndex
+      assert(ka.map(_.swap).toSet.intersect(kb.map(_.swap).toSet).nonEmpty,
+        s"hamming<=${flips} pair shares no pigeonhole key: $a vs $b")
+    }
+  }
+
   test("simhash expression equals the direct computation and is stable") {
     import spark.implicits._
     val texts = Seq("the quick brown fox", "the quick brown fox", "a b c", "one")
