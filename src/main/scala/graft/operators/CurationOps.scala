@@ -74,16 +74,32 @@ object CurationOps {
     * distribution as a row predicate (q76: two named sources;
     * Pipeline.exportCorpus: whatever the delivery recipe says).
     */
+  /** Bucket hashes for [[dsirScores]]. `xxhashBucket` is the
+    * PRODUCTION hash — codegen'd, one 64-bit mix per feature (~10×
+    * cheaper than md5's cryptographic rounds, which DSIR does not
+    * need: any well-mixed hash gives the same collision statistics).
+    * `md5Bucket` is the cross-engine CONTRACT hash — the only hash
+    * both Spark and DuckDB compute bit-identically — carried by
+    * q76_verify so the feature-extraction + bucketing dataflow stays
+    * pinned against an independent engine.
+    */
+  private[graft] def xxhashBucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(f), lit(DsirBuckets))
+
+  private[graft] def md5Bucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(f), 1, 8), 16, 10).cast("bigint") % lit(DsirBuckets)
+
   private[graft] def dsirScores(docs: org.apache.spark.sql.DataFrame,
-      isTarget: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-      val b = lit(DsirBuckets)
+      isTarget: org.apache.spark.sql.Column,
+      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhashBucket,
+      dump: Option[String] = None): org.apache.spark.sql.DataFrame = {
       val fx = docs
         .select(col("doc_id"), col("source"), isTarget.as("is_target"),
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
         .select(col("doc_id"), col("source"), col("is_target"),
           explode(expr(DsirFeats)).as("f"))
         .select(col("doc_id"), col("source"), col("is_target"),
-          (expr("cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint)") % b).as("b"))
+          bucketOf(col("f")).as("b"))
       // ONE corpus scan: the per-(doc, bucket) count frame is the
       // sufficient statistic for BOTH the fit and the scoring
       // (score = Σ_b cnt_b · w_b, exactly the per-feature sum because
@@ -91,28 +107,70 @@ object CurationOps {
       // a frame capped at docs × DsirBuckets rows — the feature stream
       // itself never reaches an exchange (map-side combine collapses
       // it inside the scan stage)
-      val fb = fx.groupBy(col("doc_id"), col("source"), col("is_target"), col("b"))
+      val fb0 = fx.groupBy(col("doc_id"), col("source"), col("is_target"), col("b"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false) // fit + scoring both branch from it
-      // the fit: one aggregate over fb, 256 rows out (target counts as
-      // a conditional sum riding the same pass)
-      val counts = fb.groupBy(col("b")).agg(
-        sum(col("cnt")).cast("double").as("r_cnt"),
-        sum(when(col("is_target"), col("cnt")).otherwise(lit(0L)))
-          .cast("double").as("t_cnt"))
-      val tot = counts.agg(sum(col("r_cnt")).as("rr"), sum(col("t_cnt")).as("tt"))
+      // The FIT is a bounded model — ≤ DsirBuckets (raw, target) count
+      // pairs (DSIR's design point: the paper's table is 10k entries
+      // for a trillion-token corpus) — so it is derived DRIVER-SIDE
+      // and shipped back into the scoring plan as a literal lookup
+      // array: one codegen'd element_at per fb row instead of a
+      // crossJoin job + a broadcast hash join. This is a bounded-model
+      // collect, not a data collect — the corpus never leaves the
+      // executors.
+      //
+      // fit + scoring both branch from the materialized frame. With a
+      // dump path (q76's oracle input) the parquet write doubles as
+      // the checkpoint AND the fit rides the write job itself via
+      // observe() + the fixed-width BucketHistogram aggregate — the
+      // fb frame is computed exactly once and scanned once more for
+      // scoring; no separate fit job. Without a dump
+      // (Pipeline.exportCorpus, q76_verify) a lazy localCheckpoint
+      // materializes fb and a 256-row collect fits the model.
+      val (fb, rCounts, tCounts) = dump match {
+        case Some(path) =>
+          val obs = new org.apache.spark.sql.Observation()
+          fx.sparkSession.sparkContext.setJobDescription("dsir fb dump + fit")
+          fb0.observe(obs,
+              graft.plans.BucketHistogram.of(
+                col("b"), col("cnt"), col("is_target"), DsirBuckets).as("fit"))
+            .write.mode("overwrite").parquet(path)
+          val flat = obs.get("fit").asInstanceOf[scala.collection.Seq[Long]].toArray
+          (docs.sparkSession.read.parquet(path),
+            flat.take(DsirBuckets), flat.drop(DsirBuckets))
+        case None =>
+          val cp = fb0.localCheckpoint(false)
+          val counts = cp.groupBy(col("b")).agg(
+            sum(col("cnt")).as("r_cnt"),
+            sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("t_cnt"))
+            .collect()
+          val (r, t) = (new Array[Long](DsirBuckets), new Array[Long](DsirBuckets))
+          counts.foreach { row =>
+            val b = row.getAs[Long]("b").toInt
+            r(b) = row.getAs[Long]("r_cnt"); t(b) = row.getAs[Long]("t_cnt")
+          }
+          (cp, r, t)
+      }
+      val rr = rCounts.sum.toDouble
+      val tt = tCounts.sum.toDouble
       // cross-engine note (q64's trade): JVM Math.log and DuckDB ln
       // are each ~1-ulp accurate but not identically rounded, so a
       // weight landing within ~1e-16 of a 0.5e-6 rounding boundary
       // COULD round apart (~1e-7 odds across 256 buckets). Accepted
       // for the hash-exact oracle like q61/q64; a flake here means
-      // this, not a logic bug.
-      val w = counts.crossJoin(broadcast(tot))
-        .select(col("b"), round(
-          log((col("t_cnt") + lit(1.0)) / (col("tt") + b.cast("double"))) -
-            log((col("r_cnt") + lit(1.0)) / (col("rr") + b.cast("double"))), 6)
-          .as("wt"))
-      fb.join(broadcast(w), "b")
+      // this, not a logic bug. (Driver-side Math.log IS the same JVM
+      // intrinsic Spark's log() codegen calls, so collecting the fit
+      // changes nothing cross-engine.)
+      val wArr = Array.tabulate(DsirBuckets) { b =>
+        if (rCounts(b) == 0L) 0.0 // bucket absent from fb: weight unused
+        else {
+          val w = math.log((tCounts(b) + 1.0) / (tt + DsirBuckets)) -
+            math.log((rCounts(b) + 1.0) / (rr + DsirBuckets))
+          // round() semantics: HALF_UP
+          BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      fb.withColumn("wt",
+          element_at(typedLit(wArr.toSeq), col("b").cast("int") + 1))
         .groupBy(col("doc_id"), col("source"))
         .agg(
           round(sum((col("wt").cast("decimal(20,6)") * col("cnt")).cast("decimal(30,6)"))
@@ -120,16 +178,69 @@ object CurationOps {
           sum(col("cnt")).cast("int").as("n_feats"))
   }
 
+  /** Dir-keyed dump of q76's per-(doc, bucket) count frame — the
+    * oracle's input (the q30_verify pattern): DuckDB cannot compute
+    * Spark's xxhash64, so the production query dumps the sufficient
+    * statistic and the oracle re-derives EVERYTHING downstream of the
+    * hash (fit, smoothing, weights, DECIMAL scoring, top-k) from it.
+    * The hash step itself is pinned cross-engine by q76_verify's md5
+    * contract.
+    */
+  private[graft] def q76BucketDump(dir: String): String =
+    Tables.oracleDumpPath("q76_buckets", dir)
+
   val q76_dsir: GraftQuery = GraftQuery(
     "q76_dsir",
     (s, dir) =>
       dsirScores(Tables.table(s, dir, "documents"),
-        col("source").isin(DsirTarget: _*))
+        col("source").isin(DsirTarget: _*),
+        dump = Some(q76BucketDump(dir)))
+        .orderBy(col("dsir_logw").desc, col("doc_id").asc)
+        .limit(DsirTopK),
+    Some(s"""WITH fb AS (
+            |  SELECT doc_id, source, is_target, b, cnt
+            |  FROM read_parquet('${q76BucketDump(Tables.VerifyDir)}/*.parquet')
+            |), counts AS (
+            |  SELECT b, CAST(SUM(cnt) AS DOUBLE) AS r_cnt,
+            |    CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS DOUBLE) AS t_cnt
+            |  FROM fb GROUP BY b
+            |), tot AS (
+            |  SELECT SUM(r_cnt) AS rr, SUM(t_cnt) AS tt FROM counts
+            |), w AS (
+            |  SELECT b, ROUND(
+            |    ln((t_cnt + 1.0) / (tt + $DsirBuckets.0)) -
+            |    ln((r_cnt + 1.0) / (rr + $DsirBuckets.0)), 6) AS wt
+            |  FROM counts CROSS JOIN tot
+            |)
+            |SELECT doc_id, source,
+            |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(20,6)) * cnt) AS DOUBLE), 6) AS dsir_logw,
+            |  CAST(SUM(cnt) AS INT) AS n_feats
+            |FROM fb JOIN w USING (b)
+            |GROUP BY doc_id, source
+            |ORDER BY dsir_logw DESC, doc_id
+            |LIMIT $DsirTopK""".stripMargin)
+  )
+
+  /** The md5 CONTRACT companion: the identical DSIR dataflow with
+    * md5 bucketing, which DuckDB recomputes end-to-end from the raw
+    * documents — the only hash both engines evaluate bit-identically,
+    * so this row proves the feature extraction (tokenize → unigrams +
+    * bigrams → hash → bucket) matches an independent engine exactly.
+    * Runs on the deterministic doc_id % 10 slice: hash parity is a
+    * per-feature property (thousands of features hash even in the
+    * slice), so full-corpus coverage would buy nothing but md5 cost —
+    * the full-corpus arithmetic is q76's own oracle.
+    */
+  val q76_verify: GraftQuery = GraftQuery(
+    "q76_verify",
+    (s, dir) =>
+      dsirScores(Tables.table(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        col("source").isin(DsirTarget: _*), bucketOf = md5Bucket)
         .orderBy(col("dsir_logw").desc, col("doc_id").asc)
         .limit(DsirTopK),
     Some(s"""WITH docs AS (
             |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS toks
-            |  FROM documents
+            |  FROM documents WHERE doc_id % 10 = 0
             |), fx AS (
             |  SELECT doc_id, source,
             |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % $DsirBuckets AS b
@@ -391,5 +502,5 @@ object CurationOps {
          |FROM flagged GROUP BY doc_id, source""".stripMargin)
   )
 
-  val all: Seq[GraftQuery] = Seq(q76_dsir, q77_line_dedup, q80_boilerplate)
+  val all: Seq[GraftQuery] = Seq(q76_dsir, q76_verify, q77_line_dedup, q80_boilerplate)
 }

@@ -103,13 +103,26 @@ class CurationOpsSpec extends SparkSpec {
   test("q76 differential fuzz: agrees with a driver-side reference DSIR") {
     import spark.implicits._
     val B = 256
-    def bucket(f: String): Long = {
+    def md5bucket(f: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(f.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16) % B
     }
-    def refScores(docs: Seq[(Long, String, String)], target: Set[String])
-        : Map[Long, (Double, Int)] = {
+    // reference bucket for the PRODUCTION hash: Spark's XxHash64
+    // expression evaluated directly (the driver-side analogue —
+    // there is no independent JVM xxhash here, but the dataflow
+    // around the hash is what this fuzz pins; the hash itself is
+    // pinned cross-engine by q76_verify's md5 oracle)
+    def xxbucket(f: String): Long = {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(f))),
+        42L // functions.xxhash64's fixed seed
+      ).eval(null).asInstanceOf[Long]
+      ((h % B) + B) % B
+    }
+    def refScores(docs: Seq[(Long, String, String)], target: Set[String],
+        bucket: String => Long): Map[Long, (Double, Int)] = {
       val feats = docs.map { case (id, src, tx) =>
         val t = "[a-z]+".r.findAllIn(tx.toLowerCase).toVector
         (id, src, (t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket))
@@ -134,16 +147,23 @@ class CurationOpsSpec extends SparkSpec {
         (id, s"src${rnd.nextInt(4)}",
           Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
       }
-      val got = CurationOps.dsirScores(
-        docs.toDF("doc_id", "source", "text"),
-        col("source").isin("src0", "src1"))
-        .collect()
-        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
-      val want = refScores(docs, Set("src0", "src1"))
-      assert(got.keySet == want.keySet, s"trial $trial doc sets diverged")
-      got.foreach { case (id, (s, n)) =>
-        assert(n == want(id)._2, s"trial $trial n_feats($id)")
-        assert(math.abs(s - want(id)._1) < 1e-9, s"trial $trial score($id): $s vs ${want(id)._1}")
+      // both hash paths through the identical dataflow: the md5
+      // contract hash (q76_verify) and the xxhash production hash (q76)
+      for ((bucketExpr, bucketRef, label) <- Seq(
+          (CurationOps.md5Bucket _, md5bucket _, "md5"),
+          (CurationOps.xxhashBucket _, xxbucket _, "xxhash"))) {
+        val got = CurationOps.dsirScores(
+          docs.toDF("doc_id", "source", "text"),
+          col("source").isin("src0", "src1"), bucketOf = bucketExpr)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+        val want = refScores(docs, Set("src0", "src1"), bucketRef)
+        assert(got.keySet == want.keySet, s"trial $trial [$label] doc sets diverged")
+        got.foreach { case (id, (s, n)) =>
+          assert(n == want(id)._2, s"trial $trial [$label] n_feats($id)")
+          assert(math.abs(s - want(id)._1) < 1e-9,
+            s"trial $trial [$label] score($id): $s vs ${want(id)._1}")
+        }
       }
     }
   }
