@@ -166,11 +166,15 @@ object ClusterRehearsal {
         while (!stop.get())
           // catch broadly: a non-IO throw (interrupt, HTTP-client
           // internal error) must not silently kill the thread and
-          // quietly degrade the 4-thread hammer to fewer
+          // quietly degrade the 4-thread hammer to fewer. A failed
+          // REQUEST (connection refused/reset during the swap — the
+          // exact failure mode this hammer exists to catch) records
+          // sentinel -1 so it fails the all-200 assertion instead of
+          // vanishing from `codes`.
           try codes.add(post(port, "/api/links", LinksBody)._1)
           catch {
             case _: InterruptedException => stop.set(true)
-            case _: Exception => ()
+            case _: Exception => codes.add(-1)
           }
       }))
       hammers.foreach { t => t.setDaemon(true); t.start() }

@@ -50,6 +50,26 @@ object MakeScale {
     ((m + 1 + 99) / 100) * 100
   }
 
+  /** The replicated id range must stay below the planted-fixture
+    * offsets (Tables.ExactDupOffset / EmbDupOffset = 1M; NearDupOffset
+    * = 2M rides on the same bound, since both planted ranges are
+    * `offset + organic_id` and stay disjoint iff organic ids stay
+    * under 1M). sf1 (doc_id max ~510k) and sf10 (stacked strides keep
+    * ids in range) are safe, but one more 10× stacking would silently
+    * collide organic ids with injected-duplicate ids and corrupt the
+    * docsWith*Dups / embWithNearDups fixtures and the Bench recall
+    * probe — fail loudly instead.
+    */
+  private def requireFixtureHeadroom(df: DataFrame, key: String, copies: Int,
+      strideV: Long, limit: Long): Unit = {
+    val m = df.agg(max(col(key))).head().getLong(0)
+    val top = (copies - 1) * strideV + m
+    require(top < limit,
+      s"replicated $key range tops out at $top >= $limit — organic ids would " +
+        "collide with the planted-duplicate offsets in graft.Tables " +
+        "(ExactDupOffset/NearDupOffset/EmbDupOffset); lower copies or raise the offsets")
+  }
+
   /** Deterministic Fisher-Yates permutation of 0 until n, seeded per
     * copy via the shared splitmix mixer; copy 0 is the IDENTITY (the
     * original data must pass through unchanged).
@@ -100,6 +120,8 @@ object MakeScale {
     val uStr = stride(t("events"), "user_id")
     val dStr = stride(t("documents"), "doc_id")
     val vStr = stride(t("embeddings"), "vec_id")
+    requireFixtureHeadroom(t("documents"), "doc_id", copies, dStr, Tables.ExactDupOffset)
+    requireFixtureHeadroom(t("embeddings"), "vec_id", copies, vStr, Tables.EmbDupOffset)
 
     write("customer", replicate(t("customer"), copies)((df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * cStr))))

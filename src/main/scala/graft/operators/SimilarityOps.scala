@@ -287,11 +287,17 @@ object SimilarityOps {
   // The float ANN queries stay rows-only (cross-engine float ORDERING
   // is not a contract worth pinning), but the scoring + top-k-selection
   // arithmetic is deterministic: both engines promote float→double
-  // exactly, run the same left-to-right sum / sqrt / divide sequence,
-  // and IEEE doubles make those bit-identical. Quantizing the score to
-  // BIGINT units of 1e-9 (truncating floor — the q51_verify pattern)
-  // and ranking on the INTEGER (ties → n_id) turns the whole top-k
-  // into integer arithmetic the driver can hash-compare against DuckDB.
+  // exactly and IEEE doubles make each +, sqrt, / identically rounded.
+  // That Spark's `aggregate` fold and DuckDB's `list_sum` also SUM IN
+  // THE SAME ORDER is an empirical observation (summation order is an
+  // engine implementation detail) pinned by the hash gate itself — a
+  // DuckDB version that re-associates its list_sum would surface as a
+  // ±1-unit flip at an exact 1e-9 quantization boundary and turn these
+  // gates red (fails closed; re-pin against the new engine if so).
+  // Quantizing the score to BIGINT units of 1e-9 (truncating floor —
+  // the q51_verify pattern) and ranking on the INTEGER (ties → n_id)
+  // turns the whole top-k into integer arithmetic the driver can
+  // hash-compare against DuckDB.
 
   /** `floor(cosine(q_emb, n_emb) * 1e9)` as BIGINT. */
   private def cosqCol: Column =
@@ -452,8 +458,14 @@ object SimilarityOps {
         concat(lit(s"embedding dim != ${Tables.EmbeddingDim}: "),
           size(col("embedding")).cast("string"))).isNull)
     // corpus-sized bucket space (one memoized count per dir — index
-    // sizing, the same class of plan-build work as q40's embSample)
-    val nPlanes = lshPlanesFor(embCount(s, dir))
+    // sizing, the same class of plan-build work as q40's embSample).
+    // Sized from the frame actually bucketed — embWithNearDups carries
+    // n/DupEvery planted variants on top of the n organic vectors, so
+    // sizing from the bare embeddings count would undershoot expected
+    // occupancy by ~4% relative to the MaxBucket invariant. (The
+    // planted count is derived, not re-counted: one job, no drift.)
+    val nEmb = embCount(s, dir)
+    val nPlanes = lshPlanesFor(nEmb + nEmb / Tables.DupEvery)
     val planes = typedLit(hyperplanes(Tables.EmbeddingDim, nPlanes))
     val bits = e.withColumn("bits",
       transform(planes, pl =>

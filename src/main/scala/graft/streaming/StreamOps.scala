@@ -118,16 +118,21 @@ object StreamOps {
   private val MaxBucketState = graft.operators.SimilarityOps.MaxBucket
 
   /** s05: STREAMING near-dup detection — the incremental-dedup shape
-    * (q60) running continuously: documents arrive chunked by their
-    * SimHash 4-chunk pigeonhole, each (chunk_id, chunk_val) bucket
-    * keeps its members in `flatMapGroupsWithState` state, and an
-    * arriving doc emits a pair for every state member within hamming
-    * ≤ 3. The pigeonhole guarantees any qualifying pair shares a
-    * bucket, so whichever doc arrives later emits it — WHILE EVERY
+    * (q60) running continuously: documents arrive keyed by their
+    * SimHash two-level pigeonhole (16 28-bit keys per doc — see
+    * SimHashSig.pigeonholeChunks for the hamming≤3 losslessness
+    * argument), each (chunk_id, chunk_val) bucket keeps its members
+    * in `flatMapGroupsWithState` state, and an arriving doc emits a
+    * pair for every state member within hamming ≤ 3. The pigeonhole
+    * guarantees any qualifying pair shares at least one of its 16
+    * keys, so whichever doc arrives later emits it — WHILE EVERY
     * BUCKET STAYS UNDER [[MaxBucketState]], the accumulated output
     * over any prefix of the stream is EXACTLY the batch (q31) pair
-    * set over the same docs (modulo cross-chunk repeats; a pair
-    * within hamming ≤ 1 can share two buckets — dedup downstream).
+    * set over the same docs (modulo cross-key repeats: a close pair
+    * can share several of its 16 keys — dedup downstream). Each doc
+    * contributes one state row to each of its 16 buckets, so
+    * per-doc state is 16 × (doc_id, sig) — the per-BUCKET bound
+    * below is what caps the hot-key risk.
     * At the cap the two diverge BY DESIGN: q31 drops the whole hot
     * bucket, but a stream cannot retract emitted pairs, so this side
     * keeps matching against the first [[MaxBucketState]] accumulated
