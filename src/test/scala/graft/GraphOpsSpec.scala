@@ -92,6 +92,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(coldHosts.contains("h"), "delta host must appear")
   }
 
+  test("q82 registered warm start saves iterations and agrees with the cold fixed point") {
+    val out = GraphOps.q82_rank_delta.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val itWarm = out.head.getAs[Int]("iters_warm")
+    // cold baseline on the same full graph at q82's tolerance
+    val (coldRanks, itCold) = GraphOps.pageRankOnEdges(
+      GraphOps.edgesOf(Tables.links(spark, sfDir)), maxIters = 60, tol = Some(1e-6))
+    assert(itWarm < itCold,
+      s"registered warm start must save iterations: warm=$itWarm cold=$itCold")
+    // fixed-point agreement at the serving projection
+    val warmRows = out.map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val coldRows = GraphOps.top100(coldRanks).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(warmRows == coldRows, "q82 warm ranking must equal the cold ranking")
+  }
+
   test("q51 ranks sinks above isolated expectation when they attract links") {
     // hosts that many pages link to must outrank the teleport floor
     val out = GraphOps.q51_pagerank.run(spark, sfDir).collect()
