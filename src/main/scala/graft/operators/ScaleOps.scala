@@ -53,25 +53,88 @@ object ScaleOps {
   )
 
   /** Sketch aggregates for 100 TB cardinality/quantile questions:
-    * HyperLogLog++ distinct counts and an approximate percentile, next
-    * to their exact counterparts. Sketch outputs are engine-specific
-    * (no DuckDB parity); ScaleOpsSpec bounds the relative error
-    * against the exact columns instead.
+    * HyperLogLog++ distinct counts and approximate percentiles, next
+    * to their exact counterparts — WITH the sketch error bounds
+    * checked inside the query as integer columns, which is what flips
+    * q38 to a full oracle (r10 verdict item 5): the sketch VALUES are
+    * engine-specific (DuckDB has no HLL++/GK parity), but the CONTRACT
+    * "the sketch landed within its published bound of the exact
+    * answer" is a cross-engine-checkable integer — the oracle emits
+    * the literal 1s and independently recomputes every exact column,
+    * so a sketch drifting out of bounds (or an exact aggregate
+    * diverging) turns the driver gate red.
+    *
+    * Bounds checked:
+    *   - `hll_ok`: |approx − exact| ≤ max(6% of exact, 10) — 3σ of the
+    *     configured rsd=0.02 plus an absolute floor for tiny groups
+    *     (HLL++ is near-exact in sparse mode).
+    *   - `p50_ok`/`p95_ok`: the approximate percentile's ACTUAL rank
+    *     (|{value ≤ approx}|, counted in a second pass with the
+    *     5-row sketch frame broadcast back onto events) is within
+    *     0.001·n + 2 of p·n — ten times the GK sketch's rank-error
+    *     guarantee (default accuracy 10⁴ → ε = 10⁻⁴) plus an
+    *     absolute slack of 2 for tiny groups, stated in rank space
+    *     where the guarantee actually lives (a value-space band via
+    *     exact interpolated percentiles breaks when the band is
+    *     narrower than element spacing — measured at sf0.001's
+    *     ~200-row groups).
+    *
+    * The exact counterparts inside this query exist to CHECK the
+    * sketches, not to replace them — at 100 TB production runs the
+    * sketch columns alone; this query is the standing evidence that
+    * they can be trusted.
     */
   val q38_approx_stats: GraftQuery = GraftQuery(
     "q38_approx_stats",
-    (s, dir) =>
-      Tables.table(s, dir, "events")
-        .groupBy(col("event_type"))
+    (s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val sketch = ev.groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
           countDistinct(col("user_id")).as("exact_users"),
-          expr("approx_percentile(value, 0.5)").as("p50_value"),
-          expr("approx_percentile(value, 0.95)").as("p95_value"),
+          expr("approx_percentile(value, 0.5)").as("p50"),
+          expr("approx_percentile(value, 0.95)").as("p95"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
-          count(lit(1)).as("n_events")),
-    None // sketches are engine-specific; error-bounded in ScaleOpsSpec
+          count(lit(1)).as("n_events"))
+      // second pass: the approx percentiles' ACTUAL ranks — the
+      // one-row-per-group sketch frame broadcasts back onto events
+      // (at 100 TB this is a per-group-constant broadcast, not a
+      // data-sized join)
+      ev.join(broadcast(sketch), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          first(col("exact_users")).as("exact_users"),
+          first(col("min_value")).as("min_value"),
+          first(col("max_value")).as("max_value"),
+          first(col("n_events")).as("n_events"),
+          first(col("au")).as("au"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          col("min_value"),
+          col("max_value"),
+          col("n_events"),
+          (abs(col("au") - col("exact_users")) <=
+            greatest(ceil(col("exact_users") * lit(0.06)).cast("bigint"), lit(10L)))
+            .cast("int").as("hll_ok"),
+          (abs(col("r50").cast("double") - lit(0.5) * col("n_events")) <=
+            lit(0.001) * col("n_events") + lit(2.0)).cast("int").as("p50_ok"),
+          (abs(col("r95").cast("double") - lit(0.95) * col("n_events")) <=
+            lit(0.001) * col("n_events") + lit(2.0)).cast("int").as("p95_ok"))
+    },
+    Some("""SELECT event_type,
+           |  COUNT(DISTINCT user_id) AS exact_users,
+           |  MIN(value) AS min_value,
+           |  MAX(value) AS max_value,
+           |  COUNT(*) AS n_events,
+           |  CAST(1 AS INTEGER) AS hll_ok,
+           |  CAST(1 AS INTEGER) AS p50_ok,
+           |  CAST(1 AS INTEGER) AS p95_ok
+           |FROM events GROUP BY event_type""".stripMargin)
   )
 
   /** Top-k per group through the CUSTOM physical operator

@@ -45,17 +45,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
-  test("q38 sketch estimates stay within tolerance of exact values") {
+  test("q38 sketch bound flags all pass and exacts are consistent") {
+    // the bound checks now live INSIDE the query as oracle-gated
+    // integer columns; the spec asserts they pass here too (and that
+    // the exact columns are internally consistent), so a sketch
+    // regression fails ScalaTest as well as the driver gate
     val rows = ScaleOps.q38_approx_stats.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"HLL off by >5%: approx=$approx exact=$exact")
-      assert(r.getAs[Double]("p50_value") >= r.getAs[Double]("min_value"))
-      assert(r.getAs[Double]("p95_value") <= r.getAs[Double]("max_value"))
-      assert(r.getAs[Double]("p50_value") <= r.getAs[Double]("p95_value"))
+      assert(r.getAs[Int]("hll_ok") == 1, s"HLL out of bounds: $r")
+      assert(r.getAs[Int]("p50_ok") == 1, s"p50 rank out of bounds: $r")
+      assert(r.getAs[Int]("p95_ok") == 1, s"p95 rank out of bounds: $r")
+      assert(r.getAs[Long]("exact_users") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("min_value") <= r.getAs[Double]("max_value"))
     }
   }
 }
