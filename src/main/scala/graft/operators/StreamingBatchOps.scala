@@ -211,8 +211,56 @@ object StreamingBatchOps {
            |WHERE rn <= 3""".stripMargin)
   )
 
+  /** s09: STREAMING SEGMENT INGESTION — the reference importer's
+    * standing loop (InitImport → SelectSegmentToImport → import →
+    * `.imported` marker) as a manifest-watching Structured Streaming
+    * job ([[graft.streaming.SegmentIngest]]; exactly-once = file-source
+    * checkpoint × `_IMPORTED` markers). The driver passes only a
+    * parquet sfDir, so the watched manifest + WAT segments come from
+    * the deterministic [[graft.sources.ManifestFixture]] (q59's
+    * pattern), the stream drains it ONCE per JVM temp dir
+    * (AvailableNow, `_OK`-cached), and the query reads the ingested
+    * per-segment stores back marker-gated. The post-ingest per-segment
+    * link rows dump dir-keyed and BOTH engines roll them up (q59_verify
+    * pattern) — so segment isolation (no cross-segment bleed: each
+    * segment's deterministic content rolls up to distinct counts) and
+    * the aggregation carry a full rows+schema+hash oracle, while
+    * stream≡batch store equality and replay-idempotence are pinned in
+    * SegmentIngestSpec.
+    */
+  val s09_stream_ingest: GraftQuery = GraftQuery(
+    "s09_stream_ingest",
+    (s, dir) => {
+      val store = graft.sources.ManifestFixture.ingestedStore(s)
+      val dump = Tables.oracleDumpPath("s09_segments", dir)
+      val ids = graft.sources.SegmentManifest.completedSegments(s, store).sorted
+      ids.map { id =>
+          graft.sinks.LinkStore.read(s,
+              s"${graft.sources.SegmentManifest.segmentDir(store, id)}/links")
+            .select(lit(id).as("segment"), col("page_host"),
+              col("link_domain"), col("qty"))
+        }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(dump)
+      s.read.parquet(dump)
+        .groupBy(col("segment"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("qty")).cast("bigint").as("total_qty"),
+          countDistinct(col("link_domain")).as("n_link_domains"),
+          countDistinct(col("page_host")).as("n_page_hosts"))
+    },
+    Some(
+      s"""SELECT segment, COUNT(*) AS n_rows,
+         |  CAST(SUM(qty) AS BIGINT) AS total_qty,
+         |  COUNT(DISTINCT link_domain) AS n_link_domains,
+         |  COUNT(DISTINCT page_host) AS n_page_hosts
+         |FROM read_parquet('${Tables.oracleDumpPath("s09_segments", Tables.VerifyDir)}/*.parquet')
+         |GROUP BY segment""".stripMargin)
+  )
+
   val all: Seq[GraftQuery] =
     Seq(s01_stream_window, s02_stream_session, s03_stream_dedup, s04_stream_enrich,
       s05_stream_neardup, s06_stream_join, s07_stream_export, s07_verify,
-      s08_stream_trending)
+      s08_stream_trending, s09_stream_ingest)
 }

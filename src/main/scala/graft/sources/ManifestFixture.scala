@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+/** Deterministic segment-manifest fixture for the s09 streaming
+  * ingestion query — the driver's harness passes only a parquet
+  * `sfDir`, so the manifest-watching import gets its input from here
+  * (the WarcFixture pattern): a Common Crawl-layout tree of
+  * `segments/<id>/part.wat.gz` WAT files plus a `manifest/` directory
+  * holding the wat.paths fragment the stream watches, materialized
+  * once under the JVM temp dir with the same atomic-move `_OK`
+  * protocol as [[WarcFixture]] (Verify and Bench may race from
+  * separate JVMs).
+  *
+  * Segment ids follow the reference's `<crawl>.<ordinal>` shape
+  * (wat.go:209), so ordinal-based selection works on them too. Each
+  * segment's pages/links differ deterministically per segment, so a
+  * cross-segment mix-up (wrong file into wrong store) changes counts
+  * and turns the oracle red.
+  */
+object ManifestFixture {
+
+  val Segments = 3
+  val PagesPerSegment = 12
+  val LinksPerPage = 3
+  val ExtDomains = 17
+
+  private def watLine(uri: String, ip: String, date: String,
+      links: Seq[(String, String)]): String = {
+    val linksJson = links.map { case (url, text) =>
+      s"""{"path":"A@/href","url":"$url","text":"$text","rel":""}"""
+    }.mkString("[", ",", "]")
+    s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-IP-Address":"$ip","WARC-Date":"$date"},""" +
+      s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[{"name":"viewport","content":"x"}],"Link":[]},"Links":$linksJson}}}}}"""
+  }
+
+  private def segmentWat(seg: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\n") // header noise the parser must skip
+    (0 until PagesPerSegment).foreach { i =>
+      val host = s"www.seg$seg-site$i.com"
+      val links = (0 until LinksPerPage).map { k =>
+        val d = (i * 5 + seg * 7 + k) % ExtDomains
+        (s"http://ext$d-site.org/s$seg/p$k?id=$k", s"anchor $k")
+      } :+ ((s"http://$host/self", "internal")) // same host -> dropped
+      sb.append(watLine(s"http://$host/page$i.html", s"10.$seg.$i.1",
+        f"2024-07-${(i % 28) + 1}%02dT09:00:00Z", links)).append('\n')
+    }
+    sb.append("{ not json — parser must skip\n")
+    sb.toString
+  }
+
+  /** Materialize (once) and return the fixture root: `segments/…`
+    * WAT files + `manifest/wat.paths` with absolute paths.
+    */
+  def dir(): String = synchronized {
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val base = tmpRoot.resolve("graft-manifest-fixture-v2")
+    val ok = base.resolve("_OK")
+    if (java.nio.file.Files.exists(ok)) return base.toAbsolutePath.toString
+    val build = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-manifest-build")
+    val paths = (0 until Segments).map { seg =>
+      val segDir = build.resolve(s"segments/1687.$seg")
+      java.nio.file.Files.createDirectories(segDir)
+      val f = segDir.resolve("part.wat.gz")
+      val g = new GZIPOutputStream(new FileOutputStream(f.toFile))
+      try g.write(segmentWat(seg).getBytes(UTF_8)) finally g.close()
+      // the manifest records the CANONICAL location (post-move), so
+      // fragments stay valid after the atomic rename
+      base.resolve(s"segments/1687.$seg/part.wat.gz").toAbsolutePath.toString
+    }
+    java.nio.file.Files.createDirectories(build.resolve("manifest"))
+    java.nio.file.Files.writeString(build.resolve("manifest/wat.paths"),
+      paths.mkString("# graft fixture manifest\n", "\n", "\n"))
+    java.nio.file.Files.createFile(build.resolve("_OK"))
+    val moved =
+      try {
+        java.nio.file.Files.move(build, base,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (moved) base.toAbsolutePath.toString
+    else if (java.nio.file.Files.exists(ok)) { // racer completed first
+      deleteRecursively(build)
+      base.toAbsolutePath.toString
+    } else {
+      // private complete build: the manifest was written with the
+      // canonical post-move paths — retarget it at this build's own
+      // files so the fixture stays self-consistent
+      java.nio.file.Files.writeString(build.resolve("manifest/wat.paths"),
+        (0 until Segments)
+          .map(seg => build.resolve(s"segments/1687.$seg/part.wat.gz").toAbsolutePath.toString)
+          .mkString("# graft fixture manifest\n", "\n", "\n"))
+      build.toAbsolutePath.toString
+    }
+  }
+
+  /** The STREAM-INGESTED store for s09: run the manifest-watching
+    * import once (AvailableNow drain of the fixture's manifest dir)
+    * and cache the resulting store under an `_OK`-marked directory —
+    * bench trials and the Verify pass re-read it instead of
+    * re-importing. Same atomic-move discipline as [[dir]].
+    */
+  def ingestedStore(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val base = tmpRoot.resolve("graft-manifest-ingest-v2")
+    val ok = base.resolve("_OK")
+    if (java.nio.file.Files.exists(ok)) return s"${base.toAbsolutePath}/store"
+    val fixture = dir()
+    val build = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-ingest-build")
+    val q = graft.streaming.SegmentIngest.start(spark,
+      s"$fixture/manifest",
+      s"$build/store",
+      s"$build/checkpoint",
+      availableNow = true)
+    q.awaitTermination()
+    require(SegmentManifest.completedSegments(spark, s"$build/store").size == Segments,
+      s"stream ingest incomplete under $build/store")
+    java.nio.file.Files.createFile(build.resolve("_OK"))
+    val moved =
+      try {
+        java.nio.file.Files.move(build, base,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    val root =
+      if (moved) base
+      else if (java.nio.file.Files.exists(ok)) { deleteRecursively(build); base }
+      else build
+    s"${root.toAbsolutePath}/store"
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
