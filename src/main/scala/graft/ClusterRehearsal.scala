@@ -89,7 +89,15 @@ object ClusterRehearsal {
     withExec.getOrCreate()
   }
 
-  private def runAll(master: String): (Map[String, Long], Map[String, String]) = {
+  final case class EndpointStats(n: Int, p50Ms: Double, p99Ms: Double)
+
+  /** Nearest-rank percentile over millisecond latencies. */
+  private def percentile(sorted: IndexedSeq[Double], p: Double): Double =
+    if (sorted.isEmpty) -1.0
+    else sorted(math.max(0, math.min(sorted.size - 1, math.ceil(p * sorted.size).toInt - 1)))
+
+  private def runAll(master: String)
+      : (Map[String, Long], Map[String, String], Map[String, EndpointStats]) = {
     val spark = session(master)
     spark.sparkContext.setLogLevel("ERROR")
     try {
@@ -99,7 +107,8 @@ object ClusterRehearsal {
         println(f"[cluster-rehearsal] $master%-24s $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.1fs rows=$n")
         name -> n
       }.toMap
-      (counts, servingRehearsal(spark, master))
+      val (responses, latencies) = servingRehearsal(spark, master)
+      (counts, responses, latencies)
     } finally spark.stop()
   }
 
@@ -132,6 +141,7 @@ object ClusterRehearsal {
   }
 
   private val LinksBody = """{"domain":"d3.com","limit":5,"sort":"linkUrl","order":"asc"}"""
+  private val RanksBody = """{"host":"h3.example.org"}"""
 
   /** Serving-layer shakeout — the one surface the query sweep can't
     * reach: [[Pipeline.publishRankedStore]] builds a real ranked store
@@ -144,7 +154,8 @@ object ClusterRehearsal {
     * across local[8] and local-cluster; the all-200 swap invariant is
     * asserted here, inside each master's run.
     */
-  private def servingRehearsal(spark: SparkSession, master: String): Map[String, String] = {
+  private def servingRehearsal(spark: SparkSession, master: String)
+      : (Map[String, String], Map[String, EndpointStats]) = {
     val out = java.nio.file.Files.createTempDirectory("graft-serve-rehearsal").toString
     val links = Tables.links(spark, Sf)
     // tol=0 never converges early: both masters run EXACTLY 8 rank
@@ -156,33 +167,41 @@ object ClusterRehearsal {
       val port = srv.boundPort
       val health = get(port, "/api/health")
       val linksResp = post(port, "/api/links", LinksBody)
-      val ranksResp = post(port, "/api/ranks", """{"host":"h3.example.org"}""")
+      val ranksResp = post(port, "/api/ranks", RanksBody)
       require(health._1 == 200 && linksResp._1 == 200 && ranksResp._1 == 200,
         s"serving bind failed: health=$health links=$linksResp ranks=$ranksResp")
-      // live-store-swap under load
+      // live-store-swap under load: two hammer threads per endpoint so
+      // BOTH serving routes cross the swap window, with per-request
+      // latency recorded — the p50/p99 evidence SERVING.json carries
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
-      val hammers = (1 to 4).map(_ => new Thread(() => {
-        while (!stop.get())
-          // catch broadly: a non-IO throw (interrupt, HTTP-client
-          // internal error) must not silently kill the thread and
-          // quietly degrade the 4-thread hammer to fewer. A failed
-          // REQUEST (connection refused/reset during the swap — the
-          // exact failure mode this hammer exists to catch) records
-          // sentinel -1 so it fails the all-200 assertion instead of
-          // vanishing from `codes`.
-          try codes.add(post(port, "/api/links", LinksBody)._1)
-          catch {
-            case _: InterruptedException => stop.set(true)
-            case _: Exception => codes.add(-1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+      val endpoints = Seq("/api/links" -> LinksBody, "/api/ranks" -> RanksBody)
+      val hammers = (0 until 4).map { h =>
+        val (path, body) = endpoints(h % endpoints.size)
+        new Thread(() => {
+          while (!stop.get()) {
+            val t0 = System.nanoTime()
+            // catch broadly: a non-IO throw (interrupt, HTTP-client
+            // internal error) must not silently kill the thread and
+            // quietly degrade the 4-thread hammer to fewer. A failed
+            // REQUEST (connection refused/reset during the swap — the
+            // exact failure mode this hammer exists to catch) records
+            // sentinel -1 so it fails the all-200 assertion instead of
+            // vanishing from the result stream.
+            try results.add((path, post(port, path, body)._1, System.nanoTime() - t0))
+            catch {
+              case _: InterruptedException => stop.set(true)
+              case _: Exception => results.add((path, -1, System.nanoTime() - t0))
+            }
           }
-      }))
+        })
+      }
       hammers.foreach { t => t.setDaemon(true); t.start() }
       Pipeline.publishRankedStore(spark, links, out, rankTol = 0.0, rankMaxIters = 8)
       stop.set(true)
       hammers.foreach(_.join(60000))
-      val seen = codes.toArray(Array.empty[Integer]).map(_.intValue).toSeq
-      val bad = seen.filterNot(_ == 200)
+      val seen = results.toArray(Array.empty[(String, Int, Long)]).toSeq
+      val bad = seen.filterNot(_._2 == 200)
       require(seen.size >= 20, s"want >=20 in-flight requests across the swap, got ${seen.size}")
       require(bad.isEmpty, s"${bad.size} of ${seen.size} requests failed across the swap: ${bad.take(5)}")
       // the swapped-in generation was published from the same links
@@ -190,11 +209,20 @@ object ClusterRehearsal {
       val afterSwap = post(port, "/api/links", LinksBody)
       require(afterSwap == linksResp,
         s"post-swap response diverged: before=$linksResp after=$afterSwap")
-      println(s"[cluster-rehearsal] $master serving: ${seen.size} requests across live swap, all 200")
-      Map(
+      val stats = seen.groupBy(_._1).map { case (path, rows) =>
+        val ms = rows.map(_._3 / 1e6).sorted.toIndexedSeq
+        path.stripPrefix("/api/") -> EndpointStats(ms.size,
+          math.rint(percentile(ms, 0.5) * 1000) / 1000,
+          math.rint(percentile(ms, 0.99) * 1000) / 1000)
+      }
+      println(s"[cluster-rehearsal] $master serving: ${seen.size} requests across live swap, all 200 — " +
+        stats.toSeq.sortBy(_._1).map { case (e, st) =>
+          s"$e n=${st.n} p50=${st.p50Ms}ms p99=${st.p99Ms}ms"
+        }.mkString("; "))
+      (Map(
         "serve_health" -> s"${health._1}:${health._2}",
         "serve_links" -> s"${linksResp._1}:${linksResp._2}",
-        "serve_ranks" -> s"${ranksResp._1}:${ranksResp._2}")
+        "serve_ranks" -> s"${ranksResp._1}:${ranksResp._2}"), stats)
     } finally srv.stop()
   }
 
@@ -220,9 +248,25 @@ object ClusterRehearsal {
     }
   }
 
+  /** Per-master, per-endpoint p50/p99 across the live-swap window —
+    * the serving-latency evidence artifact (r10 verdict item 8).
+    */
+  private def writeServingJson(
+      byMaster: Seq[(String, Map[String, EndpointStats])]): Unit = {
+    val json = byMaster.map { case (master, stats) =>
+      val eps = stats.toSeq.sortBy(_._1).map { case (e, st) =>
+        s""""$e":{"n":${st.n},"p50_ms":${st.p50Ms},"p99_ms":${st.p99Ms}}"""
+      }.mkString(",")
+      s""""$master":{$eps}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SERVING.json"), json + "\n")
+    println(s"[cluster-rehearsal] serving latencies -> SERVING.json: $json")
+  }
+
   def main(args: Array[String]): Unit = {
-    val (local, localServe) = runAll("local[8]")
-    val (cluster, clusterServe) = runAll("local-cluster[2,4,2048]")
+    val (local, localServe, localLat) = runAll("local[8]")
+    val (cluster, clusterServe, clusterLat) = runAll("local-cluster[2,4,2048]")
+    writeServingJson(Seq("local[8]" -> localLat, "local-cluster[2,4,2048]" -> clusterLat))
     val diverged = queries.map(_._1).filter(n => local(n) != cluster(n))
       .map(n => s"$n: local=${local(n)} cluster=${cluster(n)}") ++
       servingParity(localServe, clusterServe)
