@@ -245,14 +245,23 @@ object ScaleOps {
       // combinable on the pair stream; the distinct-event count is then
       // a plain row count of the (much smaller) per-event frame, and the
       // final rollup moves one row per matched event, not per pair.
-      // shuffle_hash hint: Catalyst's size estimate does not account for
-      // the 5× explode, so it tries to BROADCAST the exploded orders
-      // side — a multi-million-row hashed relation built on the driver
-      // (measured: ~6s of the query's 6s at sf1, and a driver OOM at
-      // cluster scale). Neither side of an interval join is broadcast-
-      // able at 100 TB; the shuffle hash join on (cust, wk) is the
-      // scale-correct physical shape.
-      ev.join(ord.withColumnRenamed("wk", "ewk").hint("shuffle_hash"), Seq("cust", "ewk"))
+      // shuffle_hash hint ON THE EVENTS SIDE: Catalyst's size estimate
+      // does not account for the 5× explode, so unhinted it BROADCASTS
+      // the exploded orders side — a multi-million-row hashed relation
+      // built on the driver (measured: ~6s of the query's 6s at sf1,
+      // and a driver OOM at cluster scale). Neither side of an
+      // interval join is broadcastable at 100 TB, so it must be a
+      // shuffle join — and the build side matters because a shuffled
+      // hash join CANNOT SPILL its build: hinting the exploded side
+      // OOMs at sf10 ("not enough memory to build hash map", 77M
+      // exploded rows), while the events side is the pre-explode
+      // frame, 5-8× smaller by construction — per-partition builds
+      // stay bounded as shuffle partitions scale with the cluster.
+      // (Sort-merge survives too but measured ~1.5× slower at sf10;
+      // the explode-side growth factor is a plan-time constant, so
+      // "build on the non-exploded side" is a stable rule, not a
+      // fixture artifact.)
+      ev.hint("shuffle_hash").join(ord.withColumnRenamed("wk", "ewk"), Seq("cust", "ewk"))
         .filter(col("eday").between(col("sday"), col("eday_end")))
         .groupBy(col("event_type"), col("event_id"))
         .agg(
