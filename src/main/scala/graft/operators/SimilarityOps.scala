@@ -249,9 +249,10 @@ object SimilarityOps {
         |FROM ham WHERE hamming <= 3""".stripMargin)
   )
 
-  private val dotExpr =
-    "aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)"
+  // cosine/norm on CORPUS-sized frames use the codegen'd
+  // plans.CosineSim / plans.VecNorm (bit-identical fold order — see
+  // VectorOps.scala); the HOF spelling below survives only for
+  // query-side work where |Q| rows make interpretation irrelevant
   private def normExpr(c: String) =
     s"sqrt(aggregate(transform($c, x -> cast(x as double) * cast(x as double)), " +
       "cast(0 as double), (acc, v) -> acc + v))"
@@ -274,7 +275,7 @@ object SimilarityOps {
       val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       val scored = cand.join(broadcast(qs), col("n_id") =!= col("q_id"))
         .withColumn("cosine",
-          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
+          graft.plans.CosineSim.of(col("q_emb"), col("n_emb")))
       graft.plans.TopKPerGroup(scored,
         Seq(col("q_id")), Seq(col("cosine").desc, col("n_id")), 10, rank = Some("rank"))
         .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
@@ -301,7 +302,7 @@ object SimilarityOps {
 
   /** `floor(cosine(q_emb, n_emb) * 1e9)` as BIGINT. */
   private def cosqCol: Column =
-    floor((expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb")))) * lit(1e9))
+    floor((graft.plans.CosineSim.of(col("q_emb"), col("n_emb"))) * lit(1e9))
       .cast("bigint")
 
   /** The DuckDB spelling of [[cosqCol]] over two FLOAT[] columns. */
@@ -377,7 +378,7 @@ object SimilarityOps {
     (s, dir) =>
       Tables.table(s, dir, "embeddings")
         .select(col("label"), size(col("embedding")).as("dim"),
-          round(expr(normExpr("embedding")), 4).as("norm_r"))
+          round(graft.plans.VecNorm.of(col("embedding")), 4).as("norm_r"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n_vecs"),
@@ -466,16 +467,13 @@ object SimilarityOps {
     // planted count is derived, not re-counted: one job, no drift.)
     val nEmb = embCount(s, dir)
     val nPlanes = lshPlanesFor(nEmb + nEmb / Tables.DupEvery)
-    val planes = typedLit(hyperplanes(Tables.EmbeddingDim, nPlanes))
-    val bits = e.withColumn("bits",
-      transform(planes, pl =>
-        when(aggregate(
-          zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) > 0, 1).otherwise(0)))
-    val bands = bits.select(col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${LshBandsCos - 1}), b -> " +
-          s"aggregate(slice(bits, b * $nPlanes + 1, $nPlanes), 0, (acc, x) -> acc * 2 + x))"))
+    // plane-bit folding runs per CORPUS row — the codegen'd expression
+    // (plans/VectorOps.scala) replaces what was ~370M interpreted HOF
+    // lambda steps at sf10 (bit-for-bit the same buckets: same fold
+    // order, same MSB-first acc*2+bit packing)
+    val bands = e.select(col("vec_id"),
+      posexplode(graft.plans.HyperplaneBuckets.of(col("embedding"),
+        hyperplanes(Tables.EmbeddingDim, nPlanes), LshBandsCos, nPlanes))
         .as(Seq("band_id", "bucket")))
     bands
       .groupBy(col("band_id"), col("bucket"))
@@ -494,7 +492,7 @@ object SimilarityOps {
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("q_emb")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("n_emb")), "b_id")
         .withColumn("cosine",
-          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
+          graft.plans.CosineSim.of(col("q_emb"), col("n_emb")))
         .filter(col("cosine") >= 0.99)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
     },
@@ -689,10 +687,10 @@ object SimilarityOps {
       */
     def assignCell(df: org.apache.spark.sql.DataFrame,
         emb: String = "embedding"): org.apache.spark.sql.DataFrame =
-      withCentroids(df)
-        .withColumn("cell", expr(
-          s"array_max(transform(sequence(0, ${n - 1}), i -> " +
-            s"struct(${cellScore(emb)} as s, -i as ni, i as cell))).cell"))
+      // corpus-side hot path: codegen'd argmax (plans.NearestCell),
+      // same tie rule (strict > keeps the lowest cell) as the
+      // array_max-over-struct HOF it replaces
+      df.withColumn("cell", graft.plans.NearestCell.of(col(emb), cents, cnorms))
         .drop("cs", "cns")
   }
 
@@ -775,7 +773,7 @@ object SimilarityOps {
     (s, dir) => {
       val scored = ivfCandidates(s, dir)
         .withColumn("cosine",
-          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
+          graft.plans.CosineSim.of(col("q_emb"), col("n_emb")))
       graft.plans.TopKPerGroup(scored,
         Seq(col("q_id")), Seq(col("cosine").desc, col("n_id")), 10, rank = Some("rank"))
         .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
@@ -1075,7 +1073,7 @@ object SimilarityOps {
   private[graft] def semdedupVerdicts(e: org.apache.spark.sql.DataFrame,
       cluster: Column): org.apache.spark.sql.DataFrame = {
     val base = e.select(col("vec_id"), col("embedding"), cluster.as("cluster"))
-      .withColumn("nrm", expr(normExpr("embedding")))
+      .withColumn("nrm", graft.plans.VecNorm.of(col("embedding")))
     val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("cluster"), col("nrm").as("a_nrm"))
     val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -1299,7 +1297,7 @@ object SimilarityOps {
       val rer = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         .join(broadcast(shortlist), "n_id")
         .withColumn("cosine",
-          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("n_emb"))))
+          graft.plans.CosineSim.of(col("q_emb"), col("n_emb")))
       graft.plans.TopKPerGroup(rer,
         Seq(col("q_id")), Seq(col("cosine").desc, col("n_id")), 10, rank = Some("rank"))
         .select(col("q_id"), col("n_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
