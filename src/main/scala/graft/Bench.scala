@@ -100,7 +100,8 @@ object Bench {
     // qNN/sNN prefixes are unique once _verify companions get a "v"
     // suffix (qNNv); any residual collision keeps its full name
     def shortKey(k: String): String =
-      k.take(3) + (if (k.endsWith("_verify")) "v" else "")
+      k.take(3) + (if (k.endsWith("_verify")) "v"
+                   else if (k.endsWith("_scale")) "s" else "")
     val prefixCount = results.groupBy(r => shortKey(r._1)).map { case (p, g) => p -> g.size }
     val shortQs = results.map { case (k, v) =>
       val key = if (prefixCount(shortKey(k)) == 1) shortKey(k) else k

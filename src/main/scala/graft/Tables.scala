@@ -134,6 +134,28 @@ object Tables {
     s"/tmp/graft_oracle/${name}_$norm"
   }
 
+  /** Atomic replace of a dump directory: write to a tmp sibling, then
+    * swap it into place with a single same-filesystem rename. A plain
+    * `mode("overwrite")` deletes the target and rewrites part files in
+    * place — a concurrent DuckDB reader (baseline sweep vs bench at the
+    * same SF) could list a half-written directory; after the rename the
+    * reader sees either the previous complete dump or the new one.
+    */
+  def atomicParquetDump(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(tmp)
+    val target = java.nio.file.Paths.get(path)
+    deleteRecursively(target)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+    }
+
   /** Planting convention shared by every injected-duplicate fixture
     * (and by the Bench recall probe, which re-derives the planted
     * pairs from these constants): every [[DupEvery]]-th id gets a

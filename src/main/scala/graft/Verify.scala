@@ -12,6 +12,9 @@ object Verify {
       case Array(s, o, n) => (s, o, Some(n.split(",").toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // correctness-dump mode: oracle-input dumps (q76) are written only
+    // here, so Bench measures production plans (see GraftConf.oracleDumps)
+    sys.props("graft.oracle.dumps") = "1"
     val spark = GraftConf.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -130,10 +130,14 @@ object CurationOps {
         case Some(path) =>
           val obs = new org.apache.spark.sql.Observation()
           fx.sparkSession.sparkContext.setJobDescription("dsir fb dump + fit")
-          fb0.observe(obs,
+          // atomic swap (tmp write + rename): a concurrent DuckDB
+          // reader of the dump never sees a half-written directory;
+          // the observe()-riding fit fires on the tmp write job
+          Tables.atomicParquetDump(
+            fb0.observe(obs,
               graft.plans.BucketHistogram.of(
-                col("b"), col("cnt"), col("is_target"), DsirBuckets).as("fit"))
-            .write.mode("overwrite").parquet(path)
+                col("b"), col("cnt"), col("is_target"), DsirBuckets).as("fit")),
+            path)
           val flat = obs.get("fit").asInstanceOf[scala.collection.Seq[Long]].toArray
           (docs.sparkSession.read.parquet(path),
             flat.take(DsirBuckets), flat.drop(DsirBuckets))
@@ -194,7 +198,10 @@ object CurationOps {
     (s, dir) =>
       dsirScores(Tables.table(s, dir, "documents"),
         col("source").isin(DsirTarget: _*),
-        dump = Some(q76BucketDump(dir)))
+        // the dump is ORACLE input, not a plan dependency: written only
+        // in Verify mode so the bench measures the production plan (the
+        // no-dump branch fits via the checkpoint-riding collect)
+        dump = if (graft.GraftConf.oracleDumps) Some(q76BucketDump(dir)) else None)
         .orderBy(col("dsir_logw").desc, col("doc_id").asc)
         .limit(DsirTopK),
     Some(s"""WITH fb AS (

@@ -110,8 +110,17 @@ object ScaleOps {
           first(col("max_value")).as("max_value"),
           first(col("n_events")).as("n_events"),
           first(col("au")).as("au"),
+          // tie-adjusted rank interval: the GK guarantee is on RANK
+          // POSITION, and a value with multiplicity m occupies ranks
+          // [strictly-below+1, <=-count] — gating on the <=-count alone
+          // overshoots by m-1 on heavy ties and would flip a CORRECT
+          // sketch red. The gate asks whether the target rank p*n can
+          // fall inside the value's occupied interval, widened by the
+          // epsilon slack on each side.
           sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
-          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"))
+          sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("r50lo"),
+          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"),
+          sum(when(col("value") < col("p95"), 1L).otherwise(0L)).as("r95lo"))
         .select(
           col("event_type"),
           col("exact_users"),
@@ -121,10 +130,16 @@ object ScaleOps {
           (abs(col("au") - col("exact_users")) <=
             greatest(ceil(col("exact_users") * lit(0.06)).cast("bigint"), lit(10L)))
             .cast("int").as("hll_ok"),
-          (abs(col("r50").cast("double") - lit(0.5) * col("n_events")) <=
-            lit(0.001) * col("n_events") + lit(2.0)).cast("int").as("p50_ok"),
-          (abs(col("r95").cast("double") - lit(0.95) * col("n_events")) <=
-            lit(0.001) * col("n_events") + lit(2.0)).cast("int").as("p95_ok"))
+          ((lit(0.5) * col("n_events") <=
+              col("r50").cast("double") + lit(0.001) * col("n_events") + lit(2.0)) &&
+            (lit(0.5) * col("n_events") >=
+              col("r50lo").cast("double") + 1.0 - (lit(0.001) * col("n_events") + lit(2.0))))
+            .cast("int").as("p50_ok"),
+          ((lit(0.95) * col("n_events") <=
+              col("r95").cast("double") + lit(0.001) * col("n_events") + lit(2.0)) &&
+            (lit(0.95) * col("n_events") >=
+              col("r95lo").cast("double") + 1.0 - (lit(0.001) * col("n_events") + lit(2.0))))
+            .cast("int").as("p95_ok"))
     },
     Some("""SELECT event_type,
            |  COUNT(DISTINCT user_id) AS exact_users,

@@ -603,10 +603,35 @@ object SimilarityOps {
          |GROUP BY source""".stripMargin)
   )
 
-  private val IvfCells = 16
-  private val IvfProbes = 9
+  private val IvfCells = 16  // cell-count FLOOR (≤ sf0.1 bit-identical)
+  private val IvfProbes = 9  // probe FLOOR at the cell floor
   private val IvfIters = 10
   private val IvfSample = 2048
+
+  /** Search-index cell count ∝ corpus — the [[semdedupCellsFor]]
+    * posture applied to the ANN index after r11 recorded recall@10
+    * drifting down the scale curve on the FIXED 16-cell index (q40
+    * 0.96→0.90→0.84, q73 0.90→0.88→0.82 at sf0.1/1/10 — the same
+    * fixed-constant class q34 broke on at sf1). Target occupancy ~512
+    * vectors/cell keeps per-cell lists flat as the corpus grows; the
+    * floor keeps every scale ≤ sf0.1 bit-identical to the tuned
+    * 16-cell behavior; the cap IvfSample/8 = 256 is the driver-Lloyd
+    * quality bound (≥ 8 sample points per centroid) — past ~1M
+    * vectors, raise IvfSample with a distributed Lloyd fit (the
+    * IvfIndex literal interface is unchanged).
+    */
+  private[graft] def ivfCellsFor(n: Long): Int =
+    math.max(IvfCells, math.min(IvfSample / 8, (n / 512L).toInt))
+
+  /** Probe count keeps the recall-tuned 9/16 cell FRACTION as cells
+    * scale (at the 16-cell floor this is exactly the original 9 —
+    * bit-identical ≤ sf0.1). Scanning a constant corpus fraction over
+    * finer cells adapts the probe set to the query better, which is
+    * what pulls the large-SF recall back over the 0.9 target.
+    */
+  private[graft] def ivfProbesFor(cells: Int): Int =
+    math.max(IvfProbes,
+      math.ceil(cells * IvfProbes.toDouble / IvfCells).toInt)
 
   /** Deterministic spherical Lloyd fit over a driver-side sample: the
     * real kmeans "training" step of an IVF index, kept tiny (≤
@@ -705,14 +730,9 @@ object SimilarityOps {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
 
-  private[graft] def fitIvf(sample: Array[Array[Double]]): IvfIndex =
-    fitIvfK(sample, IvfCells)
-
-  /** IVF fit with an explicit cell count — the SemDeDup clustering
-    * path wants k ∝ corpus (see [[semdedupCellsFor]]); the ANN search
-    * path keeps the fixed [[IvfCells]] (its probes/cells ratio is
-    * recall-tuned for the isotropic corpus and scaling it is a
-    * different trade).
+  /** IVF fit with an explicit cell count — both the SemDeDup
+    * clustering path ([[semdedupCellsFor]]) and, since r12, the ANN
+    * search path ([[ivfCellsFor]]) size k ∝ corpus.
     */
   private[graft] def fitIvfK(sample: Array[Array[Double]], k: Int): IvfIndex = {
     val cents: Seq[Seq[Double]] =
@@ -720,8 +740,11 @@ object SimilarityOps {
     IvfIndex(cents, cents.map(c => math.sqrt(c.map(x => x * x).sum)))
   }
 
+  /** Corpus-scaled ANN index fit over a frame (specs): cells from the
+    * frame's own count. Production paths use the dir-memoized count.
+    */
   private[graft] def fitIvf(e: org.apache.spark.sql.DataFrame): IvfIndex =
-    fitIvf(embSample(e))
+    fitIvfK(embSample(e), ivfCellsFor(e.count()))
 
   /** SemDeDup cluster count: |cluster| ≈ 512 keeps the within-cluster
     * quadratic FLAT as the corpus grows (the Abbas et al. k ∝ n
@@ -740,18 +763,21 @@ object SimilarityOps {
   private[graft] def semdedupCellsFor(n: Long): Int =
     math.max(IvfCells, math.min(IvfSample / 8, (n / 512L).toInt))
 
-  /** Row-local top-[[IvfProbes]] probe-cell explode for a
+  /** Row-local top-[[ivfProbesFor]] probe-cell explode for a
     * `(q_id, q_emb)` query frame — shared by q40, q73 and their verify
-    * companions (pure code motion out of q40; the plan is unchanged).
+    * companions. Probe count derives from the index's own cell count,
+    * so callers cannot pair a scaled index with floor probes.
     */
   private def probeCells(idx: IvfIndex,
-      qs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      qs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val probes = math.min(ivfProbesFor(idx.n), idx.n)
     idx.withCentroids(qs)
       .withColumn("cell", explode(expr(
         s"transform(slice(array_sort(transform(sequence(0, ${idx.n - 1}), i -> " +
-          s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $IvfProbes), " +
+          s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $probes), " +
           "p -> p.cell)")))
       .select(col("q_id"), col("q_emb"), col("cell"))
+  }
 
   /** The IVF candidate frame (q_id, q_emb, n_id, n_emb): probed-cell
     * join, self-pairs dropped — everything in q40 upstream of scoring.
@@ -759,7 +785,8 @@ object SimilarityOps {
   private def ivfCandidates(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val idx = fitIvf(e)
+    // corpus-scaled cells from the dir-memoized count (no extra job)
+    val idx = fitIvfK(embSample(e), ivfCellsFor(embCount(s, dir)))
     val assigned = idx.assignCell(e)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
     val qs = e.filter(col("vec_id") < 5)
@@ -1139,8 +1166,13 @@ object SimilarityOps {
     * every scale ≤ sf0.1 unchanged) restores headroom; re-rank cost
     * stays |Q| × shortlist — noise at any corpus size.
     */
-  private[graft] def pqShortlistFor(n: Long): Int =
-    math.max(PqShortlistFloor, (n * IvfProbes / IvfCells / 20).toInt)
+  private[graft] def pqShortlistFor(n: Long): Int = {
+    // candidate stream size rides the SCALED probes/cells ratio (at
+    // the 16-cell floor this is exactly the original 9/16)
+    val cells = ivfCellsFor(n)
+    math.max(PqShortlistFloor,
+      (n * ivfProbesFor(cells) / cells / 20).toInt)
+  }
   private val PqIters = 10
 
   /** Plain L2 Lloyd over a driver-side sample — the per-subspace PQ
@@ -1263,7 +1295,7 @@ object SimilarityOps {
   : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
     val sample = embSample(e)
-    val ivf = fitIvf(sample)
+    val ivf = fitIvfK(sample, ivfCellsFor(embCount(s, dir)))
     val pq = fitPq(sample)
     // corpus side: (n_id, cell, codes) — the compact index frame.
     // Encode is the corpus-wide hot path: one codegen'd expression
@@ -1326,9 +1358,90 @@ object SimilarityOps {
         + quantizedTopKSql)
   )
 
+  /** The ANN RECALL GATE (driver-graded): recall@10 of both index
+    * paths (q40 IVF, q73 IVF-PQ) against the exact top-10, computed
+    * IN-QUERY as integer columns — the q38 pattern applied to ANN
+    * quality, so recall rides CORRECTNESS instead of only the bench
+    * artifact (r11's watch item: recall converging on the 0.8 floor
+    * from above with nothing driver-gated asserting it).
+    *
+    * All three top-10 sets use the QUANTIZED integer scoring + n_id
+    * tie-break (the verify-companion contract), so overlap counts are
+    * deterministic cross-engine. The ANN candidate sets (index fit +
+    * probing — not SQL-expressible) dump dir-keyed; DuckDB recomputes
+    * the exact top-10 from the raw parquet, the ANN top-10 from THE
+    * SAME dumped candidates, and the identical integer flags. The
+    * gate asserts pooled recall ≥ 0.9 (`recall_ok`), the target the
+    * corpus-scaled [[ivfCellsFor]]/[[ivfProbesFor]] constants are
+    * sized for at every SF.
+    */
+  val q83_ann_recall: GraftQuery = GraftQuery(
+    "q83_ann_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ivfDump = Tables.oracleDumpPath("q83_ivf_cand", dir)
+      val pqDump = Tables.oracleDumpPath("q83_pq_cand", dir)
+      Tables.atomicParquetDump(
+        ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump)
+      Tables.atomicParquetDump(
+        pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump)
+      val exactPairs = e.select(col("vec_id").as("n_id"))
+        .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
+          col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"))
+      // reused by both gate rows — materialize once
+      val exact = quantizedTopK(e, exactPairs).select(col("q_id"), col("n_id"))
+        .localCheckpoint(false)
+      def gateRow(dumpPath: String, method: String): org.apache.spark.sql.DataFrame = {
+        val top = quantizedTopK(e, s.read.parquet(dumpPath))
+          .select(col("q_id"), col("n_id"))
+        val nEx = exact.groupBy().agg(count(lit(1)).as("n_exact"))
+        val nHit = exact.join(top, Seq("q_id", "n_id"), "left_semi")
+          .groupBy().agg(count(lit(1)).as("hits"))
+        nEx.crossJoin(nHit).select(
+          lit(method).as("method"), col("n_exact"), col("hits"),
+          (col("hits") * 10 >= col("n_exact") * 9).cast("int").as("recall_ok"))
+      }
+      gateRow(ivfDump, "ivf").unionAll(gateRow(pqDump, "pq"))
+    },
+    Some {
+      def topSql(candSrc: String): String =
+        s"""SELECT q_id, n_id FROM (
+           |  SELECT s.q_id, s.n_id,
+           |    row_number() OVER (PARTITION BY s.q_id ORDER BY s.cosq DESC, s.n_id) AS rank
+           |  FROM (
+           |    SELECT c.q_id, c.n_id, ${cosqSql("q.embedding", "n.embedding")} AS cosq
+           |    FROM $candSrc c
+           |    JOIN embeddings q ON c.q_id = q.vec_id
+           |    JOIN embeddings n ON c.n_id = n.vec_id) s) r
+           |WHERE rank <= 10""".stripMargin
+      val exactCand =
+        """(SELECT qq.vec_id AS q_id, n.vec_id AS n_id
+          |   FROM embeddings n
+          |   JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) qq
+          |     ON n.vec_id <> qq.vec_id)""".stripMargin
+      def dumpCand(name: String): String =
+        s"(SELECT q_id, n_id FROM read_parquet('${Tables.oracleDumpPath(name, Tables.VerifyDir)}/*.parquet'))"
+      s"""WITH exact AS (${topSql(exactCand)}),
+         |ivf AS (${topSql(dumpCand("q83_ivf_cand"))}),
+         |pq AS (${topSql(dumpCand("q83_pq_cand"))}),
+         |hits AS (
+         |  SELECT 'ivf' AS method, COUNT(*) AS hits
+         |  FROM ivf t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
+         |  UNION ALL
+         |  SELECT 'pq' AS method, COUNT(*) AS hits
+         |  FROM pq t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
+         |), ex AS (SELECT COUNT(*) AS n_exact FROM exact)
+         |SELECT h.method, ex.n_exact, h.hits,
+         |  CAST(CASE WHEN h.hits * 10 >= ex.n_exact * 9 THEN 1 ELSE 0 END AS INTEGER) AS recall_ok
+         |FROM hits h CROSS JOIN ex""".stripMargin
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q30_minhash_lsh, q30_verify, q31_simhash, q32_cosine_topk, q32_verify,
     q33_embed_stats, q34_lsh_cosine, q34_verify, q35_multimodal,
     q40_ivf_cosine, q40_verify, q41_domain_sketch, q60_delta_dedup,
-    q63_quantize_int8, q70_semdedup, q73_pq_ann, q73_verify)
+    q63_quantize_int8, q70_semdedup, q73_pq_ann, q73_verify,
+    q83_ann_recall)
 }

@@ -138,35 +138,112 @@ object TextOps {
            |GROUP BY lang, predicted""".stripMargin)
   )
 
-  /** Character 3-gram Jaccard near-dup detection, blocked on exact text
-    * length so candidate pairing is |block|^2 instead of n^2 — the
-    * blocked-pairwise pattern; LSH (q30) is the unblocked scale path.
+  /** All `a_id < b_id` pairs from a sorted `ids` array (the shared
+    * within-group expansion; same shape as SimilarityOps' pairExpr).
+    */
+  private val idPairExpr =
+    "flatten(transform(ids, (a, i) -> " +
+      "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a_id', a, 'b_id', b))))"
+
+  /** The exact-Jaccard verify stage shared by the blocked q29 plan and
+    * its brute-force differential reference: score `(a_id, b_id)`
+    * candidates against the per-doc shingle frame, keep ≥ 0.8.
+    */
+  private def jaccardVerify(docs: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      // two-pointer merge over the sorted hash arrays (SortedIntersectCount)
+      .withColumn("inter",
+        graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+
+  /** The per-doc `(doc_id, n_chars, shingles)` frame q29's two
+    * spellings share.
+    */
+  private def shingledDocs(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame =
+    Tables.docsWithNearDups(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.plans.ShingleHashes.of(col("text")).as("shingles"))
+      .localCheckpoint(false)
+
+  /** The pre-r12 |block|² spelling (length-blocked all-pairs self-join)
+    * — kept ONLY as the differential reference for Q29BlockingSpec,
+    * which proves the pigeonhole plan emits the identical pair set.
+    */
+  private[graft] def bruteForceJaccardPairs(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
+    a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
+      .withColumn("inter",
+        graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** The length × pigeonhole-bucket blocked plan over a
+    * `(doc_id, n_chars, shingles)` frame — see q29's doc comment.
+    */
+  private[graft] def blockedJaccardPairs(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val sized = docs.withColumn("cnt", size(col("shingles")))
+    // k per LENGTH CLASS from the class's max shingle count — a
+    // shared attribute, so both members of any candidate pair derive
+    // the same bucket partition (the losslessness precondition). The
+    // kmap is |distinct n_chars| rows: broadcast at any corpus size.
+    val kmap = sized.groupBy(col("n_chars"))
+      .agg(max(col("cnt")).as("maxc"))
+      .select(col("n_chars"), (col("maxc") * 2 / 9 + 1).cast("int").as("k"))
+    val keyed = sized.join(broadcast(kmap), "n_chars")
+      .select(col("doc_id"), col("n_chars"),
+        posexplode(graft.plans.PigeonholeBucketHashes.of(col("shingles"), col("k")))
+          .as(Seq("bucket", "bh")))
+    // no MaxBucket cap here ON PURPOSE: dropping a hot group would
+    // break the lossless contract (output = the full ≥ 0.8 pair set,
+    // which is itself quadratic in a degenerate all-identical corpus
+    // — the cap would hide that instead of surfacing it)
+    val cand = keyed
+      .groupBy(col("n_chars"), col("bucket"), col("bh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(idPairExpr)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+    jaccardVerify(docs, cand)
+  }
+
+  /** Character 3-gram Jaccard near-dup detection at the EXACT ≥ 0.8
+    * threshold, with a deterministic two-level block: exact text length
+    * (the original key — output pairs are same-length by definition)
+    * × a pigeonhole bucket-content key sized per length class
+    * (plans.PigeonholeBucketHashes — k > 2·maxShingles/9 buckets
+    * guarantees every qualifying pair shares at least one bucket's
+    * exact content, so the blocking is LOSSLESS and the brute-force
+    * oracle hash is preserved). Candidate groups are O(dup-cluster
+    * size) instead of the |length class|² all-pairs join that ran
+    * 111 s at sf10: length classes grow linearly with the corpus, but
+    * pigeonhole groups only grow with true duplication. Exact Jaccard
+    * verification runs on candidates only; spurious candidates (chain
+    * collisions, shared empty buckets) cost a verification each, never
+    * a wrong row.
     */
   val q29_ngram_jaccard: GraftQuery = GraftQuery(
     "q29_ngram_jaccard",
-    (s, dir) => {
+    (s, dir) =>
       // shingles kept as 64-bit hashes (codegen'd ShingleHashes
-      // expression): array_intersect on longs beats strings ~4x, and a
-      // hash collision perturbing a Jaccard count has probability
-      // ~1e-15 per pair (the DuckDB oracle stays on strings)
-      val docs = Tables.docsWithNearDups(s, dir)
-        .select(col("doc_id"), col("n_chars"),
-          graft.plans.ShingleHashes.of(col("text")).as("shingles"))
-        // both sides of the self-join read the shingle arrays; compute
-        // them once instead of once per side (lazy: no job until the
-        // first action, unlike an eager checkpoint at plan build)
-        .localCheckpoint(false)
-      val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
-      val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
-      a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
-        // two-pointer merge over the sorted hash arrays (SortedIntersectCount)
-        .withColumn("inter",
-          graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
-        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
-        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-    },
+      // expression): a hash collision perturbing a Jaccard count has
+      // probability ~1e-15 per pair (the DuckDB oracle stays on
+      // strings). Key gen and verification both read the shingle
+      // arrays; compute them once (lazy: no job until the first action)
+      blockedJaccardPairs(shingledDocs(s, dir)),
     Some(Tables.docsNearDupsCte +
       """, shingled AS (
         |  SELECT doc_id, n_chars,
@@ -299,6 +376,87 @@ object TextOps {
     },
     Some(clusterOracleCte +
       """, comp AS (
+        |  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster_id, d.doc_id) AS canonical_id,
+        |  CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM alldocs d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)
+  )
+
+  // ---- the dedup-clustering SCALE path, driver-gated ----------------
+  //
+  // q36/q74 above register the oracle-matchable mirror (q29's blocked
+  // pairwise source — DuckDB can recompute that pair set from raw
+  // text). The production 100-TB spelling feeds the SAME clusterPairs
+  // propagation loop from q30's banded MinHash-LSH candidates: bucketed
+  // candidate generation, no length-block quadratic. The banding step
+  // is not SQL-expressible, so these entries use the q30_verify dump
+  // protocol — the exact-Jaccard-verified LSH pair set dumps dir-keyed,
+  // and DuckDB independently recomputes components / keep decisions
+  // FROM THE SAME PAIRS via its recursive CTE. Everything downstream of
+  // the banding (the part that was previously rehearsal-only) is
+  // hash-gated.
+
+  /** The verified LSH pair frame both scale entries consume (q30's
+    * candidate generation + exact-Jaccard verification, pairs only).
+    */
+  private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame =
+    SimilarityOps.verifyJaccard(s, dir, SimilarityOps.minhashCandidatePairs(s, dir))
+      .select(col("a_id"), col("b_id"))
+
+  /** The shared recursive-CTE oracle tail over a dumped pair set. */
+  private def pairComponentsSql(dumpName: String): String =
+    s"""pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM read_parquet('${Tables.oracleDumpPath(dumpName, Tables.VerifyDir)}/*.parquet')),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |reach(src, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)""".stripMargin
+
+  /** Near-dup clustering over the LSH pair graph — the registered
+    * scale path (see the block comment above).
+    */
+  val q36_scale: GraftQuery = GraftQuery(
+    "q36_scale",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q36_scale_pairs", dir)
+      Tables.atomicParquetDump(lshVerifiedPairs(s, dir), dump)
+      clusterPairs(s.read.parquet(dump))
+    },
+    Some("WITH RECURSIVE " + pairComponentsSql("q36_scale_pairs") + "\n" +
+      "SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src")
+  )
+
+  /** Per-document keep decision over the LSH pair graph — the
+    * registered scale path of q74 (see the block comment above).
+    */
+  val q74_scale: GraftQuery = GraftQuery(
+    "q74_scale",
+    (s, dir) => {
+      val dump = Tables.oracleDumpPath("q74_scale_pairs", dir)
+      Tables.atomicParquetDump(lshVerifiedPairs(s, dir), dump)
+      val labels = clusterPairs(s.read.parquet(dump))
+        .select(col("doc_id"), col("cluster_id"))
+      Tables.docsWithNearDups(s, dir, spread = false)
+        .select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+            .cast("int").as("kept"))
+    },
+    Some("WITH RECURSIVE " + Tables.docsNearDupsCte.stripPrefix("WITH ").stripSuffix("\n") + ",\n" +
+      pairComponentsSql("q74_scale_pairs") +
+      """,
+        |comp AS (
         |  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src)
         |SELECT d.doc_id,
         |  COALESCE(c.cluster_id, d.doc_id) AS canonical_id,
@@ -1455,5 +1613,5 @@ object TextOps {
     q81_contamination_rate,
     q55_pack_sequences, q61_bm25, q62_pii_scrub, q64_perplexity_bucket,
     q65_source_mix, q66_substring_dup, q67_substring_scrub,
-    q72_ngram_repetition, q74_dedup_keep)
+    q72_ngram_repetition, q74_dedup_keep, q36_scale, q74_scale)
 }

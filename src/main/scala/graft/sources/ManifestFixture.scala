@@ -27,6 +27,11 @@ object ManifestFixture {
   val LinksPerPage = 3
   val ExtDomains = 17
 
+  /** Bump when SegmentIngest / the per-segment import protocol changes
+    * semantics — part of [[ingestedStore]]'s cache key.
+    */
+  val IngestProtocolVersion = 3
+
   private def watLine(uri: String, ip: String, date: String,
       links: Seq[(String, String)]): String = {
     val linksJson = links.map { case (url, text) =>
@@ -105,7 +110,14 @@ object ManifestFixture {
     */
   def ingestedStore(spark: org.apache.spark.sql.SparkSession): String = synchronized {
     val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val base = tmpRoot.resolve("graft-manifest-ingest-v2")
+    // cache key derives from the fixture parameters + an explicit
+    // ingest-protocol version, so a parameter or protocol change
+    // structurally invalidates the cached store — a fixed name would
+    // silently serve a stale store to s09 and its oracle dump after
+    // any change that forgets to bump it by hand
+    val base = tmpRoot.resolve(
+      s"graft-manifest-ingest-p$IngestProtocolVersion" +
+        s"-s$Segments-p$PagesPerSegment-l$LinksPerPage-d$ExtDomains")
     val ok = base.resolve("_OK")
     if (java.nio.file.Files.exists(ok)) return s"${base.toAbsolutePath}/store"
     val fixture = dir()

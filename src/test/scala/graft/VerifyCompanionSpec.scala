@@ -88,7 +88,17 @@ class VerifyCompanionSpec extends SparkSpec {
         s"bucket occupancy exceeds MaxBucket at n=$n")
     assert(SimilarityOps.pqShortlistFor(200L) == 128)
     assert(SimilarityOps.pqShortlistFor(2000L) == 128)  // sf0.1 unchanged
-    assert(SimilarityOps.pqShortlistFor(20000L) == 562) // sf1: ~5% of candidates
+    // sf1: cells scale too (r12) — 39 cells, 22 probes, ~5% of the
+    // candidate stream
+    assert(SimilarityOps.pqShortlistFor(20000L) == 564)
+    // the r12 corpus-scaled index constants: floor ≤ sf0.1, scaled above
+    for (n <- Seq(200L, 2000L, 2080L))
+      assert(SimilarityOps.ivfCellsFor(n) == 16, s"cell floor broken at n=$n")
+    assert(SimilarityOps.ivfProbesFor(16) == 9) // probe floor at the cell floor
+    assert(SimilarityOps.ivfCellsFor(20000L) == 39)   // sf1
+    assert(SimilarityOps.ivfCellsFor(200000L) == 256) // sf10 (Lloyd cap)
+    assert(SimilarityOps.ivfProbesFor(39) == 22)      // keeps the 9/16 fraction
+    assert(SimilarityOps.ivfProbesFor(256) == 144)
   }
 
   test("q48_verify rollup equals the direct q48 aggregate") {
