@@ -118,14 +118,14 @@ object CurationOps {
       // collect, not a data collect — the corpus never leaves the
       // executors.
       //
-      // fit + scoring both branch from the materialized frame. With a
-      // dump path (q76's oracle input) the parquet write doubles as
-      // the checkpoint AND the fit rides the write job itself via
-      // observe() + the fixed-width BucketHistogram aggregate — the
-      // fb frame is computed exactly once and scanned once more for
-      // scoring; no separate fit job. Without a dump
-      // (Pipeline.exportCorpus, q76_verify) a lazy localCheckpoint
-      // materializes fb and a 256-row collect fits the model.
+      // With a dump path (q76's oracle input, Verify mode only) the
+      // parquet write doubles as the checkpoint AND the fit rides the
+      // write job itself via observe() + the fixed-width
+      // BucketHistogram aggregate — the fb frame is computed exactly
+      // once and scanned once more for scoring. Without a dump
+      // (production bench path, Pipeline.exportCorpus, q76_verify) the
+      // (doc,bucket) frame is never materialized at all — see the
+      // None branch below.
       val (fb, rCounts, tCounts) = dump match {
         case Some(path) =>
           val obs = new org.apache.spark.sql.Observation()
@@ -142,17 +142,29 @@ object CurationOps {
           (docs.sparkSession.read.parquet(path),
             flat.take(DsirBuckets), flat.drop(DsirBuckets))
         case None =>
-          val cp = fb0.localCheckpoint(false)
-          val counts = cp.groupBy(col("b")).agg(
-            sum(col("cnt")).as("r_cnt"),
-            sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("t_cnt"))
+          // production (no-dump) plan, r12: the fit needs only the 256
+          // per-bucket TOTALS and the scoring tail only per-doc sums —
+          // neither needs the docs×buckets frame, so skip fb0 entirely.
+          // Fit = one tiny aggregate straight off the feature stream
+          // (256 groups, map-side combined: the exchange moves ≤ 256
+          // rows per task); scoring re-derives the feature stream with
+          // cnt=1 (map-side combine collapses it to ~1 row per doc
+          // before ITS exchange — exact DECIMAL sums are
+          // grouping-invariant, so the output is bit-identical to the
+          // fb spelling). Re-scanning the corpus once beats
+          // materializing the 31.7M-row (doc,bucket) frame the old
+          // localCheckpoint held (measured slower than the dump write
+          // it replaced at sf10).
+          val counts = fx.groupBy(col("b")).agg(
+            count(lit(1)).as("r_cnt"),
+            sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("t_cnt"))
             .collect()
           val (r, t) = (new Array[Long](DsirBuckets), new Array[Long](DsirBuckets))
           counts.foreach { row =>
             val b = row.getAs[Long]("b").toInt
             r(b) = row.getAs[Long]("r_cnt"); t(b) = row.getAs[Long]("t_cnt")
           }
-          (cp, r, t)
+          (fx.withColumn("cnt", lit(1L)), r, t)
       }
       val rr = rCounts.sum.toDouble
       val tt = tCounts.sum.toDouble
