@@ -264,9 +264,179 @@ object ClusterRehearsal {
     println(s"[cluster-rehearsal] serving latencies -> SERVING.json: $json")
   }
 
+  /** s09 at CLUSTER shape (r12 — the round-11 flagship's missing
+    * evidence): the manifest-watching SegmentIngest stream driven on
+    * multi-JVM executors against a scaled manifest (24 segments vs the
+    * spec fixture's 3), with fragments landing progressively, a KILL
+    * while imports are in flight, and a restart from the same
+    * checkpoint. Asserts the two-layer exactly-once contract end to
+    * end: file-source offsets + `_IMPORTED` markers compose so the
+    * restarted stream completes every segment exactly once, the final
+    * stores are row-identical to a batch `importManifest` of the same
+    * manifest, and a caught-up replay rewrites no marker.
+    */
+  private def ingestRehearsal(spark: SparkSession, master: String): Unit = {
+    val (seg, pages, links, frags) = (24, 60, 5, 6)
+    val fixture = sources.ManifestFixture.scaledDir(seg, pages, links, frags)
+    val watch = java.nio.file.Files.createTempDirectory("graft-ingest-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-cluster").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    def landFragment(i: Int): Unit = {
+      val name = f"frag$i%02d.paths"
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(fixture, "fragments", name), watch.resolve(name))
+    }
+    def completed: Seq[String] =
+      sources.SegmentManifest.completedSegments(spark, out)
+    def waitFor(cond: => Boolean, what: String, timeoutMs: Long = 300000): Unit = {
+      val t0 = System.nanoTime()
+      while (!cond) {
+        require((System.nanoTime() - t0) / 1e6 < timeoutMs,
+          s"ingest rehearsal timed out waiting for $what")
+        Thread.sleep(250)
+      }
+    }
+    // phase 1: half the fragments are already published when the
+    // watcher starts (the importer-joins-a-running-crawl shape)
+    (0 until frags / 2).foreach(landFragment)
+    val q1 = graft.streaming.SegmentIngest.start(
+      spark, watch.toString, out, ckpt, availableNow = false)
+    try {
+      waitFor(completed.size >= seg / 4, s"first ${seg / 4} segments")
+      // phase 2: the remaining fragments land while imports run…
+      (frags / 2 until frags).foreach(landFragment)
+      // …and the stream is KILLED with imports in flight (stop() as
+      // soon as the next marker appears — segments beyond it are
+      // mid-batch or undelivered)
+      waitFor(completed.size >= seg / 2, s"${seg / 2} segments before the kill")
+    } finally q1.stop()
+    q1.awaitTermination()
+    val afterKill = completed.size
+    println(s"[cluster-rehearsal] $master ingest: killed stream at " +
+      s"$afterKill/$seg segments imported")
+    // restart from the SAME checkpoint: offsets skip consumed
+    // fragments, markers skip completed segments, the drain finishes
+    // everything else exactly once
+    graft.streaming.SegmentIngest.start(
+      spark, watch.toString, out, ckpt, availableNow = true).awaitTermination()
+    val ids = completed.sorted
+    require(ids.size == seg,
+      s"restarted drain left ${seg - ids.size} of $seg segments unimported")
+    // parity: a fresh batch importManifest of the same manifest must
+    // produce row-identical per-segment stores
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-ingest-batch").toString
+    val stats = Pipeline.importManifest(spark, s"$fixture/manifest/wat.paths", batchOut)
+    require(stats.imported.size == seg && stats.remaining.isEmpty,
+      s"batch parity import incomplete: $stats")
+    def segRows(store: String, id: String): Seq[String] =
+      graft.sinks.LinkStore.read(spark,
+          s"${sources.SegmentManifest.segmentDir(store, id)}/links")
+        .drop("domain_bucket").collect().map(_.toString).sorted.toSeq
+    ids.foreach { id =>
+      require(segRows(out, id) == segRows(batchOut, id),
+        s"segment $id: stream-ingested store diverged from batch import")
+    }
+    // idempotence: a caught-up replay must rewrite nothing
+    def markerStamps: Map[String, Long] = ids.map { id =>
+      id -> new java.io.File(sources.SegmentManifest.segmentDir(out, id),
+        sources.SegmentManifest.Marker).lastModified()
+    }.toMap
+    val stamps = markerStamps
+    graft.streaming.SegmentIngest.start(
+      spark, watch.toString, out, ckpt, availableNow = true).awaitTermination()
+    require(markerStamps == stamps, "caught-up replay rewrote a marker")
+    println(s"[cluster-rehearsal] $master ingest: $seg segments (${pages}p×${links}l), " +
+      s"kill at $afterKill + restart → exactly-once, batch parity, replay no-op")
+  }
+
+  /** Serving probe against a SCALE-FACTOR store (r12 — verdict item:
+    * p50/p99 existed only at rehearsal scale): publish the ranked
+    * store from the given corpus on the full box, then hammer both
+    * endpoints steady-state (no swap — the swap contract is the
+    * rehearsal's job) and MERGE the per-endpoint p50/p99 into
+    * SERVING.json under a `<sfDir>:<master>` key. Run:
+    * `sbt "runMain graft.ClusterRehearsal serve /tmp/graft_sf10"`.
+    */
+  private def scaleServe(sfDir: String): Unit = {
+    val master = s"local[${Runtime.getRuntime.availableProcessors}]"
+    val spark = session(master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-serve-scale").toString
+      val t0 = System.nanoTime()
+      val iters = Pipeline.publishRankedStore(spark, Tables.links(spark, sfDir), out)
+      val publishS = math.rint((System.nanoTime() - t0) / 1e7) / 100
+      val srv = Pipeline.serveLinkApi(spark, out, port = 0, rateLimitMax = Int.MaxValue)
+      try {
+        val port = srv.boundPort
+        require(get(port, "/api/health")._1 == 200, "health failed")
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+        val endpoints = Seq("/api/links" -> LinksBody, "/api/ranks" -> RanksBody)
+        val hammers = (0 until 4).map { h =>
+          val (path, body) = endpoints(h % endpoints.size)
+          new Thread(() => {
+            while (!stop.get()) {
+              val t = System.nanoTime()
+              try results.add((path, post(port, path, body)._1, System.nanoTime() - t))
+              catch {
+                case _: InterruptedException => stop.set(true)
+                case _: java.io.IOException =>
+                  results.add((path, -1, System.nanoTime() - t))
+                case _: Exception => ()
+              }
+            }
+          })
+        }
+        hammers.foreach { t => t.setDaemon(true); t.start() }
+        Thread.sleep(20000)
+        stop.set(true)
+        hammers.foreach(_.join(60000))
+        val seen = results.toArray(Array.empty[(String, Int, Long)]).toSeq
+        val bad = seen.filterNot(_._2 == 200)
+        require(seen.size >= 40, s"want >=40 requests, got ${seen.size}")
+        require(bad.isEmpty, s"${bad.size} of ${seen.size} failed: ${bad.take(5)}")
+        val stats = seen.groupBy(_._1).map { case (path, rows) =>
+          val ms = rows.map(_._3 / 1e6).sorted.toIndexedSeq
+          path.stripPrefix("/api/") -> EndpointStats(ms.size,
+            math.rint(percentile(ms, 0.5) * 1000) / 1000,
+            math.rint(percentile(ms, 0.99) * 1000) / 1000)
+        }
+        val eps = stats.toSeq.sortBy(_._1).map { case (e, st) =>
+          s""""$e":{"n":${st.n},"p50_ms":${st.p50Ms},"p99_ms":${st.p99Ms}}"""
+        }.mkString(",")
+        val entry = s""""$sfDir:$master":{$eps,"publish_s":$publishS,"rank_iters":$iters}"""
+        // merge into SERVING.json (both writers are ours: the file is
+        // one flat JSON object, so inserting before the closing brace
+        // is structurally safe)
+        val p = java.nio.file.Paths.get("SERVING.json")
+        val merged =
+          if (java.nio.file.Files.exists(p)) {
+            val cur = java.nio.file.Files.readString(p).trim.stripSuffix("\n")
+            require(cur.startsWith("{") && cur.endsWith("}"), s"unexpected SERVING.json shape")
+            cur.dropRight(1) + "," + entry + "}"
+          } else "{" + entry + "}"
+        java.nio.file.Files.writeString(p, merged + "\n")
+        println(s"[cluster-rehearsal] scale serve $sfDir on $master: ${seen.size} requests " +
+          s"all 200 — " + stats.toSeq.sortBy(_._1).map { case (e, st) =>
+            s"$e p50=${st.p50Ms}ms p99=${st.p99Ms}ms" }.mkString("; ") +
+          s" (publish ${publishS}s, $iters rank iters)")
+      } finally srv.stop()
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("serve")) {
+      scaleServe(args.lift(1).getOrElse("/tmp/graft_sf10"))
+      return
+    }
     val (local, localServe, localLat) = runAll("local[8]")
     val (cluster, clusterServe, clusterLat) = runAll("local-cluster[2,4,2048]")
+    locally {
+      val s = session("local-cluster[2,4,2048]")
+      s.sparkContext.setLogLevel("ERROR")
+      try ingestRehearsal(s, "local-cluster[2,4,2048]") finally s.stop()
+    }
     writeServingJson(Seq("local[8]" -> localLat, "local-cluster[2,4,2048]" -> clusterLat))
     val diverged = queries.map(_._1).filter(n => local(n) != cluster(n))
       .map(n => s"$n: local=${local(n)} cluster=${cluster(n)}") ++

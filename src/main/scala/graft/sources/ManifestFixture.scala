@@ -41,20 +41,69 @@ object ManifestFixture {
       s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t","Metas":[{"name":"viewport","content":"x"}],"Link":[]},"Links":$linksJson}}}}}"""
   }
 
-  private def segmentWat(seg: Int): String = {
+  private def segmentWat(seg: Int, pages: Int = PagesPerSegment,
+      links: Int = LinksPerPage, extDomains: Int = ExtDomains): String = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\n") // header noise the parser must skip
-    (0 until PagesPerSegment).foreach { i =>
+    (0 until pages).foreach { i =>
       val host = s"www.seg$seg-site$i.com"
-      val links = (0 until LinksPerPage).map { k =>
-        val d = (i * 5 + seg * 7 + k) % ExtDomains
+      val linkSeq = (0 until links).map { k =>
+        val d = (i * 5 + seg * 7 + k) % extDomains
         (s"http://ext$d-site.org/s$seg/p$k?id=$k", s"anchor $k")
       } :+ ((s"http://$host/self", "internal")) // same host -> dropped
       sb.append(watLine(s"http://$host/page$i.html", s"10.$seg.$i.1",
-        f"2024-07-${(i % 28) + 1}%02dT09:00:00Z", links)).append('\n')
+        f"2024-07-${(i % 28) + 1}%02dT09:00:00Z", linkSeq)).append('\n')
     }
     sb.append("{ not json — parser must skip\n")
     sb.toString
+  }
+
+  /** Parameterized sibling of [[dir]] for scale/cluster rehearsals:
+    * same Common Crawl layout, its own param-keyed cache dir, and the
+    * manifest additionally SPLIT into `fragments/frag<i>.paths` files
+    * so a rehearsal can land fragments progressively into a watched
+    * directory (the crawler-publishes-while-importer-runs shape).
+    * `manifest/wat.paths` still carries the full list for batch-parity
+    * imports.
+    */
+  def scaledDir(segments: Int, pages: Int, links: Int, fragments: Int): String = synchronized {
+    require(fragments >= 1 && fragments <= segments,
+      s"fragments must be in [1, $segments], got $fragments")
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val base = tmpRoot.resolve(
+      s"graft-manifest-fixture-s$segments-p$pages-l$links-f$fragments-v$IngestProtocolVersion")
+    val ok = base.resolve("_OK")
+    if (java.nio.file.Files.exists(ok)) return base.toAbsolutePath.toString
+    val build = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-manifest-scaled")
+    val paths = (0 until segments).map { seg =>
+      val segDir = build.resolve(s"segments/1687.$seg")
+      java.nio.file.Files.createDirectories(segDir)
+      val f = segDir.resolve("part.wat.gz")
+      val g = new GZIPOutputStream(new FileOutputStream(f.toFile))
+      try g.write(segmentWat(seg, pages, links).getBytes(UTF_8)) finally g.close()
+      base.resolve(s"segments/1687.$seg/part.wat.gz").toAbsolutePath.toString
+    }
+    java.nio.file.Files.createDirectories(build.resolve("manifest"))
+    java.nio.file.Files.writeString(build.resolve("manifest/wat.paths"),
+      paths.mkString("# graft scaled fixture manifest\n", "\n", "\n"))
+    java.nio.file.Files.createDirectories(build.resolve("fragments"))
+    paths.grouped(math.max(1, math.ceil(segments.toDouble / fragments).toInt))
+      .zipWithIndex.foreach { case (slice, i) =>
+        java.nio.file.Files.writeString(
+          build.resolve(f"fragments/frag$i%02d.paths"),
+          slice.mkString("", "\n", "\n"))
+      }
+    java.nio.file.Files.createFile(build.resolve("_OK"))
+    val moved =
+      try {
+        java.nio.file.Files.move(build, base,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (moved) base.toAbsolutePath.toString
+    else if (java.nio.file.Files.exists(ok)) base.toAbsolutePath.toString
+    else throw new IllegalStateException(
+      s"scaled fixture build race left no usable dir at $base")
   }
 
   /** Materialize (once) and return the fixture root: `segments/…`
