@@ -1232,12 +1232,13 @@ object SimilarityOps {
 
     /** Query-side lookup table: dot(query-subvector, sub-centroid) for
       * every (subspace, code) — a flat `m*k` double array computed once
-      * per QUERY row (|Q| rows — the HOF-lambda interpretation cost is
-      * irrelevant here; the corpus-side encode and per-candidate ADC
-      * are the hot paths and live in the codegen'd
-      * [[graft.plans.PqEncode]]/[[graft.plans.PqAdc]] expressions).
-      * ADC then scores any candidate with [[m]] array lookups + adds
-      * instead of `dim` multiplies.
+      * per (query, probe) row. PRODUCTION uses the codegen'd
+      * [[graft.plans.PqLut]] (since r12 — this HOF spelling cost ~15 s
+      * of interpreted lambda steps per broadcast build at the scaled
+      * probe fan-out, because CollapseProject inlined the
+      * normalization into all m×k inner aggregates); this spelling
+      * remains as the independently-readable REFERENCE the
+      * PqLut-vs-HOF bit-identity spec pins against.
       */
     def lutExpr(qnemb: String): String =
       s"flatten(transform(sequence(0, ${m - 1}), mi -> " +
@@ -1291,7 +1292,7 @@ object SimilarityOps {
     * of q73; the plan is unchanged). The verify companion dumps this
     * frame's id pairs for its oracle.
     */
-  private def pqShortlist(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def pqShortlist(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
     val sample = embSample(e)
@@ -1307,9 +1308,16 @@ object SimilarityOps {
     // query side: probe cells + LUT, both row-local before broadcast
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = pq.withBooks(probeCells(ivf, qs))
-      .withColumn("q_nemb", expr(pq.normalized("q_emb")))
-      .withColumn("lut", expr(pq.lutExpr("q_nemb")))
+    // LUT via the codegen'd PqLut expression (plans/PqCodes) — the
+    // HOF spelling recomputed the normalization inside every one of
+    // the m×k inner aggregates once CollapseProject inlined q_nemb,
+    // and the corpus-scaled probe fan-out (144 cells) turned that
+    // into ~15 s of interpreted lambda steps per BROADCAST build.
+    // PqCodes.lut clones the HOF double-arithmetic order exactly, so
+    // the shortlist (and every green oracle reading its dump) is
+    // bit-identical.
+    val probes = probeCells(ivf, qs)
+      .withColumn("lut", graft.plans.PqLut.of(col("q_emb"), pq.books))
       .select(col("q_id"), col("q_emb"), col("cell"), col("lut"))
     val adc = enc.join(broadcast(probes), "cell")
       .filter(col("n_id") =!= col("q_id"))

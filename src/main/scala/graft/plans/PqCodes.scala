@@ -61,6 +61,44 @@ object PqCodes {
     new GenericArrayData(codes)
   }
 
+  /** Query-side ADC lookup table: lut[mi*k + c] = ⟨x/|x| sub-vector
+    * mi, books[mi][c]⟩, flat m×k doubles. Replaces the HOF-lambda
+    * spelling that recomputed the full normalization INSIDE each of
+    * the m×k inner aggregates after CollapseProject inlined it (the
+    * r12 finding: ~15 s of interpreted lambda steps per BROADCAST
+    * BUILD once the corpus-scaled index probes 144 cells — paid on
+    * every query execution because broadcasts aren't shared across
+    * plans). Arithmetic ORDER clones the HOF spelling exactly
+    * (element-wise divide by max(norm, 1e-30), then a left-fold dot),
+    * so the ADC scores — and therefore the dumped shortlist the
+    * oracle re-ranks — are bit-identical.
+    */
+  def lut(emb: ArrayData, books: Array[Double], m: Int, k: Int, sub: Int): ArrayData = {
+    val n = emb.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = emb.getFloat(i).toDouble; ss += v * v; i += 1 }
+    val denom = math.max(math.sqrt(ss), 1e-30)
+    val out = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      var c = 0
+      while (c < k) {
+        val boff = (mi * k + c) * sub
+        var dot = 0.0
+        var j = 0
+        while (j < sub) {
+          dot += (emb.getFloat(mi * sub + j).toDouble / denom) * books(boff + j)
+          j += 1
+        }
+        out(mi * k + c) = dot
+        c += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric-distance score: Σ_m lut[m*k + codes[m]]. */
   def adc(lut: ArrayData, codes: ArrayData, k: Int): Double = {
     val m = codes.numElements()
@@ -126,4 +164,37 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
 object PqAdc {
   def of(lut: Column, codes: Column, k: Int): Column =
     CB.column(PqAdc(CB.expression(lut), CB.expression(codes), k))
+}
+
+/** `pq_lut(q_emb)` → array<double> of m×k query-side ADC lookups —
+  * see [[PqCodes.lut]] for the bit-identity contract with the HOF
+  * spelling it replaced.
+  */
+case class PqLut(child: Expression, books: Array[Double],
+    m: Int, k: Int, sub: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqCodes.lut(input.asInstanceOf[ArrayData], books, m, k, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.PqCodes.lut($c, $booksRef, $m, $k, $sub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  /** `books` indexed [m][k][sub]; flattened row-major into the plan. */
+  def of(c: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
+    CB.column(PqLut(CB.expression(c), books.flatten.flatten.toArray, m, k, sub))
+  }
 }

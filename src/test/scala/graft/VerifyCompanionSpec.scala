@@ -101,6 +101,28 @@ class VerifyCompanionSpec extends SparkSpec {
     assert(SimilarityOps.ivfProbesFor(256) == 144)
   }
 
+  test("PqLut is bit-identical to the HOF lut spelling") {
+    // the r12 codegen swap's safety proof: the shortlist dumps the
+    // oracles re-rank are selected on ADC = f(lut), so lut must not
+    // move by even one ulp
+    val e = Tables.embeddings(spark, sfDir)
+    val pq = SimilarityOps.fitPq(SimilarityOps.embSample(e))
+    val qs = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val hof = pq.withBooks(qs)
+      .withColumn("q_nemb", expr(pq.normalized("q_emb")))
+      .withColumn("lut", expr(pq.lutExpr("q_nemb")))
+      .select(col("q_id"), col("lut")).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getSeq[Double](1)).toMap
+    val gen = qs.withColumn("lut", graft.plans.PqLut.of(col("q_emb"), pq.books))
+      .select(col("q_id"), col("lut")).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getSeq[Double](1)).toMap
+    assert(gen.keySet == hof.keySet && gen.nonEmpty)
+    gen.foreach { case (q, l) =>
+      assert(l == hof(q), s"lut diverged for query $q")
+    }
+  }
+
   test("q48_verify rollup equals the direct q48 aggregate") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Int]("ratio_decile"),
