@@ -344,18 +344,22 @@ final class LinkApiServer(
   private def queryWithRetry(domain: String, req: LinkDbRequest): Seq[LinkOut] =
     withStoreRetry(resolve(domain).query(req))
 
-  /** The retry policy every serving route shares. 8 attempts: under a
+  /** The retry policy every serving route shares. 12 attempts: under a
     * fold, serving jobs can queue behind the fold's own jobs long
     * enough to outlive the store's two-generation retention — each
     * retry rebinds to the then-current generation, so attempts only
-    * need to outnumber plausible consecutive misses. A bind-time
-    * missing ROOT (PATH_NOT_FOUND) gets only one retry: a store that
-    * was never created can't appear by waiting, and 8 sleep-retry
-    * loops per request against a misconfigured path would let a
-    * modest request rate pin the whole worker pool.
+    * need to outnumber plausible consecutive misses (raised from 8
+    * after a contended full-suite run caught a request straddling six
+    * back-to-back swaps with every per-attempt Spark job slowed enough
+    * to land on the next swap; the budget must outlast a swap STORM
+    * under load, not just one swap). A bind-time missing ROOT
+    * (PATH_NOT_FOUND) gets only one retry: a store that was never
+    * created can't appear by waiting, and a dozen sleep-retry loops
+    * per request against a misconfigured path would let a modest
+    * request rate pin the whole worker pool.
     */
   private def withStoreRetry[T](f: => T): T = {
-    val maxAttempts = 8
+    val maxAttempts = 12
     val missingRootAttempts = 2
     var attempt = 1
     while (true) {

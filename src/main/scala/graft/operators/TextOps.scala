@@ -1333,12 +1333,16 @@ object TextOps {
   val q66_substring_dup: GraftQuery = GraftQuery(
     "q66_substring_dup",
     (s, dir) => {
+      // window hashes via the codegen'd WordWindowHashes expression
+      // (r12): the interpreted per-window md5(concat_ws(slice)) HOF
+      // was ~100 md5+string builds per doc, and the hex-string keys
+      // made the groupBy shuffle 4× wider than the 8-byte longs. The
+      // oracle groups on its OWN md5 windows and compares only the
+      // final pair counts, so the hash swap is output-invariant (the
+      // q29 collision-odds precedent, documented on the expression).
       val wh = Tables.docsWithNearDups(s, dir, spread = false)
-        .select(col("doc_id"), expr(WordTokens).as("t"))
-        .filter(size(col("t")) >= SubstringW)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(t) - ${SubstringW - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(t, i, $SubstringW))))")).as("h"))
+        .select(col("doc_id"),
+          explode(graft.plans.WordWindowHashes.of(col("text"), SubstringW)).as("h"))
       wh.groupBy(col("h"))
         .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), SimilarityOps.MaxBucket).as("ids"))
         .filter(col("ids").isNotNull && size(col("ids")) >= 2)

@@ -217,6 +217,53 @@ object Signatures {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Sorted distinct 64-bit hashes of the w-token word windows of
+    * `text` — the q66 window stream as ONE row-local pass (see
+    * [[WordWindowHashes]]). Tokenization is byte-exact with
+    * `regexp_extract_all(lower(text), '[a-z]+')`: lowercase via
+    * UTF8String (the same call Spark's `lower` makes), then runs of
+    * the single-byte a-z range — multi-byte UTF-8 sequences are all
+    * ≥ 0x80, so they delimit runs exactly like the regex does. Each
+    * token is hashed once (XXH64 over its bytes); a window hash chains
+    * its w token hashes through an odd-multiplier accumulator.
+    */
+  def wordWindowHashes(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    // token hashes, one pass
+    var tokenCount = 0
+    val th = new Array[Long](n / 2 + 1)
+    var i = 0
+    while (i < n) {
+      if (bytes(i) >= 'a' && bytes(i) <= 'z') {
+        val start = i
+        while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+        th(tokenCount) = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        tokenCount += 1
+      } else i += 1
+    }
+    if (tokenCount < w) return new GenericArrayData(Array.emptyLongArray)
+    val count = tokenCount - w + 1
+    val hs = new Array[Long](count)
+    var g = 0
+    while (g < count) {
+      var c = 1L
+      var j = 0
+      while (j < w) { c = c * 0x9E3779B97F4A7C15L + th(g + j); j += 1 }
+      hs(g) = c
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var wr = 1
+    var r = 1
+    while (r < count) {
+      if (hs(r) != hs(wr - 1)) { hs(wr) = hs(r); wr += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, wr))
+  }
+
   /** Per-bucket content hashes of a sorted distinct hash set — see
     * [[PigeonholeBucketHashes]] for the losslessness argument. One pass
     * over the array: element x goes to bucket splitmix(x) mod k, each
@@ -383,6 +430,36 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object SortedIntersectCount {
   def of(a: Column, b: Column): Column =
     CB.column(SortedIntersectCount(CB.expression(a), CB.expression(b)))
+}
+
+/** `word_window_hashes(text, w)` → sorted distinct array<bigint> of
+  * w-token word-window hashes — q66's window stream as one codegen'd
+  * pass. Replaces the interpreted per-window `md5(concat_ws(slice))`
+  * HOF (one md5 + string build per window, ~100 per doc) AND shrinks
+  * the groupBy key from a 32-char hex string to 8 bytes. The q66
+  * oracle is unaffected: both engines group on their OWN hashes and
+  * compare only the final (a_id, b_id, n_windows) rows — a 64-bit
+  * window collision perturbing a count has the q29 hash-collision
+  * odds (~1e-15 per pair).
+  */
+case class WordWindowHashes(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.wordWindowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.wordWindowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowHashes =
+    copy(child = newChild)
+}
+
+object WordWindowHashes {
+  def of(c: Column, w: Int): Column =
+    CB.column(WordWindowHashes(CB.expression(c), w))
 }
 
 /** `pigeonhole_bucket_hashes(shingles, k)` → array<bigint>(k): the
