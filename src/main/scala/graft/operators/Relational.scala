@@ -60,14 +60,34 @@ object Relational {
       val c = Tables.table(s, dir, "customer")
       val n = Tables.table(s, dir, "nation")
       val r = Tables.table(s, dir, "region")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      // cascade the aggregate BELOW every join (r12 — the q03 posture
+      // applied to the whole dim chain): each join's probe side is the
+      // previous level's GROUP frame, not the fact table, so the two
+      // big exchanges shrink from |lineitem| rows to |orders| and then
+      // |customer| partial rows before they happen. Exact by
+      // associativity: DECIMAL partial sums and count partials re-sum
+      // to the identical bits the single flat aggregate produces (the
+      // final ROUND sees the same decimal), inner-join chains drop the
+      // same rows at every level.
+      val perOrder = li.groupBy(col("l_orderkey")).agg(
+        sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(25,10))"))
+          .as("rev_d"),
+        count(lit(1)).as("n_i"))
+      val perCust = perOrder
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_d")).as("rev_d"), sum(col("n_i")).as("n_i"))
+      val perNation = perCust
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("rev_d")).as("rev_d"), sum(col("n_i")).as("n_i"))
+      perNation
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          expr(xsum("l_extendedprice * (1 - l_discount)")).as("revenue"),
-          count(lit(1)).as("n_items"))
+          round(sum(col("rev_d")).cast("double"), 6).as("revenue"),
+          sum(col("n_i")).as("n_items"))
     },
     Some(s"""SELECT r_name, n_name,
             |  ${xsum("l_extendedprice * (1 - l_discount)")} AS revenue,
