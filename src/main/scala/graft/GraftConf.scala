@@ -110,5 +110,14 @@ object GraftConf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ObjectHashAggregateExec (every TypedImperativeAggregate:
+      // CompactWinner, BoundedCollectSet, MinHashAgg, BucketHistogram)
+      // abandons its hash map for sort-based aggregation after this many
+      // in-memory keys; the 128-key default means any real grouping
+      // degenerates to a SortAggregate with extra steps. 256k keys ×
+      // ~0.5 KB of winner/capped-set state ≈ 128 MB per task — inside a
+      // per-core share of a 4 GiB executor, and past it the fallback
+      // sort is the designed spill path, not a cliff.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config(Tables.NanosAsLong, "true")
 }

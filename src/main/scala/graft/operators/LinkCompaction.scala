@@ -30,22 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object LinkCompaction {
 
-  /** Sort key picking the "shortest page variant" deterministically:
-    * (len(path), len(query), path, query) as one sortable string.
-    */
-  private[operators] val variantKey =
-    "concat(lpad(cast(length(page_path) as string), 4, '0'), " +
-      "lpad(cast(length(page_rawquery) as string), 4, '0'), page_path, '|', page_rawquery)"
-
-  /** "Latest record" key: full-line sort order, ip included so the
-    * winner is deterministic under any row order.
-    */
-  private[operators] val lineKey =
-    "concat_ws('|', page_path, page_rawquery, link_text, date_from, ip)"
-
   /** Input: raw link rows (WatSource.links or Tables.links schema).
     * Output: one row per (domain, subdomain, path, query, page_host),
     * full compacted-store schema.
+    *
+    * The four winner columns ride ONE [[graft.plans.CompactWinner]]
+    * aggregate — a TypedImperativeAggregate, so the whole aggregate
+    * lowers to ObjectHashAggregateExec (hash-based partial + final,
+    * single exchange, no Sort) instead of the SortAggregate that the
+    * declarative `min_by`/`max_by` string buffers force; both ordering
+    * keys are built once per input row instead of per comparison.
     */
   def compact(links: DataFrame): DataFrame =
     links
@@ -58,9 +52,18 @@ object LinkCompaction {
         min(col("noindex")).as("noindex"),
         min(col("date_from")).as("date_from"),
         max(col("date_to")).as("date_to"),
-        expr(s"max_by(ip, $lineKey)").as("ip"),
-        expr(s"min_by(page_path, $variantKey)").as("page_path"),
-        expr(s"min_by(page_rawquery, $variantKey)").as("page_rawquery"),
-        expr(s"min_by(page_scheme, $variantKey)").as("page_scheme"),
+        graft.plans.CompactWinner.of(
+          col("page_path"), col("page_rawquery"), col("page_scheme"),
+          col("link_text"), col("date_from"), col("ip")).as("_w"),
         sum(col("qty")).cast("bigint").as("qty"))
+      .select(
+        col("link_domain"), col("link_subdomain"), col("link_path"),
+        col("link_rawquery"), col("page_host"),
+        col("link_scheme"), col("link_text"), col("nofollow"), col("noindex"),
+        col("date_from"), col("date_to"),
+        col("_w.ip").as("ip"),
+        col("_w.page_path").as("page_path"),
+        col("_w.page_rawquery").as("page_rawquery"),
+        col("_w.page_scheme").as("page_scheme"),
+        col("qty"))
 }
