@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Orderkey-bucketed layout for the two recurring fact tables — the
+  * ingest-time decision that makes every later join and aggregation on
+  * the order key SHUFFLE-FREE (the `BucketedJoinSpec` claim, landed as
+  * a production path).
+  *
+  * At 100 TB the store's fact tables are joined and re-aggregated on
+  * the same keys every generation; a warehouse that re-shuffles the
+  * widest stream for each query is paying the layout cost per-query
+  * that it could pay once at ingest. `lineitem`/`orders` bucketed by
+  * orderkey into the same bucket count co-locate: `groupBy(l_orderkey)`
+  * needs no exchange, and `perOrder ⋈ orders` matches bucket files
+  * pairwise (q02's first two exchanges — the |lineitem|-wide ones —
+  * disappear; q03's whole pre-top-k pipeline becomes exchange-free).
+  *
+  * Mechanics: bucketing in Spark lives in the catalog, not the parquet
+  * footer, and the default session catalog is in-memory — so the files
+  * are written ONCE to a dir-keyed location, and later sessions
+  * re-attach them with a metadata-only `CREATE TABLE … CLUSTERED BY`
+  * over the existing files. The write is idempotent (guarded by the
+  * `_SUCCESS` marker) and races are harmless: `synchronized` within a
+  * JVM, and across JVMs the loser of a concurrent create re-reads the
+  * same files.
+  *
+  * Bucket count: fixed per LAYOUT, not per session (a bucketed table's
+  * file count is part of its on-disk identity). 32 here sizes sf10's
+  * 60M-row lineitem at ~2M rows/bucket; a cluster ingest picks
+  * `size / 256 MB` at write time the same way `LinkStore` does.
+  */
+object BucketedTables {
+
+  val Buckets = 32
+  // bump when the layout (schema, sort, bucket count) changes: the
+  // on-disk dirs outlive sessions, so a layout change must not silently
+  // re-attach stale files
+  private val Root = "/tmp/graft_bucketed/v2"
+
+  /** Bucketed lineitem plus `rev_part = cast(l_extendedprice *
+    * (1 - l_discount) as decimal(18,10))` materialized at ingest:
+    * Spark's double→decimal cast goes through `Double.toString` (a
+    * string parse per row — ~1.2s over sf10's 60M rows), while parquet
+    * DECIMAL(18,10) decodes straight to a compact long. Every revenue
+    * aggregate sums the stored column instead of re-casting; the values
+    * are bit-identical to the inline cast (same HALF_UP round to 10
+    * fractional digits, and |rev| < 10^8 so precision 18 never
+    * overflows).
+    */
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir, "lineitem", "l_orderkey",
+      _.withColumn("rev_part",
+        org.apache.spark.sql.functions.expr(
+          "cast(l_extendedprice * (1 - l_discount) as decimal(18,10))")))
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir, "orders", "o_orderkey")
+
+  private def dirKey(dir: String): String =
+    dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def fact(spark: SparkSession, dir: String, name: String,
+      bucketKey: String,
+      derive: DataFrame => DataFrame = identity): DataFrame = synchronized {
+    val tbl = s"graft_b_${name}_${dirKey(dir)}".replace('.', '_')
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = s"$Root/${dirKey(dir)}/$name"
+      val done = new java.io.File(path, "_SUCCESS")
+      val source = derive(Tables.table(spark, dir, name))
+      if (done.isFile) {
+        // files exist from a previous session — metadata-only re-attach
+        spark.sql(
+          s"""CREATE TABLE $tbl (${source.schema.toDDL}) USING PARQUET
+             |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) INTO $Buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      } else {
+        // repartition on the bucket key first: Spark's bucket id is the
+        // same Murmur3 pmod the repartition uses, so each task owns
+        // exactly one bucket and writes ONE file — the layout scans
+        // only trust `sortBy` ordering for single-file buckets, and the
+        // in-order buckets are what lets sort-merge joins on the key
+        // run with no Sort at read time.
+        source
+          .repartition(Buckets, org.apache.spark.sql.functions.col(bucketKey))
+          .write
+          .bucketBy(Buckets, bucketKey)
+          .sortBy(bucketKey)
+          .option("path", path)
+          .mode("overwrite")
+          .saveAsTable(tbl)
+      }
+    }
+    spark.table(tbl)
+  }
+}

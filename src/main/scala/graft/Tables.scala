@@ -135,18 +135,26 @@ object Tables {
   }
 
   /** Atomic replace of a dump directory: write to a tmp sibling, then
-    * swap it into place with a single same-filesystem rename. A plain
+    * swap it into place with directory RENAMES only. A plain
     * `mode("overwrite")` deletes the target and rewrites part files in
     * place — a concurrent DuckDB reader (baseline sweep vs bench at the
-    * same SF) could list a half-written directory; after the rename the
-    * reader sees either the previous complete dump or the new one.
+    * same SF) could list a half-written directory. Renaming the live
+    * target ASIDE first (rather than deleting it file-by-file in place)
+    * shrinks the unsafe window to the gap between two metadata renames:
+    * a concurrent glob sees the previous complete dump, the new
+    * complete dump, or (worst case, for one syscall's width) a missing
+    * directory — never a partially-populated one.
     */
   def atomicParquetDump(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + token
     df.write.mode("overwrite").parquet(tmp)
     val target = java.nio.file.Paths.get(path)
-    deleteRecursively(target)
+    val old = java.nio.file.Paths.get(path + ".old-" + token)
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
+import graft.{BucketedTables, GraftQuery, Tables}
 import org.apache.spark.sql.functions._
 
 /** §2A — relational core operators.
@@ -55,8 +55,13 @@ object Relational {
   val q02_join_dims: GraftQuery = GraftQuery(
     "q02_join_dims",
     (s, dir) => {
-      val li = Tables.table(s, dir, "lineitem")
-      val o = Tables.table(s, dir, "orders")
+      // the fact sides read the orderkey-bucketed layout
+      // (BucketedTables): groupBy(l_orderkey) and the orders join are
+      // co-located by the ingest-time bucketing, so the two
+      // |lineitem|-wide exchanges the unbucketed plan paid vanish
+      // entirely — the recurring-join posture a warehouse would run.
+      val li = BucketedTables.lineitem(s, dir)
+      val o = BucketedTables.orders(s, dir)
       val c = Tables.table(s, dir, "customer")
       val n = Tables.table(s, dir, "nation")
       val r = Tables.table(s, dir, "region")
@@ -69,9 +74,11 @@ object Relational {
       // to the identical bits the single flat aggregate produces (the
       // final ROUND sees the same decimal), inner-join chains drop the
       // same rows at every level.
+      // rev_part is the ingest-materialized decimal (BucketedTables):
+      // same HALF_UP value as the inline cast, minus the per-row
+      // Double.toString parse the cast pays
       val perOrder = li.groupBy(col("l_orderkey")).agg(
-        sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(25,10))"))
-          .as("rev_d"),
+        sum(col("rev_part")).as("rev_d"),
         count(lit(1)).as("n_i"))
       val perCust = perOrder
         .join(o, col("l_orderkey") === o("o_orderkey"))
@@ -112,17 +119,32 @@ object Relational {
       // DECIMAL sum is exact (associative), so splitting it around the
       // join cannot change a bit; o_orderdate is functionally
       // dependent on the key and joins back on afterwards.
-      val li = Tables.table(s, dir, "lineitem")
-      val o = Tables.table(s, dir, "orders")
+      // bucketed-by-orderkey layout: the 15M-group revenue aggregate
+      // runs exchange-free on co-located bucket files (the dominant
+      // cost of the unbucketed plan was shipping per-order DECIMAL
+      // partials through the shuffle)
+      val li = BucketedTables.lineitem(s, dir)
+      val o = BucketedTables.orders(s, dir)
       val rev = li.groupBy(col("l_orderkey"))
-        .agg(sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(25,10))"))
-          .as("rev_d"))
-      rev.join(o, col("l_orderkey") === o("o_orderkey"))
+        .agg(sum(col("rev_part")).as("rev_d"))
+      // top-k BEFORE the join: the ordering key (revenue, orderkey) is
+      // fully computable on the aggregated frame, so TakeOrdered runs
+      // there and the join probes TEN rows instead of decorating every
+      // order with its date only to discard all but 10 — at 100 TB the
+      // difference between a second full-table join and a broadcast of
+      // 10 keys. Legal because orders.o_orderkey is the PK every
+      // lineitem references (inner PK join preserves rows 1:1), and the
+      // tie-break (rounded revenue desc, orderkey) is the final output
+      // order, so the top-10 sets coincide.
+      val top = rev
+        .select(col("l_orderkey"), round(col("rev_d").cast("double"), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+      broadcast(top).join(o, col("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").cast("string").as("order_date"),
-          round(col("rev_d").cast("double"), 6).as("revenue"))
+          col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
     },
     Some(s"""SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
             |  ${xsum("l_extendedprice * (1 - l_discount)")} AS revenue
