@@ -331,8 +331,9 @@ object CurationOps {
     *     own kept lines — bounded by the doc itself, which arrived as
     *     a single row.
     *
-    * Determinism: md5 line keys, struct-min tie-free ((doc_id, pos) is
-    * unique), rebuilt text pinned by md5 — hash-exact oracle (the
+    * Determinism: xxhash64 line keys, struct-min tie-free ((doc_id,
+    * pos) is unique), rebuilt text pinned by md5 — hash-exact oracle
+    * (the
     * oracle's row_number spelling is semantically identical because
     * (doc_id, pos) is unique per line occurrence). Docs with zero kept
     * lines (a full duplicate of an earlier doc) emit NULL kept_md5 on
@@ -374,11 +375,31 @@ object CurationOps {
           col("pos") < lit(1 << LinePosBits),
         concat(lit("line-dedup packing contract violated at doc "),
           col("doc_id"), lit(" pos "), col("pos"))).isNull)
-      .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"),
+      // 8-byte xxhash64 line keys, not 32-char md5 hex: the winner
+      // groupBy and the join back both ship (key, enc) — the swap
+      // narrows the two widest exchanges ~4× and replaces a crypto
+      // hash with a codegen'd one per line. Output-invariant absent
+      // collisions (the q66/q29 collision-odds precedent: equal lines
+      // collide by construction, distinct lines at ~n²/2⁶⁵ — and the
+      // oracle still groups by line CONTENT, so the sf0.01 gate would
+      // catch a collision if one ever fired there).
+      .select(col("doc_id"), col("pos"), col("line"), xxhash64(col("line")).as("lh"),
         enc.as("enc"))
-    val winners = lines.groupBy(col("lh")).agg(min(col("enc")).as("w"))
-    lines.join(winners, "lh")
-      .withColumn("kept", (col("w") === col("enc")).cast("int"))
+    // Only DUPLICATED lines need a winner decision — a singleton lh is
+    // kept by definition. Filtering the winner frame to cnt > 1 before
+    // the join back shrinks it from every-distinct-line to
+    // duplicated-lines-only, which AQE then broadcasts when dup
+    // density allows (locally: always), removing the wide
+    // line-text shuffle the unfiltered inner join forced; at
+    // pathological dup density it degrades gracefully to the old
+    // shuffle join. LEFT join + null-means-kept keeps semantics
+    // bit-identical.
+    val winners = lines.groupBy(col("lh"))
+      .agg(min(col("enc")).as("w"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("lh"), col("w"))
+    lines.join(winners, Seq("lh"), "left")
+      .withColumn("kept", (col("w").isNull || col("w") === col("enc")).cast("int"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("int").as("n_lines"),

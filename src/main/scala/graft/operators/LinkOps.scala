@@ -426,9 +426,11 @@ object LinkOps {
         .withColumn("cq", expr(
           "array_join(array_sort(filter(split(q, '&'), p -> NOT (" +
             "startswith(p, 'utm_') OR startswith(p, 'fbclid=') OR startswith(p, 'gclid=')))), '&')"))
+        // rtrim('/') ≡ regexp_replace('/+$', '') and is a codegen'd
+        // byte scan instead of a regex engine pass per URL
         .withColumn("canonical_url", concat(
           col("scheme"), lit("://"), lower(col("host")),
-          regexp_replace(col("path"), "/+$", ""),
+          rtrim(col("path"), "/"),
           when(col("cq") === "", lit("")).otherwise(concat(lit("?"), col("cq")))))
         .groupBy(col("canonical_url"))
         .agg(
