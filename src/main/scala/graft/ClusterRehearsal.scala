@@ -175,6 +175,7 @@ object ClusterRehearsal {
       // latency recorded — the p50/p99 evidence SERVING.json carries
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+      val dropped = new java.util.concurrent.atomic.AtomicInteger(0)
       val endpoints = Seq("/api/links" -> LinksBody, "/api/ranks" -> RanksBody)
       val hammers = (0 until 4).map { h =>
         val (path, body) = endpoints(h % endpoints.size)
@@ -186,13 +187,18 @@ object ClusterRehearsal {
             // SWAP failure mode (connection refused/reset = IOException)
             // records the -1 sentinel that fails the all-200 assertion.
             // A client-internal hiccup unrelated to the store swap is
-            // dropped as noise, not recorded as a swap failure.
+            // COUNTED (asserted ~zero below — a persistent non-IO
+            // failure must not become an invisible busy-loop
+            // contributing no samples) and backed off briefly.
             try results.add((path, post(port, path, body)._1, System.nanoTime() - t0))
             catch {
               case _: InterruptedException => stop.set(true)
               case _: java.io.IOException =>
                 results.add((path, -1, System.nanoTime() - t0))
-              case _: Exception => ()
+              case e: Exception =>
+                dropped.incrementAndGet()
+                System.err.println(s"[cluster-rehearsal] hammer dropped: $e")
+                Thread.sleep(100)
             }
           }
         })
@@ -205,6 +211,7 @@ object ClusterRehearsal {
       val bad = seen.filterNot(_._2 == 200)
       require(seen.size >= 20, s"want >=20 in-flight requests across the swap, got ${seen.size}")
       require(bad.isEmpty, s"${bad.size} of ${seen.size} requests failed across the swap: ${bad.take(5)}")
+      require(dropped.get() == 0, s"${dropped.get()} hammer requests dropped on non-IO exceptions")
       // the swapped-in generation was published from the same links
       // frame — the served window must come back identical
       val afterSwap = post(port, "/api/links", LinksBody)
@@ -372,6 +379,7 @@ object ClusterRehearsal {
         require(get(port, "/api/health")._1 == 200, "health failed")
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+        val dropped = new java.util.concurrent.atomic.AtomicInteger(0)
         val endpoints = Seq("/api/links" -> LinksBody, "/api/ranks" -> RanksBody)
         val hammers = (0 until 4).map { h =>
           val (path, body) = endpoints(h % endpoints.size)
@@ -383,7 +391,10 @@ object ClusterRehearsal {
                 case _: InterruptedException => stop.set(true)
                 case _: java.io.IOException =>
                   results.add((path, -1, System.nanoTime() - t))
-                case _: Exception => ()
+                case e: Exception =>
+                  dropped.incrementAndGet()
+                  System.err.println(s"[cluster-rehearsal] hammer dropped: $e")
+                  Thread.sleep(100)
               }
             }
           })
@@ -396,6 +407,7 @@ object ClusterRehearsal {
         val bad = seen.filterNot(_._2 == 200)
         require(seen.size >= 40, s"want >=40 requests, got ${seen.size}")
         require(bad.isEmpty, s"${bad.size} of ${seen.size} failed: ${bad.take(5)}")
+        require(dropped.get() == 0, s"${dropped.get()} hammer requests dropped on non-IO exceptions")
         val stats = seen.groupBy(_._1).map { case (path, rows) =>
           val ms = rows.map(_._3 / 1e6).sorted.toIndexedSeq
           path.stripPrefix("/api/") -> EndpointStats(ms.size,
@@ -406,16 +418,26 @@ object ClusterRehearsal {
           s""""$e":{"n":${st.n},"p50_ms":${st.p50Ms},"p99_ms":${st.p99Ms}}"""
         }.mkString(",")
         val entry = s""""$sfDir:$master":{$eps,"publish_s":$publishS,"rank_iters":$iters}"""
-        // merge into SERVING.json (both writers are ours: the file is
-        // one flat JSON object, so inserting before the closing brace
-        // is structurally safe)
+        // merge into SERVING.json via a real parse/re-serialize so a
+        // re-run for the same <sfDir>:<master> REPLACES its stale
+        // entry instead of appending a duplicate key (consumers keep
+        // whichever duplicate their parser prefers; the file must not
+        // accrete dead entries across runs)
         val p = java.nio.file.Paths.get("SERVING.json")
-        val merged =
-          if (java.nio.file.Files.exists(p)) {
-            val cur = java.nio.file.Files.readString(p).trim.stripSuffix("\n")
-            require(cur.startsWith("{") && cur.endsWith("}"), s"unexpected SERVING.json shape")
-            cur.dropRight(1) + "," + entry + "}"
-          } else "{" + entry + "}"
+        val merged = {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val cur: JObject =
+            if (java.nio.file.Files.exists(p))
+              JsonMethods.parse(java.nio.file.Files.readString(p)) match {
+                case o: JObject => o
+                case other => sys.error(s"unexpected SERVING.json shape: $other")
+              }
+            else JObject()
+          val add = JsonMethods.parse("{" + entry + "}").asInstanceOf[JObject]
+          val kept = cur.obj.filterNot { case (k, _) => k == s"$sfDir:$master" }
+          JsonMethods.compact(JObject(kept ++ add.obj))
+        }
         java.nio.file.Files.writeString(p, merged + "\n")
         println(s"[cluster-rehearsal] scale serve $sfDir on $master: ${seen.size} requests " +
           s"all 200 — " + stats.toSeq.sortBy(_._1).map { case (e, st) =>

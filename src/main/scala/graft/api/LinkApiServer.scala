@@ -49,7 +49,12 @@ final class LinkApiServer(
     // the page records of one host (Pipeline.pageDb — a fresh
     // partition-pruned eTLD+1 read of the page store per request, same
     // bind-late posture as /api/links)
-    pageDbOf: Option[String => PageDb] = None) {
+    pageDbOf: Option[String => PageDb] = None,
+    // per-request time budget on store reads — the reference caps
+    // every DB query at 61 s (controller.go:95-104 SetMaxTime +
+    // context.WithTimeout -> "Query timeout"); without it a
+    // pathological store read holds an HTTP worker thread forever
+    queryBudgetMs: Long = 61000) {
 
   // isRateLimited (controller.go:282-307): fixed window anchored at the
   // first request, counter reset when the window expires
@@ -116,6 +121,12 @@ final class LinkApiServer(
       if (ex.getRequestMethod == "OPTIONS") send(ex, 200, "")
       else f(ex)
     } catch {
+      case _: LinkApiServer.QueryTimeout =>
+        // the reference folds its context.DeadlineExceeded into the
+        // generic 500 envelope; surfacing it as 504 "Query timeout"
+        // (controller.go:104's message) keeps the condition observable
+        try send(ex, 504, envelope(fn, "ErrorTimeout", "Query timeout"))
+        catch { case _: Exception => () }
       case _: Exception =>
         try send(ex, 500, envelope(fn, code, msg))
         catch { case _: Exception => () }
@@ -315,7 +326,7 @@ final class LinkApiServer(
                 val req = PageDbRequest(host,
                   pathAny = str(j \ "path"), titleAny = str(j \ "title"),
                   limit = int(j \ "limit", 100), page = int(j \ "page", 1))
-                val out = withStoreRetry(pageDbOf.get(host).query(req))
+                val out = withDeadline(withStoreRetry(pageDbOf.get(host).query(req)))
                 send(ex, 200, JsonMethods.compact(JArray(out.toList.map(renderPage))))
               }
             }
@@ -329,7 +340,7 @@ final class LinkApiServer(
     * generations mid-lookup re-resolves against the new pointer.
     */
   private def rankWithRetry(host: String): Option[Double] =
-    withStoreRetry(rankOf.get(host))
+    withDeadline(withStoreRetry(rankOf.get(host)))
 
   /** A store rewrite (Pipeline.foldSegments/compactStream) that swaps
     * directories mid-request invalidates the part files an in-flight
@@ -342,7 +353,42 @@ final class LinkApiServer(
     * the usual 500.
     */
   private def queryWithRetry(domain: String, req: LinkDbRequest): Seq[LinkOut] =
-    withStoreRetry(resolve(domain).query(req))
+    withDeadline(withStoreRetry(resolve(domain).query(req)))
+
+  /** Runs a store read under the request's time budget on a separate
+    * (daemon) thread; on expiry the worker is interrupted best-effort
+    * and the request fails with [[LinkApiServer.QueryTimeout]] → 504.
+    * The deadline wraps the WHOLE retry loop (budget per request, not
+    * per attempt — the reference's posture: one 61 s clock started at
+    * query submission, controller.go:95-98). The interrupt lands in
+    * `withStoreRetry`'s sleep or the Spark action's await; a read that
+    * ignores it leaks a pool thread only until the underlying scan
+    * finishes, and the HTTP worker is freed immediately either way.
+    */
+  private def withDeadline[T](f: => T): T = {
+    val fut = deadlinePool.submit(new java.util.concurrent.Callable[T] {
+      override def call(): T = f
+    })
+    try fut.get(queryBudgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true)
+        throw new LinkApiServer.QueryTimeout
+      case e: java.util.concurrent.ExecutionException =>
+        // unwrap so isStaleStore/error mapping upstream see the real one
+        throw (e.getCause match { case ex: Exception => ex; case _ => e })
+    }
+  }
+
+  private val deadlinePool = java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"linkapi-deadline-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 
   /** The retry policy every serving route shares. 12 attempts: under a
     * fold, serving jobs can queue behind the fold's own jobs long
@@ -521,4 +567,11 @@ final class LinkApiServer(
       try os.write(bytes) finally os.close()
     }
   }
+}
+
+object LinkApiServer {
+  /** Store read outlived the request's query budget (the reference's
+    * "Query timeout", controller.go:104) — mapped to 504 in `safely`.
+    */
+  final class QueryTimeout extends RuntimeException("Query timeout")
 }

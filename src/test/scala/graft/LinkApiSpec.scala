@@ -393,4 +393,44 @@ class LinkApiSpec extends SparkSpec {
       assert(p99 < 10000, f"p99 across swaps regressed: $p99%.1fms")
     } finally srv.stop()
   }
+
+  test("a store read outliving the query budget returns 504 Query timeout") {
+    // a resolve that hangs simulates the pathological store read the
+    // reference bounds with SetMaxTime(61s) (controller.go:95-104);
+    // budget shrunk so the spec runs in milliseconds
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slow: String => LinkDb = { _ =>
+      entered.countDown()
+      // await interruptibly: the deadline's cancel(true) frees the
+      // pool thread here rather than leaking it for the full hang
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      db
+    }
+    val srv = new LinkApiServer(slow, port = 0, queryBudgetMs = 200).start()
+    try {
+      val t0 = System.nanoTime()
+      val resp = post(srv.boundPort, """{"domain":"d3.com","limit":5}""")
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(resp.statusCode() == 504, resp.body())
+      assert(resp.body().contains("ErrorTimeout") && resp.body().contains("Query timeout"))
+      assert(entered.await(1, java.util.concurrent.TimeUnit.SECONDS))
+      // the worker answered at the budget, not the hang's duration
+      assert(elapsedMs < 10000, s"took ${elapsedMs}ms")
+      // the server stays serviceable: a healthy route still answers
+      val ok = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}/api/health"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200)
+    } finally { release.countDown(); srv.stop() }
+  }
+
+  test("a store read inside the budget is unaffected by the deadline") {
+    val srv = new LinkApiServer(_ => db, port = 0, queryBudgetMs = 61000).start()
+    try {
+      val resp = post(srv.boundPort, """{"domain":"d3.com","limit":5}""")
+      assert(resp.statusCode() == 200)
+    } finally srv.stop()
+  }
 }

@@ -32,9 +32,11 @@ per_query_timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
 # correctness gate always runs at sf0.01. For BASELINE recording at
 # another SF that would hand DuckDB a verify-scale (tiny) input while
 # Spark runs the full bench-scale pipeline — a dishonest denominator
-# (r10 verdict item 3). Rewrite the dir key to the bench SF: the dumps
-# there are (re)generated by any graft.Verify/Bench run at that SF,
-# since the dump path is keyed by the query's input dir.
+# (r10 verdict item 3). Rewrite the dir key to the bench SF: a
+# graft.Verify run at that SF (re)generates ALL dumps there (the dump
+# path is keyed by the query's input dir; Verify-mode-only dumps like
+# q76's are written only under graft.oracle.dumps=1, which Verify
+# sets and Bench deliberately does not).
 VERIFY_DIR = "/root/testdata/sf0.01"
 
 
@@ -54,8 +56,11 @@ def retarget_dumps(sql):
 
 
 def missing_dumps(sql):
-    """Dump dirs this SQL reads that do not exist yet (run graft.Verify
-    or graft.Bench at this SF first to materialize them)."""
+    """Dump dirs this SQL reads that do not exist yet. Run graft.Verify
+    at this SF first: Verify materializes EVERY dump (it sets
+    graft.oracle.dumps=1, which the Verify-mode-only oracle-input dumps
+    like q76's require); a graft.Bench run only refreshes the dumps
+    whose own plans read them back (the q30_verify family)."""
     return [p for p in re.findall(r"/tmp/graft_oracle/[A-Za-z0-9._-]+", sql)
             if not os.path.isdir(p)]
 
@@ -96,8 +101,9 @@ def sweep():
     for name in sorted(oracle):
         gone = missing_dumps(oracle[name])
         if gone:
-            errored.append((name, "missing dump(s) at this SF — run graft.Verify or "
-                            f"graft.Bench against {sf_dir} first: {', '.join(gone)}"))
+            errored.append((name, "missing dump(s) at this SF — run graft.Verify "
+                            f"against {sf_dir} first (Bench does not write "
+                            f"Verify-mode-only dumps like q76's): {', '.join(gone)}"))
             print(f"{name}: MISSING DUMP {gone}")
             continue
         if per_query_timeout:
