@@ -1367,20 +1367,26 @@ object SimilarityOps {
   )
 
   /** The ANN RECALL GATE (driver-graded): recall@10 of both index
-    * paths (q40 IVF, q73 IVF-PQ) against the exact top-10, computed
-    * IN-QUERY as integer columns — the q38 pattern applied to ANN
-    * quality, so recall rides CORRECTNESS instead of only the bench
-    * artifact (r11's watch item: recall converging on the 0.8 floor
-    * from above with nothing driver-gated asserting it).
+    * paths (q40 IVF, q73 IVF-PQ) against the exact top-10, PLUS q34's
+    * hyperplane-LSH planted-pair recall — computed IN-QUERY as integer
+    * columns — the q38 pattern applied to ANN quality, so recall rides
+    * CORRECTNESS instead of only the bench artifact (r11's watch item:
+    * recall converging on the 0.8 floor from above with nothing
+    * driver-gated asserting it).
     *
-    * All three top-10 sets use the QUANTIZED integer scoring + n_id
+    * The top-10 sets use the QUANTIZED integer scoring + n_id
     * tie-break (the verify-companion contract), so overlap counts are
     * deterministic cross-engine. The ANN candidate sets (index fit +
     * probing — not SQL-expressible) dump dir-keyed; DuckDB recomputes
     * the exact top-10 from the raw parquet, the ANN top-10 from THE
-    * SAME dumped candidates, and the identical integer flags. The
-    * gate asserts pooled recall ≥ 0.9 (`recall_ok`), the target the
-    * corpus-scaled [[ivfCellsFor]]/[[ivfProbesFor]] constants are
+    * SAME dumped candidates, and the identical integer flags. The LSH
+    * row measures a different recall — q34 is a near-PAIR detector,
+    * not a query-topk index — so its denominator is the fixture's
+    * planted near-dup pairs ((v, v + EmbDupOffset) for every
+    * DupEvery-th id, the same derivation the Bench probe uses) and its
+    * numerator is q34's dumped output pairs. The gate asserts recall
+    * ≥ 0.9 per method (`recall_ok`), the target the corpus-scaled
+    * [[ivfCellsFor]]/[[ivfProbesFor]]/[[lshPlanesFor]] constants are
     * sized for at every SF.
     */
   val q83_ann_recall: GraftQuery = GraftQuery(
@@ -1389,28 +1395,44 @@ object SimilarityOps {
       val e = Tables.embeddings(s, dir)
       val ivfDump = Tables.oracleDumpPath("q83_ivf_cand", dir)
       val pqDump = Tables.oracleDumpPath("q83_pq_cand", dir)
+      val lshDump = Tables.oracleDumpPath("q83_lsh_pairs", dir)
       Tables.atomicParquetDump(
         ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump)
       Tables.atomicParquetDump(
         pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump)
+      Tables.atomicParquetDump(
+        q34_lsh_cosine.run(s, dir).select(col("a_id"), col("b_id")), lshDump)
       val exactPairs = e.select(col("vec_id").as("n_id"))
         .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
           col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"))
-      // reused by both gate rows — materialize once
+      // reused by both top-k gate rows — materialize once
       val exact = quantizedTopK(e, exactPairs).select(col("q_id"), col("n_id"))
         .localCheckpoint(false)
-      def gateRow(dumpPath: String, method: String): org.apache.spark.sql.DataFrame = {
-        val top = quantizedTopK(e, s.read.parquet(dumpPath))
-          .select(col("q_id"), col("n_id"))
-        val nEx = exact.groupBy().agg(count(lit(1)).as("n_exact"))
-        val nHit = exact.join(top, Seq("q_id", "n_id"), "left_semi")
+      def recallRow(method: String, denom: org.apache.spark.sql.DataFrame,
+          found: org.apache.spark.sql.DataFrame,
+          joinCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val nEx = denom.groupBy().agg(count(lit(1)).as("n_exact"))
+        val nHit = denom.join(found, joinCols, "left_semi")
           .groupBy().agg(count(lit(1)).as("hits"))
         nEx.crossJoin(nHit).select(
           lit(method).as("method"), col("n_exact"), col("hits"),
           (col("hits") * 10 >= col("n_exact") * 9).cast("int").as("recall_ok"))
       }
-      gateRow(ivfDump, "ivf").unionAll(gateRow(pqDump, "pq"))
+      def gateRow(dumpPath: String, method: String): org.apache.spark.sql.DataFrame =
+        recallRow(method, exact,
+          quantizedTopK(e, s.read.parquet(dumpPath)).select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"))
+      // q34's pair-detector recall: the planted (v, v + EmbDupOffset)
+      // near-dups are the ground truth the fixture guarantees; the
+      // orientation matches q34's sorted a < b expansion because every
+      // organic vec_id is below the offset
+      val planted = e.filter(col("vec_id") % Tables.DupEvery === 0)
+        .select(col("vec_id").as("a_id"),
+          (col("vec_id") + Tables.EmbDupOffset).as("b_id"))
+      val lshRow = recallRow("lsh", planted,
+        s.read.parquet(lshDump), Seq("a_id", "b_id"))
+      gateRow(ivfDump, "ivf").unionAll(gateRow(pqDump, "pq")).unionAll(lshRow)
     },
     Some {
       def topSql(candSrc: String): String =
@@ -1430,19 +1452,28 @@ object SimilarityOps {
           |     ON n.vec_id <> qq.vec_id)""".stripMargin
       def dumpCand(name: String): String =
         s"(SELECT q_id, n_id FROM read_parquet('${Tables.oracleDumpPath(name, Tables.VerifyDir)}/*.parquet'))"
+      val lshDumpSql =
+        s"read_parquet('${Tables.oracleDumpPath("q83_lsh_pairs", Tables.VerifyDir)}/*.parquet')"
       s"""WITH exact AS (${topSql(exactCand)}),
          |ivf AS (${topSql(dumpCand("q83_ivf_cand"))}),
          |pq AS (${topSql(dumpCand("q83_pq_cand"))}),
-         |hits AS (
-         |  SELECT 'ivf' AS method, COUNT(*) AS hits
+         |lshp AS (SELECT a_id, b_id FROM $lshDumpSql),
+         |planted AS (
+         |  SELECT vec_id AS a_id, vec_id + ${Tables.EmbDupOffset} AS b_id
+         |  FROM embeddings WHERE vec_id % ${Tables.DupEvery} = 0),
+         |rows_ AS (
+         |  SELECT 'ivf' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits
          |  FROM ivf t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
          |  UNION ALL
-         |  SELECT 'pq' AS method, COUNT(*) AS hits
+         |  SELECT 'pq' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits
          |  FROM pq t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
-         |), ex AS (SELECT COUNT(*) AS n_exact FROM exact)
-         |SELECT h.method, ex.n_exact, h.hits,
-         |  CAST(CASE WHEN h.hits * 10 >= ex.n_exact * 9 THEN 1 ELSE 0 END AS INTEGER) AS recall_ok
-         |FROM hits h CROSS JOIN ex""".stripMargin
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, (SELECT COUNT(*) FROM planted) AS n_exact, COUNT(*) AS hits
+         |  FROM lshp t JOIN planted e ON t.a_id = e.a_id AND t.b_id = e.b_id
+         |)
+         |SELECT method, n_exact, hits,
+         |  CAST(CASE WHEN hits * 10 >= n_exact * 9 THEN 1 ELSE 0 END AS INTEGER) AS recall_ok
+         |FROM rows_""".stripMargin
     }
   )
 
