@@ -51,14 +51,15 @@ object MakeScale {
   }
 
   /** The replicated id range must stay below the planted-fixture
-    * offsets (Tables.ExactDupOffset / EmbDupOffset = 1M; NearDupOffset
-    * = 2M rides on the same bound, since both planted ranges are
-    * `offset + organic_id` and stay disjoint iff organic ids stay
-    * under 1M). sf1 (doc_id max ~510k) and sf10 (stacked strides keep
-    * ids in range) are safe, but one more 10× stacking would silently
-    * collide organic ids with injected-duplicate ids and corrupt the
-    * docsWith*Dups / embWithNearDups fixtures and the Bench recall
-    * probe — fail loudly instead.
+    * offsets (Tables.ExactDupOffset / EmbDupOffset = 100M;
+    * NearDupOffset = 200M rides on the same bound, since both planted
+    * ranges are `offset + organic_id` and stay disjoint iff organic
+    * ids stay under 100M). The r13 offset raise (1M → 100M) bought
+    * two more 10× stackings: sf100 doc_id tops out ~5.1M ≪ 100M.
+    * Whenever a further stacking would cross the bound, fail loudly
+    * instead of silently colliding organic ids with injected-duplicate
+    * ids (which would corrupt the docsWith*Dups / embWithNearDups
+    * fixtures and the Bench recall probe).
     */
   private def requireFixtureHeadroom(df: DataFrame, key: String, copies: Int,
       strideV: Long, limit: Long): Unit = {

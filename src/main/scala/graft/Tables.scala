@@ -170,11 +170,15 @@ object Tables {
     * copy/variant at id + offset.
     */
   val DupEvery = 25
-  val ExactDupOffset = 1000000L // docsWithExactDups copies
-  val NearDupOffset = 2000000L  // docsWithNearDups Z-variants
-  val EmbDupOffset = 1000000L   // embWithNearDups nudged vectors
+  // offsets sized for sf100 stackings: organic ids stay well under
+  // 100M at every generated SF (sf100 doc_id tops out ~5M), so the
+  // planted ranges never collide (MakeScale.requireFixtureHeadroom
+  // enforces it at build time)
+  val ExactDupOffset = 100000000L // docsWithExactDups copies
+  val NearDupOffset = 200000000L  // docsWithNearDups Z-variants
+  val EmbDupOffset = 100000000L   // embWithNearDups nudged vectors
 
-  /** documents plus injected exact duplicates (doc_id + 1000000): the
+  /** documents plus injected exact duplicates (doc_id + ExactDupOffset): the
     * deterministic fixture for exact-dedup operators.
     */
   def docsWithExactDups(spark: SparkSession, dir: String): DataFrame = {
@@ -187,14 +191,14 @@ object Tables {
   }
 
   val docsExactDupsCte: String =
-    """WITH alldocs AS (
+    s"""WITH alldocs AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 25 = 0
+      |  SELECT doc_id + $ExactDupOffset, text, lang, source, n_chars FROM documents WHERE doc_id % $DupEvery = 0
       |)
       |""".stripMargin
 
-  /** documents plus injected NEAR duplicates (doc_id + 2000000): first
+  /** documents plus injected NEAR duplicates (doc_id + NearDupOffset): first
     * character replaced by 'Z', so 3-gram shingle Jaccard stays ~0.97
     * while the text hash changes. Length (and n_chars) is preserved so
     * length-blocked pairing keeps original and copy in one block.
@@ -232,7 +236,7 @@ object Tables {
     table(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** embeddings plus injected NEAR-duplicate vectors (vec_id + 1000000):
+  /** embeddings plus injected NEAR-duplicate vectors (vec_id + EmbDupOffset):
     * every 25th vector copied with its first component nudged by +0.001,
     * so cosine stays ≈ 1.0 — the deterministic fixture for ANN ops.
     */
@@ -249,10 +253,10 @@ object Tables {
   }
 
   val docsNearDupsCte: String =
-    """WITH alldocs AS (
+    s"""WITH alldocs AS (
       |  SELECT doc_id, text, n_chars FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 2000000, 'Z' || substr(text, 2) AS text, n_chars FROM documents WHERE doc_id % 25 = 0
+      |  SELECT doc_id + $NearDupOffset, 'Z' || substr(text, 2) AS text, n_chars FROM documents WHERE doc_id % $DupEvery = 0
       |)
       |""".stripMargin
 

@@ -503,13 +503,13 @@ object SimilarityOps {
     * spelling — float addition then FLOAT cast, IEEE-identical).
     */
   private val embNearDupsCte: String =
-    """WITH allvecs AS (
+    s"""WITH allvecs AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000000,
+      |  SELECT vec_id + ${Tables.EmbDupOffset},
       |    list_prepend(CAST(embedding[1] + CAST(0.001 AS FLOAT) AS FLOAT),
       |                 embedding[2:])
-      |  FROM embeddings WHERE vec_id % 25 = 0
+      |  FROM embeddings WHERE vec_id % ${Tables.DupEvery} = 0
       |)""".stripMargin
 
   /** q34's DRIVER-GATED companion (the q30_verify split applied to
@@ -991,10 +991,10 @@ object SimilarityOps {
     "q60_delta_dedup",
     (s, dir) => {
       val all = Tables.docsWithNearDups(s, dir)
-      // the planted +2000000 variants play the incoming batch
+      // the planted +NearDupOffset variants play the incoming batch
       deltaDedupPairs(
-        all.filter(col("doc_id") < 2000000L),
-        all.filter(col("doc_id") >= 2000000L))
+        all.filter(col("doc_id") < Tables.NearDupOffset),
+        all.filter(col("doc_id") >= Tables.NearDupOffset))
     },
     Some(Tables.docsNearDupsCte +
       """, th AS (
@@ -1014,7 +1014,7 @@ object SimilarityOps {
         |  SELECT c.doc_id AS delta_id, a.doc_id AS base_id,
         |         SUM(CASE WHEN a.sb <> c.sb THEN 1 ELSE 0 END) AS hamming
         |  FROM sigbits a JOIN sigbits c ON a.b = c.b
-        |  WHERE a.doc_id < 2000000 AND c.doc_id >= 2000000
+        |  WHERE a.doc_id < 200000000 AND c.doc_id >= 200000000
         |  GROUP BY 1, 2
         |)
         |SELECT delta_id, base_id, CAST(hamming AS INT) AS hamming
@@ -1122,14 +1122,14 @@ object SimilarityOps {
   val q70_semdedup: GraftQuery = GraftQuery(
     "q70_semdedup",
     (s, dir) => semdedupVerdicts(Tables.embWithNearDups(s, dir), col("label")),
-    Some("""WITH allvecs AS (
+    Some(s"""WITH allvecs AS (
            |  SELECT vec_id, embedding, label FROM embeddings
            |  UNION ALL
-           |  SELECT vec_id + 1000000,
+           |  SELECT vec_id + ${Tables.EmbDupOffset},
            |    list_prepend(CAST(embedding[1] + CAST(0.001 AS FLOAT) AS FLOAT),
            |                 embedding[2:]),
            |    label
-           |  FROM embeddings WHERE vec_id % 25 = 0
+           |  FROM embeddings WHERE vec_id % ${Tables.DupEvery} = 0
            |), v AS (
            |  SELECT vec_id, label AS cluster, embedding,
            |    sqrt(list_sum(list_transform(embedding,

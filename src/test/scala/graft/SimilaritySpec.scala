@@ -8,7 +8,7 @@ class SimilaritySpec extends SparkSpec {
   private def injectedDocPairs: Set[(Long, Long)] =
     Tables.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 25 === 0).select("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 2000000L)).toSet
+      .map(r => (r.getLong(0), r.getLong(0) + Tables.NearDupOffset)).toSet
 
   test("q24 exact dedup finds exactly the injected duplicate groups") {
     val dups = TextOps.q24_dedup_exact.run(spark, sfDir).collect()
@@ -81,7 +81,7 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     val want = Tables.table(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 25 === 0).select("vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+      .map(r => (r.getLong(0), r.getLong(0) + Tables.EmbDupOffset)).toSet
     assert(want.nonEmpty)
     assert(want.subsetOf(found), s"missing ${want -- found}")
   }
@@ -138,7 +138,7 @@ class SimilaritySpec extends SparkSpec {
     // reproduce exactly its cross-partition (base, planted-delta)
     // subset — same pigeonhole, different (delta-scaled) join shape
     val q31pairs = SimilarityOps.q31_simhash.run(spark, sfDir).collect()
-      .filter(r => r.getAs[Long]("a_id") < 2000000L && r.getAs[Long]("b_id") >= 2000000L)
+      .filter(r => r.getAs[Long]("a_id") < Tables.NearDupOffset && r.getAs[Long]("b_id") >= Tables.NearDupOffset)
       .map(r => (r.getAs[Long]("b_id"), r.getAs[Long]("a_id"), r.getAs[Int]("hamming")))
       .toSet
     val q60pairs = SimilarityOps.q60_delta_dedup.run(spark, sfDir).collect()
@@ -148,7 +148,7 @@ class SimilaritySpec extends SparkSpec {
     assert(q60pairs == q31pairs)
     // every pair really is delta-vs-corpus, never corpus-vs-corpus
     q60pairs.foreach { case (d, b, h) =>
-      assert(d >= 2000000L && b < 2000000L && h <= 3)
+      assert(d >= Tables.NearDupOffset && b < Tables.NearDupOffset && h <= 3)
     }
   }
 

@@ -21,8 +21,8 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("doc_id") % 25 === 0).select("doc_id").collect().map(_.getLong(0))
     assert(injected.nonEmpty)
     injected.foreach { id =>
-      assert(clusters.contains(id) && clusters.contains(id + 2000000L))
-      assert(clusters(id) == clusters(id + 2000000L),
+      assert(clusters.contains(id) && clusters.contains(id + Tables.NearDupOffset))
+      assert(clusters(id) == clusters(id + Tables.NearDupOffset),
         s"doc $id and its near-dup must share a cluster")
       assert(clusters(id) <= id, "cluster id is the component minimum")
     }
@@ -295,11 +295,11 @@ class TextOpsSpec extends SparkSpec {
     val out = TextOps.q66_substring_dup.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
         r.getAs[Long]("n_windows")))
-    // the planted +2000000 variants differ from their base only in the
+    // the planted +NearDupOffset variants differ from their base only in the
     // first character, so every window past the first token is shared
     val want = Tables.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 25 === 0).select("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 2000000L)).toSet
+      .map(r => (r.getLong(0), r.getLong(0) + Tables.NearDupOffset)).toSet
     assert(out.nonEmpty)
     // every planted couple is found; the corpus ALSO contains organic
     // repeated spans (the generator reuses word runs), which is the
@@ -447,7 +447,7 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("doc_id") % 25 === 0).select("doc_id").collect().map(_.getLong(0))
     assert(planted.nonEmpty)
     planted.foreach { id =>
-      val (nt, nr) = out(id + 2000000L)
+      val (nt, nr) = out(id + Tables.NearDupOffset)
       // the variant differs only in its first character: every window
       // from position 2 on is a repeat of the base doc (which sorts
       // first), so all but at most the first W tokens are removed
