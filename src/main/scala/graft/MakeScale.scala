@@ -34,14 +34,16 @@ import org.apache.spark.sql.functions._
   *     in Spark 4 and DuckDB regardless of the source generation's
   *     nanos/micros encoding.
   *
-  * Usage: runMain graft.MakeScale [srcDir dstDir copies [textMode]]
+  * Usage: runMain graft.MakeScale [srcDir dstDir copies [textMode [layer]]]
   * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10, textMode
   * `rot`). textMode `perm` swaps the Caesar rotation for a SEEDED
   * alphabet permutation (and coordinate permutation for embeddings):
   * required when STACKING scale-ups (sf1 → sf10), because a second
   * rotation layer composes into rot(i+j) and copies with i+j ≡ i'+j'
-  * (mod 26) would collapse into exact duplicates — permutations drawn
-  * from 26! (resp. 64!) don't compose into collisions.
+  * (mod 26) would collapse into exact duplicates. `layer` salts the
+  * perm seed stream per stacking level — two perm layers drawing from
+  * the SAME family collide through copy 0's identity (see
+  * [[seededPerm]]); sf10 → sf100 passes layer=1.
   */
 object MakeScale {
 
@@ -74,11 +76,23 @@ object MakeScale {
   /** Deterministic Fisher-Yates permutation of 0 until n, seeded per
     * copy via the shared splitmix mixer; copy 0 is the IDENTITY (the
     * original data must pass through unchanged).
+    *
+    * `layer` salts the seed stream so STACKED perm layers draw from
+    * DISJOINT permutation families. Without it, copy 0's identity
+    * composes symmetrically: stacking copies (j=0, k=m) and
+    * (j=m, k=0) both apply perm_m to the same base text, so every
+    * doc in those copies becomes a cross-copy EXACT duplicate —
+    * measured at the first sf100 build: 455,840 duplicate groups
+    * (18% of the corpus) vs sf10's 800 organic ones. sf1 → sf10 was
+    * immune only because its two layers used disjoint transform
+    * families (Caesar rotations, then perms). layer=0 reproduces the
+    * historical sf1/sf10 data bit-identically.
     */
-  private def seededPerm(n: Int, copy: Int): Array[Int] = {
+  private def seededPerm(n: Int, copy: Int, layer: Long): Array[Int] = {
     val p = Array.tabulate(n)(identity)
     if (copy == 0) return p
-    var state = graft.plans.Signatures.splitmix(copy * 2654435761L)
+    var state = graft.plans.Signatures.splitmix(
+      copy * 2654435761L + layer * 0x9e3779b97f4a7c15L)
     for (i <- (n - 1) to 1 by -1) {
       state = graft.plans.Signatures.splitmix(state)
       val j = ((state & Long.MaxValue) % (i + 1)).toInt
@@ -95,6 +109,11 @@ object MakeScale {
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val textMode = if (args.length > 3) args(3) else "rot"
+    // perm-layer salt: every stacking level above the first MUST pass
+    // a distinct value (sf1→sf10 predates the arg = layer 0; sf10→
+    // sf100 passes 1) or copy-0's identity composes the same
+    // permutation on two different copy paths (see seededPerm)
+    val layer = if (args.length > 4) args(4).toLong else 0L
     require(textMode == "rot" || textMode == "perm", s"bad textMode $textMode")
     require(textMode == "perm" || copies <= 26,
       "rot mode collides past 26 copies — use perm")
@@ -145,7 +164,7 @@ object MakeScale {
     write("documents", replicate(t("documents"), copies)((df, i) => {
       val mapped =
         if (textMode == "rot") az.substring(i % 26) + az.substring(0, i % 26)
-        else seededPerm(26, i).map(az.charAt).mkString
+        else seededPerm(26, i, layer).map(az.charAt).mkString
       df.withColumn("doc_id", col("doc_id") + lit(i * dStr))
         .withColumn("text", translate(col("text"), az, mapped))
     }))
@@ -161,7 +180,7 @@ object MakeScale {
           // coordinate permutation: norm-preserving, cosine vs the
           // original ≈ random for isotropic data, collision-free when
           // stacked on a rotated layer
-          val p = seededPerm(dim, i)
+          val p = seededPerm(dim, i, layer)
           if (i == 0) col("embedding")
           else expr(p.map(j => s"embedding[$j]").mkString("array(", ", ", ")"))
         }
