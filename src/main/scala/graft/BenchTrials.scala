@@ -26,10 +26,15 @@ object BenchTrials {
     spark.range(1000).selectExpr("sum(id)").collect() // JVM warm-up
     val out = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to trials).map { _ =>
+      val times = (1 to trials).map { t =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+        val s = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+        // progress to stderr as each trial lands: a multi-hour big-SF
+        // run that dies mid-flight (e.g. disk-full shuffle) must show
+        // WHICH query was in flight and what already finished
+        System.err.println(s"[trials] $name trial$t/${trials}: ${s}s")
+        s
       }.sorted
       // True median: average the two middle elements for even N
       // (previously reported the upper-middle element for even N).

@@ -206,16 +206,35 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"),
         posexplode(graft.plans.PigeonholeBucketHashes.of(col("shingles"), col("k")))
           .as(Seq("bucket", "bh")))
-    // no MaxBucket cap here ON PURPOSE: dropping a hot group would
-    // break the lossless contract (output = the full ≥ 0.8 pair set,
-    // which is itself quadratic in a degenerate all-identical corpus
-    // — the cap would hide that instead of surfacing it)
-    val cand = keyed
-      .groupBy(col("n_chars"), col("bucket"), col("bh"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(idPairExpr)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+    // The (n_chars, bucket, bh) block key fuses to ONE 8-byte hash:
+    // a fused-key collision can only MERGE two bucket groups (superset
+    // of candidates, each rejected by exact verification), never split
+    // one — so the lossless contract survives and every shuffled row
+    // is two longs instead of a 4-column object row.
+    val k1 = keyed.select(
+      xxhash64(col("n_chars"), col("bucket"), col("bh")).as("bk"), col("doc_id"))
+    // Candidate gen is a SELF-JOIN on the fused key, not a
+    // groupBy(collect_set) (r13): the keyed stream is ~0.2 rows per
+    // character of input, and feeding it into an object aggregate
+    // melts down at scale — collect_set passes the object-hash
+    // fallback threshold on every task (~20M groups/task, nearly all
+    // singletons) and sort-spills the whole stream on BOTH sides of
+    // the exchange (~60 GB of transient disk at sf100 for 16 GB of
+    // input; the first sf100 spot-run died on ENOSPC exactly there).
+    // The equi-self-join spelling shuffles the two-long rows ONCE
+    // (both sides canonicalize to the same exchange — the plan shows
+    // ReusedExchange), radix-sorts them, and emits within-run pairs
+    // straight out of codegen'd SortMergeJoin; no aggregate ever sees
+    // the fat stream, and the join's equal-key run product is exactly
+    // the within-bucket pair expansion.
+    // No hot-key cap ON PURPOSE: dropping a hot group would break the
+    // lossless contract (output = the full ≥ 0.8 pair set, which is
+    // itself quadratic in a degenerate all-identical corpus — a cap
+    // would hide that instead of surfacing it).
+    val cand = k1.select(col("bk"), col("doc_id").as("a_id"))
+      .join(k1.select(col("bk"), col("doc_id").as("b_id")), "bk")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
     jaccardVerify(docs, cand)
   }
