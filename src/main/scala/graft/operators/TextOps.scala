@@ -193,6 +193,13 @@ object TextOps {
     * `(doc_id, n_chars, shingles)` frame — see q29's doc comment.
     */
   private[graft] def blockedJaccardPairs(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    jaccardVerify(docs, blockedCandidatePairs(docs))
+
+  /** Fused 8-byte block key per (doc, bucket) — the frame the
+    * candidate self-join shuffles (see [[blockedCandidatePairs]]).
+    */
+  private[graft] def fusedBlockKeys(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
     val sized = docs.withColumn("cnt", size(col("shingles")))
     // k per LENGTH CLASS from the class's max shingle count — a
@@ -211,8 +218,15 @@ object TextOps {
     // of candidates, each rejected by exact verification), never split
     // one — so the lossless contract survives and every shuffled row
     // is two longs instead of a 4-column object row.
-    val k1 = keyed.select(
+    keyed.select(
       xxhash64(col("n_chars"), col("bucket"), col("bh")).as("bk"), col("doc_id"))
+  }
+
+  /** Candidate pair generation over the fused block keys.
+    */
+  private[graft] def blockedCandidatePairs(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val k1 = fusedBlockKeys(docs)
     // Candidate gen is a SELF-JOIN on the fused key, not a
     // groupBy(collect_set) (r13): the keyed stream is ~0.2 rows per
     // character of input, and feeding it into an object aggregate
@@ -231,13 +245,20 @@ object TextOps {
     // lossless contract (output = the full ≥ 0.8 pair set, which is
     // itself quadratic in a degenerate all-identical corpus — a cap
     // would hide that instead of surfacing it).
-    val cand = k1.select(col("bk"), col("doc_id").as("a_id"))
+    k1.select(col("bk"), col("doc_id").as("a_id"))
       .join(k1.select(col("bk"), col("doc_id").as("b_id")), "bk")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    jaccardVerify(docs, cand)
   }
+
+  // dev-probe hooks for graft.tools.ProbeQ29 (cost decomposition)
+  private[graft] def probeShingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingledDocs(s, dir)
+  private[graft] def probeKeyed(docs: org.apache.spark.sql.DataFrame) =
+    fusedBlockKeys(docs)
+  private[graft] def probeCand(docs: org.apache.spark.sql.DataFrame) =
+    blockedCandidatePairs(docs)
 
   /** Character 3-gram Jaccard near-dup detection at the EXACT ≥ 0.8
     * threshold, with a deterministic two-level block: exact text length
