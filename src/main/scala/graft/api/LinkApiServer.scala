@@ -390,29 +390,33 @@ final class LinkApiServer(
       }
     })
 
-  /** The retry policy every serving route shares. 12 attempts: under a
-    * fold, serving jobs can queue behind the fold's own jobs long
-    * enough to outlive the store's two-generation retention — each
-    * retry rebinds to the then-current generation, so attempts only
-    * need to outnumber plausible consecutive misses (raised from 8
-    * after a contended full-suite run caught a request straddling six
-    * back-to-back swaps with every per-attempt Spark job slowed enough
-    * to land on the next swap; the budget must outlast a swap STORM
-    * under load, not just one swap). A bind-time missing ROOT
-    * (PATH_NOT_FOUND) gets only one retry: a store that was never
-    * created can't appear by waiting, and a dozen sleep-retry loops
-    * per request against a misconfigured path would let a modest
-    * request rate pin the whole worker pool.
+  /** The retry policy every serving route shares. Stale-store misses
+    * retry under the REQUEST's clock, not a fixed attempt count: each
+    * retry rebinds to the then-current generation, so any request that
+    * can complete within the budget eventually lands on a stable one —
+    * a fixed budget (8, then 12 attempts) kept losing to swap STORMS
+    * under load, where every per-attempt Spark job is slowed enough to
+    * straddle the next swap (a contended full-suite run exhausted 12).
+    * The enclosing [[withDeadline]] interrupts the loop at
+    * `queryBudgetMs` (one 61 s clock per request, the reference's
+    * SetMaxTime posture) and the elapsed guard below enforces the same
+    * budget even if that interrupt is lost, so a persistently stale
+    * store becomes a 504, never a hot loop. A bind-time missing ROOT
+    * (PATH_NOT_FOUND) still gets only one retry: a store that was
+    * never created can't appear by waiting, and a budget-long
+    * sleep-retry loop per request against a misconfigured path would
+    * let a modest request rate pin the whole worker pool.
     */
   private def withStoreRetry[T](f: => T): T = {
-    val maxAttempts = 12
+    val t0 = System.nanoTime()
     val missingRootAttempts = 2
     var attempt = 1
     while (true) {
       try return f
       catch {
         case e: Exception if isStaleStore(e) &&
-            attempt < (if (isMissingRoot(e)) missingRootAttempts else maxAttempts) =>
+            (if (isMissingRoot(e)) attempt < missingRootAttempts
+             else (System.nanoTime() - t0) / 1000000L < queryBudgetMs) =>
           attempt += 1
           // re-resolving alone is NOT enough: Spark's shared
           // FileStatusCache hands a fresh read the PRE-swap listing
@@ -420,7 +424,7 @@ final class LinkApiServer(
           // binder must refresh its paths (Pipeline.serveLinkApi wires
           // spark.catalog.refreshByPath here)
           onStale()
-          Thread.sleep(25L * attempt)
+          Thread.sleep(math.min(25L * attempt, 400L))
       }
     }
     throw new IllegalStateException("unreachable")
