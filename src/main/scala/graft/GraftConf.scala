@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   *     each exchange, so over-partitioning costs little and
   *     under-partitioning — the default 200 on a 4000-core cluster —
   *     serializes the whole job).
+  *   - `adaptive.coalescePartitions.initialPartitionNum = 8 × the
+  *     shuffle-partition floor`: shuffle partition count must scale
+  *     with DATA, not just cores — at 100× the tuned scale, a
+  *     cores-sized count hands each sort task a multi-pass
+  *     spill (the first sf100 spot-run: q07's per-partition window
+  *     sorts went 53× for 10× data). Over-provisioning the INITIAL
+  *     count is free because AQE coalesces every small shuffle back
+  *     to ~64 MB targets — toy SFs plan the same post-coalesce counts
+  *     they always did, giant SFs fan out before the sort instead of
+  *     spilling through it.
   *   - AQE on, with skew-join splitting: crawl data is Zipfian in
   *     every key that matters (domain, host, length); static plans
   *     that were right at sample scale are wrong at crawl scale.
@@ -69,6 +79,8 @@ object GraftConf {
     require(totalCores >= 1, s"totalCores must be >= 1, got $totalCores")
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", math.max(2 * totalCores, 64).toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(8 * totalCores, 256).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
   }
@@ -82,6 +94,8 @@ object GraftConf {
     common(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (8 * cpus).toString)
       .config("spark.ui.enabled", "false")
   }
 
@@ -94,6 +108,8 @@ object GraftConf {
       s"shufflePartitions must be >= 1, got $shufflePartitions")
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (8 * shufflePartitions).toString)
       .config("spark.ui.enabled", "false")
   }
 
