@@ -104,29 +104,18 @@ object SimilarityOps {
   }
 
   /** Exact-Jaccard verification over a candidate pair frame (the
-    * deterministic half of q30): shingle sets computed ONCE per doc
-    * (not per pair — a doc can appear in many pairs; lazy
-    * localCheckpoint keeps the a/b join sides from re-deriving them
-    * without running a job at plan-construction time).
+    * deterministic half of q30). Delegates to the shared text-shipping
+    * verifier ([[TextOps.verifyJaccardPairs]]): candidate pairs
+    * checkpoint once, the text frame semi-joins down to pair
+    * participants, and shingle arrays are recomputed inside the final
+    * projection instead of checkpointed and joined at 8 bytes per
+    * character (the shape that ENOSPC'd the sf100 spot-run).
     */
   private[graft] def verifyJaccard(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
-    val sh = base.select(col("doc_id"), shingleHashes("text").as("sh"))
-      .localCheckpoint(false)
-    pairs
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      // two-pointer merge over the sorted hash arrays — array_intersect
-      // would build a hash set per candidate pair (see SortedIntersectCount)
-      .withColumn("inter",
-        graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
-      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    TextOps.verifyJaccardPairs(
+      Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text")), pairs)
 
   val q30_minhash_lsh: GraftQuery = GraftQuery(
     "q30_minhash_lsh",

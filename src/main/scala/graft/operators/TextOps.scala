@@ -149,28 +149,59 @@ object TextOps {
     * its brute-force differential reference: score `(a_id, b_id)`
     * candidates against the per-doc shingle frame, keep ≥ 0.8.
     */
-  private def jaccardVerify(docs: org.apache.spark.sql.DataFrame,
-      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cand
-      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
-      // two-pointer merge over the sorted hash arrays (SortedIntersectCount)
-      .withColumn("inter",
-        graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
-      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+  /** Exact-Jaccard verification of a candidate pair frame against a
+    * `(doc_id, …, text)` frame — the stage every fuzzy-dedup spelling
+    * (q29's pigeonhole block, q30's LSH, the q36/q74 cluster sources)
+    * funnels through.
+    *
+    * SHUFFLES TEXT, RECOMPUTES SHINGLES (r14): a doc's shingle-hash
+    * array is ~8 bytes per character — 8× the text it came from — so
+    * materializing the array frame and sort-merge-joining it twice is
+    * what actually breaks at scale (the second sf100 spot-run ENOSPC'd
+    * in exactly this stage: ~10 GB of text became >60 GB of checkpoint
+    * + two-sided shuffle spill). Instead: (1) the candidate pairs —
+    * two longs each — checkpoint once (they're consumed three times);
+    * (2) the text frame semi-joins down to docs that appear in some
+    * pair (AQE broadcasts the id set); (3) the two pair joins ship
+    * compact text; (4) ONE projection recomputes both shingle arrays
+    * (codegen'd ShingleHashes, whole-stage subexpression elimination
+    * dedups the repeated calls) and intersects them two-pointer. The
+    * arrays live only inside that projection — nothing 8×-wide ever
+    * crosses an exchange. Values are bit-identical to the materialized
+    * spelling: ShingleHashes is a pure function of text.
+    */
+  private[operators] def verifyJaccardPairs(
+      docs: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = (c: org.apache.spark.sql.Column) => graft.plans.ShingleHashes.of(c)
+    val pairs = cand.select(col("a_id"), col("b_id")).localCheckpoint(false)
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    val txt = docs.select(col("doc_id"), col("text"))
+      .join(ids, Seq("doc_id"), "left_semi")
+    pairs
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.plans.SortedIntersectCount.of(sh(col("a_text")), sh(col("b_text")))
+          .as("inter"),
+        (size(sh(col("a_text"))) + size(sh(col("b_text")))).as("sz_sum"))
+      .withColumn("uni", col("sz_sum") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
 
-  /** The per-doc `(doc_id, n_chars, shingles)` frame q29's two
-    * spellings share.
+  /** The per-doc `(doc_id, n_chars, text)` frame q29's two spellings
+    * share. Narrow ON PURPOSE — shingle arrays are recomputed from
+    * text inside each stage's projection (see [[verifyJaccardPairs]]),
+    * never carried between stages.
     */
-  private def shingledDocs(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def nearDupDocs(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame =
     Tables.docsWithNearDups(s, dir)
-      .select(col("doc_id"), col("n_chars"),
-        graft.plans.ShingleHashes.of(col("text")).as("shingles"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), col("n_chars"), col("text"))
 
   /** The pre-r12 |block|² spelling (length-blocked all-pairs self-join)
     * — kept ONLY as the differential reference for Q29BlockingSpec,
@@ -178,12 +209,14 @@ object TextOps {
     */
   private[graft] def bruteForceJaccardPairs(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
-    val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("shingles").as("a_sh"))
-    val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("shingles").as("b_sh"))
+    val sh = (c: org.apache.spark.sql.Column) => graft.plans.ShingleHashes.of(c)
+    val a = docs.select(col("doc_id").as("a_id"), col("n_chars"), col("text").as("a_text"))
+    val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"), col("text").as("b_text"))
     a.join(b, a("n_chars") === b("b_chars") && col("a_id") < col("b_id"))
       .withColumn("inter",
-        graft.plans.SortedIntersectCount.of(col("a_sh"), col("b_sh")))
-      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        graft.plans.SortedIntersectCount.of(sh(col("a_text")), sh(col("b_text"))))
+      .withColumn("uni",
+        size(sh(col("a_text"))) + size(sh(col("b_text"))) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -194,32 +227,103 @@ object TextOps {
     */
   private[graft] def blockedJaccardPairs(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame =
-    jaccardVerify(docs, blockedCandidatePairs(docs))
+    verifyJaccardPairs(docs, blockedCandidatePairs(docs))
 
   /** Fused 8-byte block key per (doc, bucket) — the frame the
     * candidate self-join shuffles (see [[blockedCandidatePairs]]).
+    * Takes the narrow `(doc_id, n_chars, text)` frame; the shingle
+    * arrays exist only inside this method's two projections (the
+    * count pass ships two ints per doc, the keying pass two longs per
+    * bucket) — they never cross an exchange.
+    */
+  /** How many corpus-frequent tokens the prefix order demotes. Fixed
+    * per layout (the fit is deterministic: count desc, token asc);
+    * 4096 × 8 B ships as a 32 KB plan literal.
+    */
+  private val PrefixCommonF = 4096
+
+  /** Driver-side fit of the prefix order's common-token set: the
+    * corpus's top-F most frequent shingles. ONE bounded collect (≤ F
+    * longs — the embSample/centroid precedent); the explode feeding it
+    * aggregates map-side onto the gram DOMAIN (tens of thousands of
+    * distinct trigrams), not the corpus, so the shuffle is tiny at any
+    * scale. Correctness does not depend on this set — ANY fixed token
+    * order keeps prefix filtering lossless (see
+    * [[graft.plans.PrefixShingles]]); frequency-demotion only shrinks
+    * candidate groups.
+    */
+  private def fitCommonTokens(docs: org.apache.spark.sql.DataFrame): Array[Long] = {
+    // memoized per canonicalized input plan: the fit is a pure
+    // function of the corpus, and q29/q36/q74 all derive it from the
+    // same frame within a session — a warehouse would persist it at
+    // ingest (the BucketedTables posture); here the second caller
+    // just reuses the first fit. Bounded: cleared past 8 corpora.
+    val key = docs.queryExecution.logical.canonicalized
+    val cached = commonTokenCache.get(key)
+    if (cached != null) return cached
+    val fit = docs.select(explode(graft.plans.ShingleHashes.of(col("text"))).as("t"))
+      .groupBy(col("t")).count()
+      .orderBy(col("count").desc, col("t"))
+      .limit(PrefixCommonF)
+      .collect().map(_.getLong(0))
+    if (commonTokenCache.size > 8) commonTokenCache.clear()
+    commonTokenCache.put(key, fit)
+    fit
+  }
+
+  private val commonTokenCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Array[Long]]()
+
+  /** The unioned key stream of q29's TWO independent lossless blocking
+    * layers, `(bk, layer, doc_id)`:
+    *
+    *   layer 0 — pigeonhole bucket-content keys
+    *     (plans.PigeonholeBucketHashes, k > 2·maxShingles/9 per length
+    *     class): every J ≥ 0.8 pair shares at least one bucket's exact
+    *     content.
+    *   layer 1 — PPJoin/AllPairs prefix tokens (plans.PrefixShingles):
+    *     every J ≥ 0.8 pair shares its minimum common token within
+    *     both prefixes.
+    *
+    * Each layer alone is lossless but leaks false candidates
+    * quadratically in length-class size with a small constant —
+    * pigeonhole through shared-EMPTY-bucket and isolated-shared-token
+    * buckets (~4% of same-length pairs at sf10), prefixes through
+    * small-hash frequent tokens on this flat-frequency corpus (~5%).
+    * Requiring a match in BOTH layers multiplies the leaks (~0.2%)
+    * while preserving losslessness — each layer's witness is
+    * guaranteed for every qualifying pair, so a qualifying pair
+    * matches in both BY CONSTRUCTION (see blockedCandidatePairs).
+    * Keys fuse to one 8-byte hash: a fused-key collision can only
+    * MERGE groups (a superset of candidates, each rejected by exact
+    * verification), never split one.
     */
   private[graft] def fusedBlockKeys(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
-    val sized = docs.withColumn("cnt", size(col("shingles")))
-    // k per LENGTH CLASS from the class's max shingle count — a
-    // shared attribute, so both members of any candidate pair derive
-    // the same bucket partition (the losslessness precondition). The
-    // kmap is |distinct n_chars| rows: broadcast at any corpus size.
-    val kmap = sized.groupBy(col("n_chars"))
+    val counted = docs.select(col("n_chars"),
+      size(graft.plans.ShingleHashes.of(col("text"))).as("cnt"))
+    // k per LENGTH CLASS from the class's max shingle count — a shared
+    // attribute, so both members of any candidate pair derive the same
+    // bucket partition (the losslessness precondition). The kmap is
+    // |distinct n_chars| rows: broadcast at any corpus size.
+    val kmap = counted.groupBy(col("n_chars"))
       .agg(max(col("cnt")).as("maxc"))
       .select(col("n_chars"), (col("maxc") * 2 / 9 + 1).cast("int").as("k"))
-    val keyed = sized.join(broadcast(kmap), "n_chars")
+    val common = fitCommonTokens(docs)
+    val buckets = docs.join(broadcast(kmap), "n_chars")
       .select(col("doc_id"), col("n_chars"),
-        posexplode(graft.plans.PigeonholeBucketHashes.of(col("shingles"), col("k")))
+        posexplode(graft.plans.PigeonholeBucketHashes.of(
+          graft.plans.ShingleHashes.of(col("text")), col("k")))
           .as(Seq("bucket", "bh")))
-    // The (n_chars, bucket, bh) block key fuses to ONE 8-byte hash:
-    // a fused-key collision can only MERGE two bucket groups (superset
-    // of candidates, each rejected by exact verification), never split
-    // one — so the lossless contract survives and every shuffled row
-    // is two longs instead of a 4-column object row.
-    keyed.select(
-      xxhash64(col("n_chars"), col("bucket"), col("bh")).as("bk"), col("doc_id"))
+      .select(xxhash64(col("n_chars"), col("bucket"), col("bh")).as("bk"),
+        lit(0).as("layer"), col("doc_id"))
+    val prefixes = docs.select(col("doc_id"), col("n_chars"),
+      explode(graft.plans.PrefixShingles.of(
+        graft.plans.ShingleHashes.of(col("text")), common)).as("tok"))
+      .select(xxhash64(col("n_chars"), col("tok")).as("bk"),
+        lit(1).as("layer"), col("doc_id"))
+    buckets.unionAll(prefixes)
   }
 
   /** Candidate pair generation over the fused block keys.
@@ -235,26 +339,41 @@ object TextOps {
     // singletons) and sort-spills the whole stream on BOTH sides of
     // the exchange (~60 GB of transient disk at sf100 for 16 GB of
     // input; the first sf100 spot-run died on ENOSPC exactly there).
-    // The equi-self-join spelling shuffles the two-long rows ONCE
-    // (both sides canonicalize to the same exchange — the plan shows
-    // ReusedExchange), radix-sorts them, and emits within-run pairs
-    // straight out of codegen'd SortMergeJoin; no aggregate ever sees
-    // the fat stream, and the join's equal-key run product is exactly
-    // the within-bucket pair expansion.
+    // The equi-self-join spelling shuffles the three-column rows,
+    // radix-sorts them, and emits within-run pairs straight out of
+    // codegen'd SortMergeJoin; no aggregate ever sees the fat stream,
+    // and the join's equal-key run product is exactly the within-group
+    // pair expansion.
+    // A pair is a candidate only if it matched in BOTH blocking layers
+    // (min=0 ∧ max=1 over its matched keys' layer tags): each layer's
+    // witness is guaranteed for every J ≥ 0.8 pair, so the
+    // intersection is still lossless while the layers' independent
+    // false-candidate leaks multiply away (sf10: 5.4M pigeonhole-only
+    // candidates for 20.9k true pairs → ~170k intersected).
     // No hot-key cap ON PURPOSE: dropping a hot group would break the
     // lossless contract (output = the full ≥ 0.8 pair set, which is
     // itself quadratic in a degenerate all-identical corpus — a cap
     // would hide that instead of surfacing it).
-    k1.select(col("bk"), col("doc_id").as("a_id"))
-      .join(k1.select(col("bk"), col("doc_id").as("b_id")), "bk")
+    // merge-join hint ON PURPOSE: Catalyst's size estimate for the
+    // keyed stream survives the explode (a Generate keeps its child's
+    // stats), so the optimizer BROADCASTS a 33M-row build side at sf10
+    // and executes the whole keying subtree twice — the q43 r11 bug
+    // class. As a sort-merge join both sides shuffle on the same key
+    // and canonicalize to ONE exchange (ReusedExchange): the keying
+    // computes once and the radix sort feeds pair emission directly.
+    k1.select(col("bk"), col("layer"), col("doc_id").as("a_id")).hint("merge")
+      .join(k1.select(col("bk"), col("layer"), col("doc_id").as("b_id")).hint("merge"),
+        Seq("bk", "layer"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("layer")).as("l0"), max(col("layer")).as("l1"))
+      .filter(col("l0") === 0 && col("l1") === 1)
       .select(col("a_id"), col("b_id"))
-      .distinct()
   }
 
   // dev-probe hooks for graft.tools.ProbeQ29 (cost decomposition)
   private[graft] def probeShingled(s: org.apache.spark.sql.SparkSession, dir: String) =
-    shingledDocs(s, dir)
+    nearDupDocs(s, dir)
   private[graft] def probeKeyed(docs: org.apache.spark.sql.DataFrame) =
     fusedBlockKeys(docs)
   private[graft] def probeCand(docs: org.apache.spark.sql.DataFrame) =
@@ -263,17 +382,19 @@ object TextOps {
   /** Character 3-gram Jaccard near-dup detection at the EXACT ≥ 0.8
     * threshold, with a deterministic two-level block: exact text length
     * (the original key — output pairs are same-length by definition)
-    * × a pigeonhole bucket-content key sized per length class
-    * (plans.PigeonholeBucketHashes — k > 2·maxShingles/9 buckets
-    * guarantees every qualifying pair shares at least one bucket's
-    * exact content, so the blocking is LOSSLESS and the brute-force
-    * oracle hash is preserved). Candidate groups are O(dup-cluster
-    * size) instead of the |length class|² all-pairs join that ran
-    * 111 s at sf10: length classes grow linearly with the corpus, but
-    * pigeonhole groups only grow with true duplication. Exact Jaccard
-    * verification runs on candidates only; spurious candidates (chain
-    * collisions, shared empty buckets) cost a verification each, never
-    * a wrong row.
+    * × PPJoin/AllPairs prefix tokens (plans.PrefixShingles — any
+    * J ≥ 0.8 pair must share its minimum common token within both
+    * docs' (1−t)·|set|+1 rare-first prefixes, so the blocking is
+    * LOSSLESS and the brute-force oracle hash is preserved). Candidate
+    * groups are "docs of one length whose prefixes contain rare token
+    * s" — they grow with true textual overlap, not with class size
+    * (the r12-r13 pigeonhole bucketing this replaces leaked
+    * candidates quadratically through shared-EMPTY-bucket keys: 61%
+    * of sf10's 5.4M candidates for 20.9k true pairs, and its minimal
+    * k admits no count-based screen). Exact Jaccard verification runs
+    * on candidates only; spurious candidates (fused-key collisions,
+    * shared rare tokens below the threshold) cost a verification
+    * each, never a wrong row.
     */
   val q29_ngram_jaccard: GraftQuery = GraftQuery(
     "q29_ngram_jaccard",
@@ -281,9 +402,10 @@ object TextOps {
       // shingles kept as 64-bit hashes (codegen'd ShingleHashes
       // expression): a hash collision perturbing a Jaccard count has
       // probability ~1e-15 per pair (the DuckDB oracle stays on
-      // strings). Key gen and verification both read the shingle
-      // arrays; compute them once (lazy: no job until the first action)
-      blockedJaccardPairs(shingledDocs(s, dir)),
+      // strings). Key gen and verification RECOMPUTE the arrays from
+      // text inside their own projections — cheaper at every scale
+      // than shipping 8-bytes-per-character arrays between stages
+      blockedJaccardPairs(nearDupDocs(s, dir)),
     Some(Tables.docsNearDupsCte +
       """, shingled AS (
         |  SELECT doc_id, n_chars,

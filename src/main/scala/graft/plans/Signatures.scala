@@ -164,6 +164,24 @@ object Signatures {
   private val deflateBuf =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 
+  /** Per-thread memo of recent shingle-set computations. The verify
+    * stage evaluates `shingle_hashes` once per PAIR SIDE and a doc can
+    * appear in many candidate pairs (the SMJ that feeds it clusters
+    * one side contiguously), so an 8-entry ring keyed by the text
+    * bytes turns most evaluations into a ~150-byte memory compare
+    * (~100 ns) instead of a hash+sort pass (~25 µs). Keys are
+    * DEFENSIVE COPIES — the incoming UTF8String may wrap a reused
+    * unsafe-row buffer. The cached ArrayData is returned to multiple
+    * consumers; expression results are read-only by contract.
+    */
+  private final class ShingleMemo {
+    val keys = new Array[UTF8String](8)
+    val vals = new Array[ArrayData](8)
+    var next = 0
+  }
+  private val shingleMemo =
+    ThreadLocal.withInitial[ShingleMemo](() => new ShingleMemo)
+
   /** Distinct 3-CHARACTER-shingle hashes of a string, SORTED (sort+
     * dedupe beats a hash set at these sizes; callers only use set
     * semantics). Shingles span code points, not bytes, so Jaccard
@@ -171,8 +189,52 @@ object Signatures {
     * on non-ASCII text too; each shingle is hashed over its UTF-8 byte
     * slice (one XXH64 per gram, no substring allocation). Strings
     * shorter than 3 code points hash as one whole-string gram.
+    * Memoized per thread (see [[ShingleMemo]]).
     */
-  def shingleHashes(s: UTF8String): ArrayData = gramHashes(s, 3)
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val m = shingleMemo.get()
+    var i = 0
+    while (i < 8) {
+      val k = m.keys(i)
+      if (k != null && k.equals(s)) return m.vals(i)
+      i += 1
+    }
+    val r = gramHashes(s, 3)
+    m.keys(m.next) = UTF8String.fromBytes(s.getBytes)
+    m.vals(m.next) = r
+    m.next = (m.next + 1) & 7
+    r
+  }
+
+  /** The PPJoin/AllPairs PREFIX of a sorted-distinct shingle set at
+    * Jaccard threshold 0.8 — see [[PrefixShingles]] for the lossless
+    * blocking argument. Global token order is (isCommon, token):
+    * tokens OUTSIDE the corpus's top-F most frequent set sort first,
+    * so prefixes are built from rare tokens and candidate groups stay
+    * small. `common` must be sorted ascending (binary search).
+    */
+  def prefixShingles(sh: ArrayData, common: Array[Long]): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    // p = n - ceil(0.8 n) + 1; any J >= 0.8 partner shares a token
+    // within both docs' first p tokens under the global order
+    val p = n - (4 * n + 4) / 5 + 1
+    val out = new Array[Long](math.min(p, n))
+    var w = 0
+    var i = 0
+    while (i < n && w < p) { // rare tokens first, ascending
+      val t = sh.getLong(i)
+      if (java.util.Arrays.binarySearch(common, t) < 0) { out(w) = t; w += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < n && w < p) { // then common tokens, ascending
+      val t = sh.getLong(i)
+      if (java.util.Arrays.binarySearch(common, t) >= 0) { out(w) = t; w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
 
   /** Distinct k-CHARACTER-gram hashes of a string, SORTED (sort+dedupe
     * beats a hash set at these sizes; callers only use set semantics).
@@ -462,24 +524,73 @@ object WordWindowHashes {
     CB.column(WordWindowHashes(CB.expression(c), w))
 }
 
+/** `prefix_shingles(shingles)` → the PPJoin/AllPairs prefix (Chaudhuri
+  * et al. 2006, Xiao et al. 2008 — public literature) of a
+  * sorted-distinct shingle set at the ≥ 0.8 Jaccard threshold.
+  *
+  * THE deterministic blocking key for exact-threshold Jaccard (q29,
+  * r14 — replaces the pigeonhole bucketing whose shared-empty-bucket
+  * keys generated candidates quadratically in length-class size: 61%
+  * of sf10's 5.4M candidates for 20.9k true pairs). Losslessness: fix
+  * any total order over tokens and let s be the MINIMUM token shared
+  * by docs x and y with J(x,y) ≥ t. Every x-token ordered before s is
+  * outside x∩y, and J ≥ t ⇒ |x∩y| ≥ t·|x∪y| ≥ t·|x| — so s sits
+  * within x's first |x| − ⌈t·|x|⌉ + 1 tokens, and symmetrically for
+  * y: BOTH prefixes contain s, and the (n_chars, token) equi-join
+  * surfaces the pair. No bucket artifact exists — a candidate group
+  * is exactly "docs of one length whose prefixes contain token s".
+  * The global order is (token ∉ top-F corpus-frequent set, token):
+  * prefixes prefer RARE tokens, so groups stay O(token frequency
+  * in prefixes), not O(class size). The order choice affects only
+  * candidate COUNT, never losslessness — any fixed total order
+  * satisfies the argument above, and the top-F fit is deterministic
+  * for a given corpus (count desc, token asc, fixed F).
+  */
+case class PrefixShingles(child: Expression, common: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "prefix_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.prefixShingles(input.asInstanceOf[ArrayData], common)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val commonRef = ctx.addReferenceObj("prefixCommon", common, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Signatures.prefixShingles($c, $commonRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PrefixShingles =
+    copy(child = newChild)
+}
+
+object PrefixShingles {
+  /** `common` = the corpus's top-F frequent tokens, any order (sorted
+    * here for the expression's binary search).
+    */
+  def of(sh: Column, common: Array[Long]): Column =
+    CB.column(PrefixShingles(CB.expression(sh), common.sorted))
+}
+
 /** `pigeonhole_bucket_hashes(shingles, k)` → array<bigint>(k): the
   * shingle set partitioned into k hash buckets, each bucket reduced to
   * one content-chain hash (empty bucket → 0 sentinel).
   *
-  * THE deterministic secondary blocking key for exact-threshold Jaccard
-  * (q29): two same-length docs A, B with J(A,B) ≥ 0.8 have symmetric
-  * difference d = |A∪B| − |A∩B| ≤ 0.2|A∪B| ≤ (|A|+|B|)/9, and each
-  * differing element perturbs exactly one bucket's chain — so with
-  * k > (|A|+|B|)/9 buckets at least one bucket has IDENTICAL content
-  * on both sides (possibly both-empty) and the pair surfaces in that
-  * bucket's candidate group. Sizing k from the LENGTH CLASS's max
-  * shingle count (a shared attribute — both partners derive the same k)
-  * makes the blocking provably lossless at the ≥ 0.8 threshold while
-  * candidate groups stay O(dup-cluster size): the |block|² all-pairs
-  * join this replaces was the top scale-killer of the sf10 sweep.
-  * Unlike MinHash banding (probabilistic false negatives), this key
-  * CANNOT miss a qualifying pair, so the brute-force oracle hash is
-  * preserved bit-for-bit.
+  * One of q29's TWO independent lossless blocking layers (see
+  * [[PrefixShingles]] for the other and TextOps.q29_ngram_jaccard for
+  * the intersection argument): two same-length docs A, B with
+  * J(A,B) ≥ 0.8 have symmetric difference d = |A∪B| − |A∩B| ≤
+  * 0.2|A∪B| ≤ (|A|+|B|)/9, and each differing element perturbs
+  * exactly one bucket's chain — so with k > (|A|+|B|)/9 buckets at
+  * least one bucket has IDENTICAL content on both sides (possibly
+  * both-empty) and the pair surfaces in that bucket's candidate
+  * group. Sizing k from the LENGTH CLASS's max shingle count (a
+  * shared attribute — both partners derive the same k) makes the
+  * layer provably lossless at the ≥ 0.8 threshold. Unlike MinHash
+  * banding (probabilistic false negatives), this key CANNOT miss a
+  * qualifying pair, so the brute-force oracle hash is preserved
+  * bit-for-bit.
   */
 case class PigeonholeBucketHashes(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -25,13 +25,15 @@ object ProbeQ29 {
     }
     spark.range(1000).selectExpr("sum(id)").collect()
     import graft.operators.TextOps
-    val docs = time("shingledDocs checkpoint")(TextOps.probeShingled(spark, dir))
+    val docs = time("nearDupDocs frame")(TextOps.probeShingled(spark, dir))
     time("docs count")(println("  docs=" + docs.count()))
     val keyed = TextOps.probeKeyed(docs)
     time("keyed explode count")(println("  keyed=" + keyed.count()))
     val cand = TextOps.probeCand(docs)
     val q = time("cand self-join distinct")(cand.count())
     println("  cand=" + q)
+    println("[q29] cand executed plan:")
+    println(cand.queryExecution.executedPlan.toString.take(4500))
     val full = TextOps.blockedJaccardPairs(docs)
     time("full blocked pipeline")(println("  pairs=" + full.count()))
     val plan = full.queryExecution.executedPlan.toString
@@ -40,6 +42,29 @@ object ProbeQ29 {
     (1 to 2).foreach { r =>
       time(s"full rerun $r")(TextOps.blockedJaccardPairs(docs).count())
     }
+    // verify-stage decomposition over a PRE-MATERIALIZED candidate
+    // frame: how much of the pipeline is candidate gen vs the text
+    // joins vs the per-pair shingle recompute
+    val candM = cand.localCheckpoint()
+    val ids = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    time("ids distinct")(println("  ids=" + ids.count()))
+    val txt = docs.select(col("doc_id"), col("text"))
+      .join(ids, Seq("doc_id"), "left_semi")
+    time("txt semi-join")(println("  txt=" + txt.count()))
+    val j1 = candM.join(
+      txt.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+    time("join1 (a_text)")(j1.count())
+    val j2 = j1.join(
+      txt.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+    time("join2 (b_text)")(j2.count())
+    val sh = (c: org.apache.spark.sql.Column) => graft.plans.ShingleHashes.of(c)
+    time("recompute+intersect")(
+      j2.select(
+        graft.plans.SortedIntersectCount.of(sh(col("a_text")), sh(col("b_text")))
+          .as("inter"),
+        (size(sh(col("a_text"))) + size(sh(col("b_text")))).as("sz_sum"))
+        .selectExpr("sum(inter)", "sum(sz_sum)").collect())
     spark.stop()
   }
 }

@@ -4,12 +4,13 @@ import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The r12 q29 rewrite: length × pigeonhole-bucket blocking must emit
-  * EXACTLY the pair set of the |block|² all-pairs spelling it replaced
-  * (the registered oracle hash depends on it). Three layers:
+/** The q29 blocking (r14: PPJoin/AllPairs prefix filtering — replaced
+  * the r12 pigeonhole bucketing) must emit EXACTLY the pair set of the
+  * |block|² all-pairs spelling (the registered oracle hash depends on
+  * it). Three layers:
   *
   *   1. the expression itself vs a driver-side reference,
-  *   2. the pigeonhole witness property on adversarial synthetic sets
+  *   2. the prefix witness property on adversarial synthetic sets
   *      straddling the 0.8 threshold,
   *   3. a full differential (blocked ≡ brute force) on the real
   *      fixture AND on a hostile synthetic corpus (heavy ties, exact
@@ -17,34 +18,38 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Q29BlockingSpec extends SparkSpec {
 
-  private def refBucketHashes(sh: Seq[Long], k: Int): Seq[Long] = {
-    val out = new Array[Long](k)
-    sh.foreach { x =>
-      val b = ((graft.plans.Signatures.splitmix(x) % k).toInt + k) % k
-      out(b) = out(b) * 0x9E3779B97F4A7C15L + x
-    }
-    out.toSeq
+  /** Driver-side reference of [[graft.plans.Signatures.prefixShingles]]:
+    * p = n − ⌈0.8n⌉ + 1 tokens, rare (non-common) ascending first,
+    * then common ascending.
+    */
+  private def refPrefix(sh: Seq[Long], common: Set[Long]): Seq[Long] = {
+    val n = sh.size
+    if (n == 0) return Seq.empty
+    val p = n - (4 * n + 4) / 5 + 1
+    val sorted = sh.sorted
+    (sorted.filterNot(common) ++ sorted.filter(common)).take(p)
   }
 
-  test("PigeonholeBucketHashes matches the driver-side reference") {
+  test("PrefixShingles matches the driver-side reference") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 50) {
       val n = rnd.nextInt(200)
       val sh = Seq.fill(n)(rnd.nextLong()).distinct.sorted
-      val k = 1 + rnd.nextInt(40)
+      val common = sh.filter(_ => rnd.nextBoolean()).take(rnd.nextInt(20)).toArray
       val got = spark.range(1)
-        .select(graft.plans.PigeonholeBucketHashes.of(
-          typedLit(sh), lit(k)).as("bh"))
+        .select(graft.plans.PrefixShingles.of(typedLit(sh), common).as("p"))
         .head().getSeq[Long](0)
-      assert(got == refBucketHashes(sh, k), s"trial $trial n=$n k=$k")
+      assert(got == refPrefix(sh, common.toSet), s"trial $trial n=$n")
     }
   }
 
-  test("pigeonhole witness: J >= 0.8 pairs always share a bucket") {
+  test("prefix witness: J >= 0.8 pairs share a token in both prefixes") {
     // adversarial construction: base set, then remove/add d elements
     // with d swept ACROSS the threshold; for every pair that lands at
-    // J >= 0.8, k = floor(2*maxc/9)+1 buckets must contain at least
-    // one position with identical chain content (possibly both 0)
+    // J >= 0.8, the two prefixes must share at least one token —
+    // under an EMPTY common set and under a common set that
+    // adversarially includes most of the intersection (the order
+    // choice must never break the witness, only shift it)
     val rnd = new scala.util.Random(13)
     var checkedQualifying = 0
     for (trial <- 0 until 300) {
@@ -52,16 +57,19 @@ class Q29BlockingSpec extends SparkSpec {
       val a = Seq.fill(m)(rnd.nextLong()).distinct
       val d = rnd.nextInt(math.max(1, m / 3))
       val b = (a.drop(d) ++ Seq.fill(d)(rnd.nextLong())).distinct
-      val inter = a.toSet.intersect(b.toSet).size
-      val uni = a.size + b.size - inter
-      val j = inter.toDouble / uni
+      val inter = a.toSet.intersect(b.toSet)
+      val uni = a.size + b.size - inter.size
+      val j = inter.size.toDouble / uni
       if (j >= 0.8) {
         checkedQualifying += 1
-        val k = math.max(a.size, b.size) * 2 / 9 + 1
-        val ha = refBucketHashes(a.sorted, k)
-        val hb = refBucketHashes(b.sorted, k)
-        assert(ha.zip(hb).exists { case (x, y) => x == y },
-          s"trial $trial: J=$j pair with no shared bucket at k=$k")
+        for (common <- Seq(Set.empty[Long],
+            inter.filter(_ => rnd.nextBoolean()),
+            inter)) {
+          val pa = refPrefix(a, common).toSet
+          val pb = refPrefix(b, common).toSet
+          assert(pa.intersect(pb).nonEmpty,
+            s"trial $trial: J=$j pair with disjoint prefixes (|common|=${common.size})")
+        }
       }
     }
     assert(checkedQualifying > 30, s"fixture too weak: $checkedQualifying qualifying pairs")
@@ -73,9 +81,7 @@ class Q29BlockingSpec extends SparkSpec {
 
   test("blocked q29 equals brute force on the testdata fixture") {
     val docs = Tables.docsWithNearDups(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"),
-        graft.plans.ShingleHashes.of(col("text")).as("shingles"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), col("n_chars"), col("text"))
     val brute = pairSet(TextOps.bruteForceJaccardPairs(docs))
     val blocked = pairSet(TextOps.blockedJaccardPairs(docs))
     assert(brute.nonEmpty, "fixture produced no >= 0.8 pairs")
@@ -103,9 +109,7 @@ class Q29BlockingSpec extends SparkSpec {
     import spark.implicits._
     val docs = (base ++ mutated ++ dups).toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")))
-      .select(col("doc_id"), col("n_chars"),
-        graft.plans.ShingleHashes.of(col("text")).as("shingles"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), col("n_chars"), col("text"))
     val brute = pairSet(TextOps.bruteForceJaccardPairs(docs))
     val blocked = pairSet(TextOps.blockedJaccardPairs(docs))
     assert(brute.nonEmpty, "hostile fixture produced no >= 0.8 pairs")
