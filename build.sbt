@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs 32 executor threads into ONE JVM: at the old 8g
+  // default each task saw ~145MB of execution memory and mid-size
+  // sorts/aggregates spilled (q29's candidate stage: 10GB of memory
+  // spill on ~1GB of shuffle input). 32g = 1GB/core — the floor any
+  // real executor would get — while leaving ~90GB of this box for the
+  // OS page cache (the sf100 lesson: heap must not starve the cache).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

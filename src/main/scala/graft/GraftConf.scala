@@ -24,8 +24,9 @@ import org.apache.spark.sql.SparkSession
   *     each exchange, so over-partitioning costs little and
   *     under-partitioning — the default 200 on a 4000-core cluster —
   *     serializes the whole job).
-  *   - `adaptive.coalescePartitions.initialPartitionNum = 8 × the
-  *     shuffle-partition floor`: shuffle partition count must scale
+  *   - `adaptive.coalescePartitions.initialPartitionNum = 8 ×
+  *     totalCores` (i.e. 4 × the shuffle-partition count, floor
+  *     256): shuffle partition count must scale
   *     with DATA, not just cores — at 100× the tuned scale, a
   *     cores-sized count hands each sort task a multi-pass
   *     spill (the first sf100 spot-run: q07's per-partition window

@@ -229,13 +229,6 @@ object TextOps {
   : org.apache.spark.sql.DataFrame =
     verifyJaccardPairs(docs, blockedCandidatePairs(docs))
 
-  /** Fused 8-byte block key per (doc, bucket) — the frame the
-    * candidate self-join shuffles (see [[blockedCandidatePairs]]).
-    * Takes the narrow `(doc_id, n_chars, text)` frame; the shingle
-    * arrays exist only inside this method's two projections (the
-    * count pass ships two ints per doc, the keying pass two longs per
-    * bucket) — they never cross an exchange.
-    */
   /** How many corpus-frequent tokens the prefix order demotes. Fixed
     * per layout (the fit is deterministic: count desc, token asc);
     * 4096 × 8 B ships as a 32 KB plan literal.
@@ -253,12 +246,18 @@ object TextOps {
     * candidate groups.
     */
   private def fitCommonTokens(docs: org.apache.spark.sql.DataFrame): Array[Long] = {
-    // memoized per canonicalized input plan: the fit is a pure
-    // function of the corpus, and q29/q36/q74 all derive it from the
-    // same frame within a session — a warehouse would persist it at
-    // ingest (the BucketedTables posture); here the second caller
-    // just reuses the first fit. Bounded: cleared past 8 corpora.
-    val key = docs.queryExecution.logical.canonicalized
+    // memoized per (session, canonicalized-plan semantic hash): the
+    // fit is a pure function of the corpus, and q29/q36/q74 all derive
+    // it from the same frame within a session — a warehouse would
+    // persist it at ingest (the BucketedTables posture); here the
+    // second caller just reuses the first fit. The key is a STRING so
+    // the cache never retains a session-tied plan tree past the
+    // session's life; an Int-hash collision (or a rewrite of the data
+    // under the same plan) can only yield a suboptimal token ORDER,
+    // never a wrong answer — any fixed order keeps prefix filtering
+    // lossless. Bounded: cleared past 8 corpora.
+    val key = System.identityHashCode(docs.sparkSession).toString + ":" +
+      docs.queryExecution.logical.canonicalized.semanticHash().toString
     val cached = commonTokenCache.get(key)
     if (cached != null) return cached
     val fit = docs.select(explode(graft.plans.ShingleHashes.of(col("text"))).as("t"))
@@ -272,8 +271,7 @@ object TextOps {
   }
 
   private val commonTokenCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
   /** The unioned key stream of q29's TWO independent lossless blocking
     * layers, `(bk, layer, doc_id)`:
@@ -395,6 +393,11 @@ object TextOps {
     * on candidates only; spurious candidates (fused-key collisions,
     * shared rare tokens below the threshold) cost a verification
     * each, never a wrong row.
+    *
+    * NOTE: building this plan runs ONE bounded Spark job eagerly —
+    * the prefix order's top-F common-token fit ([[fitCommonTokens]])
+    * collects ≤ 4096 longs at plan-construction time (memoized per
+    * session+corpus; a warehouse would persist it at ingest).
     */
   val q29_ngram_jaccard: GraftQuery = GraftQuery(
     "q29_ngram_jaccard",

@@ -200,7 +200,12 @@ object Signatures {
       i += 1
     }
     val r = gramHashes(s, 3)
-    m.keys(m.next) = UTF8String.fromBytes(s.getBytes)
+    // getBytes returns the BACKING array uncopied when the string
+    // exactly spans it, so wrap an explicit copyOf: the memo key must
+    // never alias a reused input buffer (a content-equal lookup after
+    // the buffer is rewritten would return the stale shingle array).
+    val kb = s.getBytes
+    m.keys(m.next) = UTF8String.fromBytes(java.util.Arrays.copyOf(kb, kb.length))
     m.vals(m.next) = r
     m.next = (m.next + 1) & 7
     r
