@@ -76,6 +76,22 @@ object SimilarityOps {
   /** Banded-LSH candidate pairs, pre-verification (the probabilistic
     * half of q30; fully deterministic given the corpus — splitmix
     * constants and xxhash64 are fixed).
+    *
+    * SIZE-RATIO PREFILTER (r15): J ≥ 0.8 forces the two shingle-SET
+    * sizes within ratio 0.8 (J ≤ min/max — the intersection is at
+    * most the smaller set, the union at least the larger), so pairs
+    * failing the exact integer test `5·min ≥ 4·max` can NEVER survive
+    * verification and are dropped at emission. The banded candidate
+    * stream is dominated by low-J bucket collisions between docs of
+    * unrelated lengths (sf10: 8.7M candidates for 48k verified pairs),
+    * and each survivor costs a text-join row plus a shingle recompute
+    * in the verify stage — the filter is output-INVARIANT while
+    * cutting that bill. The set size rides the bucket rows packed into
+    * the doc id's top bits (`sz << 40 | doc_id` — ids stay < 2^40 at
+    * every SF, sizes clamp at 2^23 which can only ADMIT extra pairs,
+    * never drop one), so BoundedCollectSet's cap/sort semantics are
+    * untouched and the sorted array is size-major: `p.a_id` always
+    * carries the smaller set size.
     */
   private[graft] def minhashCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
@@ -83,23 +99,31 @@ object SimilarityOps {
     // signature is ROW-LOCAL via the codegen'd MinHashSig expression:
     // no shingle explode, no signature shuffle — only (doc_id, band)
     // rows ever reach an exchange (see graft.plans.Signatures)
-    val sigs = base.select(col("doc_id"),
-      graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"))
+    val sigs = base.select(
+      graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"),
+      (shiftleft(least(size(shingleHashes("text")).cast("long"), lit((1L << 23) - 1)), 40)
+        + col("doc_id")).as("packed"))
     val bandStructs = (0 until MinhashBands).map { b =>
       val ms = (0 until MinhashRows)
         .map(r => s"element_at(sig, ${b * MinhashRows + r + 1})").mkString(", ")
       s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
     }.mkString(", ")
-    val bands = sigs.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val bands = sigs.select(col("packed"), explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("packed"), col("b.band_id"), col("b.band_hash"))
     bands
       .groupBy(col("band_id"), col("band_hash"))
       // bounded-buffer collect: hot buckets flip to NULL during the
       // aggregate instead of materializing, then the filter drops them
-      .agg(graft.plans.BoundedCollectSet.of(col("doc_id"), MaxBucket).as("ids"))
+      .agg(graft.plans.BoundedCollectSet.of(col("packed"), MaxBucket).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      // size-major sorted ids ⇒ a's set size ≤ b's; lossless J ≥ 0.8
+      // screen, then unpack and re-orient on the raw doc ids
+      .filter(expr("5 * shiftright(p.a_id, 40) >= 4 * shiftright(p.b_id, 40)"))
+      .select(expr(s"p.a_id & ${(1L << 40) - 1}").as("ua"),
+        expr(s"p.b_id & ${(1L << 40) - 1}").as("ub"))
+      .select(least(col("ua"), col("ub")).as("a_id"),
+        greatest(col("ua"), col("ub")).as("b_id"))
       .distinct()
   }
 

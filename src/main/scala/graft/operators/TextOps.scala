@@ -359,6 +359,11 @@ object TextOps {
     // class. As a sort-merge join both sides shuffle on the same key
     // and canonicalize to ONE exchange (ReusedExchange): the keying
     // computes once and the radix sort feeds pair emission directly.
+    // shuffle_hash was MEASURED and rejected (r15): it cuts the join
+    // stage's CPU ~30% at sf10 (no sorts) but a shuffled hash join
+    // cannot spill its build side, and at crawl scale a partition of
+    // this self-joined key stream is hundreds of MB hashed — the r11
+    // q43 OOM class. SMJ spills through the same case gracefully.
     k1.select(col("bk"), col("layer"), col("doc_id").as("a_id")).hint("merge")
       .join(k1.select(col("bk"), col("layer"), col("doc_id").as("b_id")).hint("merge"),
         Seq("bk", "layer"))
