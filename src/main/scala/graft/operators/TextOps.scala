@@ -309,19 +309,23 @@ object TextOps {
       .agg(max(col("cnt")).as("maxc"))
       .select(col("n_chars"), (col("maxc") * 2 / 9 + 1).cast("int").as("k"))
     val common = fitCommonTokens(docs)
-    val buckets = docs.join(broadcast(kmap), "n_chars")
-      .select(col("doc_id"), col("n_chars"),
-        posexplode(graft.plans.PigeonholeBucketHashes.of(
-          graft.plans.ShingleHashes.of(col("text")), col("k")))
-          .as(Seq("bucket", "bh")))
-      .select(xxhash64(col("n_chars"), col("bucket"), col("bh")).as("bk"),
-        lit(0).as("layer"), col("doc_id"))
-    val prefixes = docs.select(col("doc_id"), col("n_chars"),
-      explode(graft.plans.PrefixShingles.of(
-        graft.plans.ShingleHashes.of(col("text")), common)).as("tok"))
-      .select(xxhash64(col("n_chars"), col("tok")).as("bk"),
-        lit(1).as("layer"), col("doc_id"))
-    buckets.unionAll(prefixes)
+    // BOTH layers' keys come out of ONE projection over ONE scan (r15):
+    // the old union of two subtrees scanned + spread + shingled the
+    // text twice (their inferred null filters differ, so AQE could not
+    // reuse the exchanges). The repeated ShingleHashes eval inside this
+    // projection is ~free — the thread-local memo returns the cached
+    // array for the consecutive equal-text call.
+    val sh = graft.plans.ShingleHashes.of(col("text"))
+    val keyArr = concat(
+      transform(graft.plans.PigeonholeBucketHashes.of(sh, col("k")),
+        (bh, i) => struct(xxhash64(col("n_chars"), i, bh).as("bk"),
+          lit(0).as("layer"))),
+      transform(graft.plans.PrefixShingles.of(sh, common),
+        t => struct(xxhash64(col("n_chars"), t).as("bk"),
+          lit(1).as("layer"))))
+    docs.join(broadcast(kmap), "n_chars")
+      .select(col("doc_id"), explode(keyArr).as("kv"))
+      .select(col("kv.bk").as("bk"), col("kv.layer").as("layer"), col("doc_id"))
   }
 
   /** Candidate pair generation over the fused block keys.
