@@ -24,9 +24,9 @@ import org.apache.spark.sql.SparkSession
   *     each exchange, so over-partitioning costs little and
   *     under-partitioning — the default 200 on a 4000-core cluster —
   *     serializes the whole job).
-  *   - `adaptive.coalescePartitions.initialPartitionNum = 8 ×
-  *     totalCores` (i.e. 4 × the shuffle-partition count, floor
-  *     256): shuffle partition count must scale
+  *   - `adaptive.coalescePartitions.initialPartitionNum = 32 ×
+  *     totalCores` (i.e. 16 × the shuffle-partition count, floor
+  *     1024): shuffle partition count must scale
   *     with DATA, not just cores — at 100× the tuned scale, a
   *     cores-sized count hands each sort task a multi-pass
   *     spill (the first sf100 spot-run: q07's per-partition window
@@ -34,7 +34,14 @@ import org.apache.spark.sql.SparkSession
   *     count is free because AQE coalesces every small shuffle back
   *     to ~64 MB targets — toy SFs plan the same post-coalesce counts
   *     they always did, giant SFs fan out before the sort instead of
-  *     spilling through it.
+  *     spilling through it. 8 × was not enough: the r15 sf100 probe
+  *     caught q29's 41 GB pair exchange capped at 256 partitions —
+  *     5.5 M groups per final-aggregate task, just past the hash-map
+  *     budget, so every task fell back to sort-merge (260 GB of
+  *     memory spill, 9 min of GC). 32 × keeps a 10×-the-rehearsed-SF
+  *     exchange under the ~64 MB/partition hash-agg sweet spot;
+  *     MapStatus compression keeps the map-side tracking cost flat
+  *     at six-figure partition counts.
   *   - AQE on, with skew-join splitting: crawl data is Zipfian in
   *     every key that matters (domain, host, length); static plans
   *     that were right at sample scale are wrong at crawl scale.
@@ -81,7 +88,7 @@ object GraftConf {
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", math.max(2 * totalCores, 64).toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(8 * totalCores, 256).toString)
+        math.max(32 * totalCores, 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
   }
@@ -96,7 +103,7 @@ object GraftConf {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (8 * cpus).toString)
+        math.max(32 * cpus, 1024).toString)
       .config("spark.ui.enabled", "false")
   }
 
@@ -110,7 +117,7 @@ object GraftConf {
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (8 * shufflePartitions).toString)
+        math.max(32 * shufflePartitions, 1024).toString)
       .config("spark.ui.enabled", "false")
   }
 

@@ -316,16 +316,24 @@ object TextOps {
     // projection is ~free — the thread-local memo returns the cached
     // array for the consecutive equal-text call.
     val sh = graft.plans.ShingleHashes.of(col("text"))
+    // Each key carries the doc's shingle-set size and (for layer 1)
+    // the token's position in the doc's GLOBAL prefix order. The
+    // transform index IS that global position: PrefixShingles emits
+    // every rare token before any common one, so an emitted token at
+    // output index i has exactly i tokens of the doc ahead of it under
+    // the (isCommon, token) order. Layer 0 carries pos=0 — its pairs
+    // bypass the positional screen (no per-bucket analogue exists).
     val keyArr = concat(
       transform(graft.plans.PigeonholeBucketHashes.of(sh, col("k")),
         (bh, i) => struct(xxhash64(col("n_chars"), i, bh).as("bk"),
-          lit(0).as("layer"))),
+          lit(0).as("layer"), lit(0).as("pos"))),
       transform(graft.plans.PrefixShingles.of(sh, common),
-        t => struct(xxhash64(col("n_chars"), t).as("bk"),
-          lit(1).as("layer"))))
+        (t, i) => struct(xxhash64(col("n_chars"), t).as("bk"),
+          lit(1).as("layer"), i.as("pos"))))
     docs.join(broadcast(kmap), "n_chars")
-      .select(col("doc_id"), explode(keyArr).as("kv"))
-      .select(col("kv.bk").as("bk"), col("kv.layer").as("layer"), col("doc_id"))
+      .select(col("doc_id"), size(sh).as("sz"), explode(keyArr).as("kv"))
+      .select(col("kv.bk").as("bk"), col("kv.layer").as("layer"),
+        col("doc_id"), col("kv.pos").as("pos"), col("sz"))
   }
 
   /** Candidate pair generation over the fused block keys.
@@ -368,10 +376,26 @@ object TextOps {
     // cannot spill its build side, and at crawl scale a partition of
     // this self-joined key stream is hundreds of MB hashed — the r11
     // q43 OOM class. SMJ spills through the same case gracefully.
-    k1.select(col("bk"), col("layer"), col("doc_id").as("a_id")).hint("merge")
-      .join(k1.select(col("bk"), col("layer"), col("doc_id").as("b_id")).hint("merge"),
+    // PPJoin POSITIONAL screen on layer-1 emissions (r15): a shared
+    // prefix token at global-order positions (i, j) bounds the overlap
+    // — every common token sorts at-or-after the pair's MINIMUM common
+    // token, so at that witness I ≤ 1 + min(|A|−i−1, |B|−j−1); J ≥ 0.8
+    // forces 9·I ≥ 4·(|A|+|B|). The min-common-token emission of every
+    // qualifying pair passes the screen BY THAT BOUND, so blocking
+    // stays lossless; what it drops is false pairs whose only shared
+    // rare tokens sit deep in both prefixes (~⅔ of layer-1 emissions
+    // at sf10) — BEFORE they reach the pair exchange, which the sf100
+    // probe showed is the whole tail (41 GB shuffled, 650 GB spilled
+    // intersecting ~1.4 B one-layer-only rows down to 50 M).
+    val emitOk = col("layer") === 0 ||
+      lit(9) * (lit(1) + least(col("a_sz") - col("a_pos") - 1,
+        col("b_sz") - col("b_pos") - 1)) >= lit(4) * (col("a_sz") + col("b_sz"))
+    k1.select(col("bk"), col("layer"), col("doc_id").as("a_id"),
+        col("pos").as("a_pos"), col("sz").as("a_sz")).hint("merge")
+      .join(k1.select(col("bk"), col("layer"), col("doc_id").as("b_id"),
+        col("pos").as("b_pos"), col("sz").as("b_sz")).hint("merge"),
         Seq("bk", "layer"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") && emitOk)
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("layer")).as("l0"), max(col("layer")).as("l1"))
       .filter(col("l0") === 0 && col("l1") === 1)
