@@ -83,12 +83,19 @@ object GraftConf {
     * (master/deploy-mode/memory come from spark-submit itself and are
     * deliberately NOT set here).
     */
+  /** Data-proportional fan-out for AQE's pre-coalesce partition count;
+    * `-Dgraft.initialPartitionNum=N` overrides for experiments.
+    */
+  private def initialPartitions(cores: Int): Int =
+    sys.props.get("graft.initialPartitionNum").map(_.toInt)
+      .getOrElse(math.max(32 * cores, 1024))
+
   def cluster(totalCores: Int): SparkSession.Builder = {
     require(totalCores >= 1, s"totalCores must be >= 1, got $totalCores")
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", math.max(2 * totalCores, 64).toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(32 * totalCores, 1024).toString)
+        initialPartitions(totalCores).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
   }
@@ -103,7 +110,7 @@ object GraftConf {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(32 * cpus, 1024).toString)
+        initialPartitions(cpus).toString)
       .config("spark.ui.enabled", "false")
   }
 
@@ -117,7 +124,7 @@ object GraftConf {
     common(SparkSession.builder())
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(32 * shufflePartitions, 1024).toString)
+        initialPartitions(shufflePartitions).toString)
       .config("spark.ui.enabled", "false")
   }
 
