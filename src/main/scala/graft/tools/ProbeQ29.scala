@@ -36,9 +36,16 @@ object ProbeQ29 {
     println(cand.queryExecution.executedPlan.toString.take(4500))
     val full = TextOps.blockedJaccardPairs(docs)
     time("full blocked pipeline")(println("  pairs=" + full.count()))
+    // under AQE, exchange reuse surfaces as the SAME ShuffleQueryStage
+    // id referenced from both SMJ sides, not as a ReusedExchange node
+    // in the adaptive plan string — count duplicate stage ids too
+    // (stage-metric ground truth: the keyed exchange's bytes are
+    // written once and read 2×, see ProbeQ29b)
     val plan = full.queryExecution.executedPlan.toString
-    println("[q29] executed plan has ReusedExchange/StageReuse: " +
-      (plan.contains("ReusedExchange") || plan.contains("reused")))
+    val stageIds = """ShuffleQueryStage (\d+)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    println("[q29] keyed exchange reused: " +
+      (plan.contains("ReusedExchange") || stageIds.distinct.size < stageIds.size))
     (1 to 2).foreach { r =>
       time(s"full rerun $r")(TextOps.blockedJaccardPairs(docs).count())
     }
