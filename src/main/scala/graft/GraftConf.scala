@@ -87,8 +87,16 @@ object GraftConf {
     * `-Dgraft.initialPartitionNum=N` overrides for experiments.
     */
   private def initialPartitions(cores: Int): Int =
-    sys.props.get("graft.initialPartitionNum").map(_.toInt)
-      .getOrElse(math.max(32 * cores, 1024))
+    sys.props.get("graft.initialPartitionNum").map { v =>
+      // fail fast with the property name: a malformed or non-positive
+      // value would otherwise surface as an opaque Spark conf error
+      // (or a bare NumberFormatException) several stages later
+      val n = v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"-Dgraft.initialPartitionNum must be an integer, got '$v'"))
+      require(n > 0, s"-Dgraft.initialPartitionNum must be > 0, got $n")
+      n
+    }.getOrElse(math.max(32 * cores, 1024))
 
   def cluster(totalCores: Int): SparkSession.Builder = {
     require(totalCores >= 1, s"totalCores must be >= 1, got $totalCores")

@@ -99,10 +99,19 @@ object SimilarityOps {
     // signature is ROW-LOCAL via the codegen'd MinHashSig expression:
     // no shingle explode, no signature shuffle — only (doc_id, band)
     // rows ever reach an exchange (see graft.plans.Signatures)
-    val sigs = base.select(
-      graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"),
-      (shiftleft(least(size(shingleHashes("text")).cast("long"), lit((1L << 23) - 1)), 40)
-        + col("doc_id")).as("packed"))
+    val sigs = base
+      // the packing below is only injective while ids stay inside
+      // [0, 2^40) — enforce it AT THE SITE that depends on it (the q34
+      // dim-assert pattern), not just via fixture-generation headroom:
+      // a violating id would silently corrupt the size screen and
+      // could DROP true pairs
+      .filter(assert_true(col("doc_id") >= 0 && col("doc_id") < (1L << 40),
+        concat(lit("doc_id outside [0, 2^40) breaks sz<<40 packing: "),
+          col("doc_id").cast("string"))).isNull)
+      .select(
+        graft.plans.MinHashSig.of(col("text"), MinhashHashes).as("sig"),
+        (shiftleft(least(size(shingleHashes("text")).cast("long"), lit((1L << 23) - 1)), 40)
+          + col("doc_id")).as("packed"))
     val bandStructs = (0 until MinhashBands).map { b =>
       val ms = (0 until MinhashRows)
         .map(r => s"element_at(sig, ${b * MinhashRows + r + 1})").mkString(", ")

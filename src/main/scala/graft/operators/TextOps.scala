@@ -151,7 +151,7 @@ object TextOps {
     */
   /** Exact-Jaccard verification of a candidate pair frame against a
     * `(doc_id, …, text)` frame — the stage every fuzzy-dedup spelling
-    * (q29's pigeonhole block, q30's LSH, the q36/q74 cluster sources)
+    * (q29's prefix block, q30's LSH, the q36/q74 cluster sources)
     * funnels through.
     *
     * SHUFFLES TEXT, RECOMPUTES SHINGLES (r14): a doc's shingle-hash
@@ -205,7 +205,7 @@ object TextOps {
 
   /** The pre-r12 |block|² spelling (length-blocked all-pairs self-join)
     * — kept ONLY as the differential reference for Q29BlockingSpec,
-    * which proves the pigeonhole plan emits the identical pair set.
+    * which proves the blocked plan emits the identical pair set.
     */
   private[graft] def bruteForceJaccardPairs(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
@@ -222,8 +222,8 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** The length × pigeonhole-bucket blocked plan over a
-    * `(doc_id, n_chars, shingles)` frame — see q29's doc comment.
+  /** The length × prefix-token blocked plan over a
+    * `(doc_id, n_chars, text)` frame — see q29's doc comment.
     */
   private[graft] def blockedJaccardPairs(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame =
@@ -273,142 +273,125 @@ object TextOps {
   private val commonTokenCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  /** The unioned key stream of q29's TWO independent lossless blocking
-    * layers, `(bk, layer, doc_id)`:
-    *
-    *   layer 0 — pigeonhole bucket-content keys
-    *     (plans.PigeonholeBucketHashes, k > 2·maxShingles/9 per length
-    *     class): every J ≥ 0.8 pair shares at least one bucket's exact
-    *     content.
-    *   layer 1 — PPJoin/AllPairs prefix tokens (plans.PrefixShingles):
-    *     every J ≥ 0.8 pair shares its minimum common token within
-    *     both prefixes.
-    *
-    * Each layer alone is lossless but leaks false candidates
-    * quadratically in length-class size with a small constant —
-    * pigeonhole through shared-EMPTY-bucket and isolated-shared-token
-    * buckets (~4% of same-length pairs at sf10), prefixes through
-    * small-hash frequent tokens on this flat-frequency corpus (~5%).
-    * Requiring a match in BOTH layers multiplies the leaks (~0.2%)
-    * while preserving losslessness — each layer's witness is
-    * guaranteed for every qualifying pair, so a qualifying pair
-    * matches in both BY CONSTRUCTION (see blockedCandidatePairs).
-    * Keys fuse to one 8-byte hash: a fused-key collision can only
-    * MERGE groups (a superset of candidates, each rejected by exact
-    * verification), never split one.
+  /** The PPJoin/AllPairs PREFIX key stream `(bk, doc_id, pos, sz)` —
+    * q29's blocking layer: every J ≥ 0.8 pair shares its minimum
+    * common token within both docs' (1−t)·|set|+1 rare-first prefixes,
+    * so emitting each doc under its prefix tokens is a lossless block
+    * ON ITS OWN. Each key carries the doc's shingle-set size (as LONG
+    * — the positional screen multiplies it by 9, and a ~2²⁸-shingle
+    * doc must widen, not wrap) and the token's position in the doc's
+    * GLOBAL prefix order: the transform index IS that position,
+    * because PrefixShingles emits every rare token before any common
+    * one.
     */
-  private[graft] def fusedBlockKeys(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def prefixKeys(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
-    val counted = docs.select(col("n_chars"),
-      size(graft.plans.ShingleHashes.of(col("text"))).as("cnt"))
-    // k per LENGTH CLASS from the class's max shingle count — a shared
-    // attribute, so both members of any candidate pair derive the same
-    // bucket partition (the losslessness precondition). The kmap is
-    // |distinct n_chars| rows: broadcast at any corpus size.
-    val kmap = counted.groupBy(col("n_chars"))
-      .agg(max(col("cnt")).as("maxc"))
-      .select(col("n_chars"), (col("maxc") * 2 / 9 + 1).cast("int").as("k"))
     val common = fitCommonTokens(docs)
-    // BOTH layers' keys come out of ONE projection over ONE scan (r15):
-    // the old union of two subtrees scanned + spread + shingled the
-    // text twice (their inferred null filters differ, so AQE could not
-    // reuse the exchanges). The repeated ShingleHashes eval inside this
-    // projection is ~free — the thread-local memo returns the cached
-    // array for the consecutive equal-text call.
     val sh = graft.plans.ShingleHashes.of(col("text"))
-    // Each key carries the doc's shingle-set size and (for layer 1)
-    // the token's position in the doc's GLOBAL prefix order. The
-    // transform index IS that global position: PrefixShingles emits
-    // every rare token before any common one, so an emitted token at
-    // output index i has exactly i tokens of the doc ahead of it under
-    // the (isCommon, token) order. Layer 0 carries pos=0 — its pairs
-    // bypass the positional screen (no per-bucket analogue exists).
-    val keyArr = concat(
-      transform(graft.plans.PigeonholeBucketHashes.of(sh, col("k")),
-        (bh, i) => struct(xxhash64(col("n_chars"), i, bh).as("bk"),
-          lit(0).as("layer"), lit(0).as("pos"))),
-      transform(graft.plans.PrefixShingles.of(sh, common),
-        (t, i) => struct(xxhash64(col("n_chars"), t).as("bk"),
-          lit(1).as("layer"), i.as("pos"))))
-    docs.join(broadcast(kmap), "n_chars")
-      .select(col("doc_id"), size(sh).as("sz"), explode(keyArr).as("kv"))
-      .select(col("kv.bk").as("bk"), col("kv.layer").as("layer"),
-        col("doc_id"), col("kv.pos").as("pos"), col("sz"))
+    val keyArr = transform(graft.plans.PrefixShingles.of(sh, common),
+      (t, i) => struct(xxhash64(col("n_chars"), t).as("bk"), i.as("pos")))
+    docs
+      .select(col("doc_id"), size(sh).cast("long").as("sz"),
+        explode(keyArr).as("kv"))
+      .select(col("kv.bk").as("bk"), col("doc_id"), col("kv.pos").as("pos"),
+        col("sz"))
   }
 
-  /** Candidate pair generation over the fused block keys.
+  /** Candidate pair generation: ONE prefix-key self-join, positionally
+    * screened — the r16 respelling of the r15 dual-layer intersection.
+    *
+    * Candidate gen is a SELF-JOIN on the prefix key, not a
+    * groupBy(collect_set) (r13): the keyed stream is ~0.2 rows per
+    * character of input, and feeding it into an object aggregate
+    * melts down at scale — collect_set passes the object-hash
+    * fallback threshold on every task (~20M groups/task, nearly all
+    * singletons) and sort-spills the whole stream on BOTH sides of
+    * the exchange (~60 GB of transient disk at sf100 for 16 GB of
+    * input; the first sf100 spot-run died on ENOSPC exactly there).
+    * The equi-self-join spelling shuffles the three-column rows,
+    * radix-sorts them, and emits within-run pairs straight out of
+    * codegen'd SortMergeJoin; no aggregate ever sees the fat stream.
+    *
+    * WHY THE PIGEONHOLE LAYER IS GONE (r16): r15 emitted a SECOND
+    * lossless layer's keys (pigeonhole bucket-content hashes) into the
+    * self-join and intersected the two layers' pair sets afterwards
+    * (min=0 ∧ max=1 over matched layer tags). The sf100 probe showed
+    * the surviving superlinear term was that layer's OWN pair emission
+    * — co-empty and isolated-shared-token buckets pair ~3% of every
+    * length class quadratically, and those rows existed only to be
+    * dropped by the intersection AFTER riding the pair exchange (the
+    * e^{-2·load} bucket-coincidence rate is inherent to a minimal-k
+    * pigeonhole, not tunable). The r16 A/B (ProbeQ29d, sf10) showed
+    * the intersection buys only ~23% fewer verified candidates once
+    * the positional screen is in place (2.59M screened prefix pairs →
+    * 2.01M intersected, 20.9k true) — while paying for a second keyed
+    * stream as large as the first plus the layer's own coincidence
+    * pairs. Prefix-only is LOSSLESS BY ITSELF (the PPJoin witness —
+    * Q29BlockingSpec's property + differential suites pin it), emits
+    * pairs from exactly one screened key stream, and measured 1.5×
+    * faster at sf10 (9.4s vs 14.5s steady-state) with the identical
+    * output; at sf100 it deletes the probe-named superlinear term
+    * outright. Exact verification absorbs the ~23% extra candidates.
+    *
+    * No hot-key cap ON PURPOSE: dropping a hot group would break the
+    * lossless contract (output = the full ≥ 0.8 pair set, which is
+    * itself quadratic in a degenerate all-identical corpus — a cap
+    * would hide that instead of surfacing it).
+    * merge-join hint ON PURPOSE: Catalyst's size estimate for the
+    * keyed stream survives the explode (a Generate keeps its child's
+    * stats), so the optimizer BROADCASTS a 33M-row build side at sf10
+    * and executes the whole keying subtree twice — the q43 r11 bug
+    * class. As a sort-merge join both sides shuffle on the same key
+    * and canonicalize to ONE exchange (ReusedExchange): the keying
+    * computes once and the radix sort feeds pair emission directly.
+    * shuffle_hash was MEASURED and rejected (r15): it cuts the join
+    * stage's CPU ~30% at sf10 (no sorts) but a shuffled hash join
+    * cannot spill its build side, and at crawl scale a partition of
+    * this self-joined key stream is hundreds of MB hashed — the r11
+    * q43 OOM class. SMJ spills through the same case gracefully.
+    * PPJoin POSITIONAL screen on the emissions (r15): a shared
+    * prefix token at global-order positions (i, j) bounds the overlap
+    * — every common token sorts at-or-after the pair's MINIMUM common
+    * token, so at that witness I ≤ 1 + min(|A|−i−1, |B|−j−1); J ≥ 0.8
+    * forces 9·I ≥ 4·(|A|+|B|). The min-common-token emission of every
+    * qualifying pair passes the screen BY THAT BOUND, so blocking
+    * stays lossless; what it drops is false pairs whose only shared
+    * rare tokens sit deep in both prefixes (~⅔ of emissions at sf10)
+    * — BEFORE they reach the pair exchange. Arithmetic is LONG (sz
+    * rides as long): 9·(|A|+|B|) on a ~2²⁸-shingle doc must widen,
+    * not wrap Int and wrongly drop a qualifying pair.
     */
   private[graft] def blockedCandidatePairs(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
-    val k1 = fusedBlockKeys(docs)
-    // Candidate gen is a SELF-JOIN on the fused key, not a
-    // groupBy(collect_set) (r13): the keyed stream is ~0.2 rows per
-    // character of input, and feeding it into an object aggregate
-    // melts down at scale — collect_set passes the object-hash
-    // fallback threshold on every task (~20M groups/task, nearly all
-    // singletons) and sort-spills the whole stream on BOTH sides of
-    // the exchange (~60 GB of transient disk at sf100 for 16 GB of
-    // input; the first sf100 spot-run died on ENOSPC exactly there).
-    // The equi-self-join spelling shuffles the three-column rows,
-    // radix-sorts them, and emits within-run pairs straight out of
-    // codegen'd SortMergeJoin; no aggregate ever sees the fat stream,
-    // and the join's equal-key run product is exactly the within-group
-    // pair expansion.
-    // A pair is a candidate only if it matched in BOTH blocking layers
-    // (min=0 ∧ max=1 over its matched keys' layer tags): each layer's
-    // witness is guaranteed for every J ≥ 0.8 pair, so the
-    // intersection is still lossless while the layers' independent
-    // false-candidate leaks multiply away (sf10: 5.4M pigeonhole-only
-    // candidates for 20.9k true pairs → ~170k intersected).
-    // No hot-key cap ON PURPOSE: dropping a hot group would break the
-    // lossless contract (output = the full ≥ 0.8 pair set, which is
-    // itself quadratic in a degenerate all-identical corpus — a cap
-    // would hide that instead of surfacing it).
-    // merge-join hint ON PURPOSE: Catalyst's size estimate for the
-    // keyed stream survives the explode (a Generate keeps its child's
-    // stats), so the optimizer BROADCASTS a 33M-row build side at sf10
-    // and executes the whole keying subtree twice — the q43 r11 bug
-    // class. As a sort-merge join both sides shuffle on the same key
-    // and canonicalize to ONE exchange (ReusedExchange): the keying
-    // computes once and the radix sort feeds pair emission directly.
-    // shuffle_hash was MEASURED and rejected (r15): it cuts the join
-    // stage's CPU ~30% at sf10 (no sorts) but a shuffled hash join
-    // cannot spill its build side, and at crawl scale a partition of
-    // this self-joined key stream is hundreds of MB hashed — the r11
-    // q43 OOM class. SMJ spills through the same case gracefully.
-    // PPJoin POSITIONAL screen on layer-1 emissions (r15): a shared
-    // prefix token at global-order positions (i, j) bounds the overlap
-    // — every common token sorts at-or-after the pair's MINIMUM common
-    // token, so at that witness I ≤ 1 + min(|A|−i−1, |B|−j−1); J ≥ 0.8
-    // forces 9·I ≥ 4·(|A|+|B|). The min-common-token emission of every
-    // qualifying pair passes the screen BY THAT BOUND, so blocking
-    // stays lossless; what it drops is false pairs whose only shared
-    // rare tokens sit deep in both prefixes (~⅔ of layer-1 emissions
-    // at sf10) — BEFORE they reach the pair exchange, which the sf100
-    // probe showed is the whole tail (41 GB shuffled, 650 GB spilled
-    // intersecting ~1.4 B one-layer-only rows down to 50 M).
-    val emitOk = col("layer") === 0 ||
-      lit(9) * (lit(1) + least(col("a_sz") - col("a_pos") - 1,
-        col("b_sz") - col("b_pos") - 1)) >= lit(4) * (col("a_sz") + col("b_sz"))
-    k1.select(col("bk"), col("layer"), col("doc_id").as("a_id"),
+    val k1 = prefixKeys(docs)
+    val emitOk =
+      lit(9L) * (lit(1L) + least(col("a_sz") - col("a_pos") - 1,
+        col("b_sz") - col("b_pos") - 1)) >= lit(4L) * (col("a_sz") + col("b_sz"))
+    // distinct (one exchange over two-long rows): a pair sharing
+    // several screened prefix tokens must be verified once, not once
+    // per shared token (verifyJaccardPairs checkpoints the result)
+    k1.select(col("bk"), col("doc_id").as("a_id"),
         col("pos").as("a_pos"), col("sz").as("a_sz")).hint("merge")
-      .join(k1.select(col("bk"), col("layer"), col("doc_id").as("b_id"),
+      .join(k1.select(col("bk"), col("doc_id").as("b_id"),
         col("pos").as("b_pos"), col("sz").as("b_sz")).hint("merge"),
-        Seq("bk", "layer"))
+        Seq("bk"))
       .filter(col("a_id") < col("b_id") && emitOk)
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(min(col("layer")).as("l0"), max(col("layer")).as("l1"))
-      .filter(col("l0") === 0 && col("l1") === 1)
       .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 
   // dev-probe hooks for graft.tools.ProbeQ29 (cost decomposition)
   private[graft] def probeShingled(s: org.apache.spark.sql.SparkSession, dir: String) =
     nearDupDocs(s, dir)
   private[graft] def probeKeyed(docs: org.apache.spark.sql.DataFrame) =
-    fusedBlockKeys(docs)
+    prefixKeys(docs)
   private[graft] def probeCand(docs: org.apache.spark.sql.DataFrame) =
     blockedCandidatePairs(docs)
+  private[graft] def probeCommonTokens(docs: org.apache.spark.sql.DataFrame) =
+    fitCommonTokens(docs)
+  private[graft] def probeVerify(docs: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame) =
+    verifyJaccardPairs(docs, cand)
 
   /** Character 3-gram Jaccard near-dup detection at the EXACT ≥ 0.8
     * threshold, with a deterministic two-level block: exact text length

@@ -331,32 +331,6 @@ object Signatures {
     new GenericArrayData(java.util.Arrays.copyOf(hs, wr))
   }
 
-  /** Per-bucket content hashes of a sorted distinct hash set — see
-    * [[PigeonholeBucketHashes]] for the losslessness argument. One pass
-    * over the array: element x goes to bucket splitmix(x) mod k, each
-    * bucket chains its members (in the global sorted order, which both
-    * pair partners share) through an odd-multiplier accumulator. Empty
-    * buckets keep the 0 sentinel — they MUST be emitted (a both-empty
-    * bucket is a valid pigeonhole witness), and a chain colliding with
-    * 0 or with another chain only ever ADDS a candidate pair (the
-    * exact-Jaccard verify filters it), never loses one.
-    */
-  def pigeonholeBucketHashes(sh: ArrayData, k: Int): ArrayData = {
-    val out = new Array[Long](k)
-    val n = sh.numElements()
-    var i = 0
-    while (i < n) {
-      val x = sh.getLong(i)
-      // remix before mod: the input longs are already hashes, but their
-      // low bits fed this operator's OWN chaining in callers upstream —
-      // decorrelate bucket choice from the raw value
-      val b = ((splitmix(x) % k).toInt + k) % k
-      out(b) = out(b) * 0x9E3779B97F4A7C15L + x
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
   /** Two-pointer |a ∩ b| over sorted distinct long arrays — see
     * [[SortedIntersectCount]].
     */
@@ -576,49 +550,6 @@ object PrefixShingles {
     */
   def of(sh: Column, common: Array[Long]): Column =
     CB.column(PrefixShingles(CB.expression(sh), common.sorted))
-}
-
-/** `pigeonhole_bucket_hashes(shingles, k)` → array<bigint>(k): the
-  * shingle set partitioned into k hash buckets, each bucket reduced to
-  * one content-chain hash (empty bucket → 0 sentinel).
-  *
-  * One of q29's TWO independent lossless blocking layers (see
-  * [[PrefixShingles]] for the other and TextOps.q29_ngram_jaccard for
-  * the intersection argument): two same-length docs A, B with
-  * J(A,B) ≥ 0.8 have symmetric difference d = |A∪B| − |A∩B| ≤
-  * 0.2|A∪B| ≤ (|A|+|B|)/9, and each differing element perturbs
-  * exactly one bucket's chain — so with k > (|A|+|B|)/9 buckets at
-  * least one bucket has IDENTICAL content on both sides (possibly
-  * both-empty) and the pair surfaces in that bucket's candidate
-  * group. Sizing k from the LENGTH CLASS's max shingle count (a
-  * shared attribute — both partners derive the same k) makes the
-  * layer provably lossless at the ≥ 0.8 threshold. Unlike MinHash
-  * banding (probabilistic false negatives), this key CANNOT miss a
-  * qualifying pair, so the brute-force oracle hash is preserved
-  * bit-for-bit.
-  */
-case class PigeonholeBucketHashes(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "pigeonhole_bucket_hashes"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    Signatures.pigeonholeBucketHashes(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.Signatures.pigeonholeBucketHashes($a, $b)")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PigeonholeBucketHashes =
-    copy(left = newLeft, right = newRight)
-}
-
-object PigeonholeBucketHashes {
-  def of(sh: Column, k: Column): Column =
-    CB.column(PigeonholeBucketHashes(CB.expression(sh), CB.expression(k)))
 }
 
 /** `compression_ratio(text)` → double in (0, ~1.1]: deflated size over

@@ -102,7 +102,7 @@ class Q29BlockingSpec extends SparkSpec {
             inter ++ a.filter(_ => rnd.nextBoolean()))) {
           // full O-order of each doc (rare ascending, then common
           // ascending) — positions are indices in THIS order, which
-          // is what the transform index in fusedBlockKeys equals for
+          // is what the transform index in prefixKeys equals for
           // every emitted prefix token
           def oOrder(s: Seq[Long]) = {
             val srt = s.sorted
