@@ -96,6 +96,15 @@ object SimilarityOps {
   private[graft] def minhashCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
     val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+    sketchScreen(base, bandedCandidatePairs(base))
+  }
+
+  /** The banding stage alone (pre-screen) — split from
+    * [[minhashCandidatePairs]] so SimilaritySpec can prove the sketch
+    * screen output-invariant by verifying both frames.
+    */
+  private[graft] def bandedCandidatePairs(base: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
     // signature is ROW-LOCAL via the codegen'd MinHashSig expression:
     // no shingle explode, no signature shuffle — only (doc_id, band)
     // rows ever reach an exchange (see graft.plans.Signatures)
@@ -134,6 +143,32 @@ object SimilarityOps {
       .select(least(col("ua"), col("ub")).as("a_id"),
         greatest(col("ua"), col("ub")).as("b_id"))
       .distinct()
+  }
+
+  /** COUNT-SKETCH SCREEN (r16): the banded candidate mass sits at
+    * J 0.5-0.7 (ProbeQ30b: 93% of sf1's 707k candidates; 142:1
+    * candidate:pair at sf100) and each survivor ships text + pays a
+    * per-pair shingle recompute in the verify stage. The 132-byte
+    * jaccard_sketch upper-bounds |A ∩ B| per pair (per-bucket min
+    * + exact saturation residuals — plans.JaccardSketchExpr), so
+    * `jaccard_sketch_pass` drops ONLY pairs that exact verification
+    * would provably reject: the final pair set is bit-identical and
+    * the q30_verify oracle (which reads the dump this frame becomes)
+    * stays intact by construction. At ~143 shingles/doc the 256
+    * buckets sit at load ≪ 1 and the bound is nearly exact —
+    * everything below J ≈ 0.73 screens out before any text moves.
+    * SimilaritySpec proves the invariance by verifying the banded and
+    * screened frames to the same pair set.
+    */
+  private[graft] def sketchScreen(docs: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sk = docs.select(col("doc_id"),
+      graft.plans.JaccardSketchExpr.of(shingleHashes("text")).as("sk"))
+    cand
+      .join(sk.select(col("doc_id").as("a_id"), col("sk").as("a_sk")), "a_id")
+      .join(sk.select(col("doc_id").as("b_id"), col("sk").as("b_sk")), "b_id")
+      .filter(graft.plans.JaccardSketchPass.of(col("a_sk"), col("b_sk")))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Exact-Jaccard verification over a candidate pair frame (the

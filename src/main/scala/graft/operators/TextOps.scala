@@ -170,7 +170,7 @@ object TextOps {
     * crosses an exchange. Values are bit-identical to the materialized
     * spelling: ShingleHashes is a pure function of text.
     */
-  private[operators] def verifyJaccardPairs(
+  private[graft] def verifyJaccardPairs(
       docs: org.apache.spark.sql.DataFrame,
       cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = (c: org.apache.spark.sql.Column) => graft.plans.ShingleHashes.of(c)

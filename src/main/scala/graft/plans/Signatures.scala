@@ -331,6 +331,83 @@ object Signatures {
     new GenericArrayData(java.util.Arrays.copyOf(hs, wr))
   }
 
+  /** Bucket count of [[jaccardSketch]]: 256 four-bit saturating
+    * counters = 128 B per doc. Sized for this corpus class (~50-600
+    * distinct shingles per doc → bucket load ≪ 1, so the min-sum
+    * bound is nearly exact); the bound stays PROVABLY conservative at
+    * any load — a bigger corpus only loses screen selectivity, never
+    * a pair.
+    */
+  val JaccardSketchK = 256
+
+  /** `jaccard_sketch(shingles)` → k/2 nibble-packed 4-bit saturating
+    * bucket counts (bucket = splitmix(x) mod k) followed by the exact
+    * element count as a little-endian int — the compact per-doc
+    * summary [[jaccardSketchPass]] screens candidate pairs with. See
+    * [[JaccardSketchExpr]] for the bound's proof.
+    */
+  def jaccardSketch(sh: ArrayData): Array[Byte] = {
+    val k = JaccardSketchK
+    val out = new Array[Byte](k / 2 + 4)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      // remix before mod (the ShingleHashes low bits fed chains upstream)
+      val b = ((splitmix(x) % k).toInt + k) % k
+      val byteIdx = b >> 1
+      val cur = out(byteIdx) & 0xFF
+      if ((b & 1) == 0) {
+        if ((cur & 0x0F) < 15) out(byteIdx) = (cur + 1).toByte
+      } else {
+        if ((cur >>> 4) < 15) out(byteIdx) = (cur + 0x10).toByte
+      }
+      i += 1
+    }
+    out(k / 2) = (n & 0xFF).toByte
+    out(k / 2 + 1) = ((n >> 8) & 0xFF).toByte
+    out(k / 2 + 2) = ((n >> 16) & 0xFF).toByte
+    out(k / 2 + 3) = ((n >> 24) & 0xFF).toByte
+    out
+  }
+
+  /** `jaccard_sketch_pass(a, b)` → false ONLY IF J(A,B) < 0.8 is
+    * certain from the sketches alone. Bound: I = Σ_buckets I_i with
+    * I_i ≤ min(a_i, b_i); where either counter saturated (15) the true
+    * counts are unknown, so those buckets contribute
+    * min(Σ_sat a_i, Σ_sat b_i) computed EXACTLY from the stored totals
+    * minus the unsaturated sums. J ≥ 0.8 ⟺ 9·I ≥ 4·(|A|+|B|), so
+    * pass ⟺ 9·bound ≥ 4·(ta+tb) — every qualifying pair passes
+    * because bound ≥ I.
+    */
+  def jaccardSketchPass(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val k = JaccardSketchK
+    var minSum = 0L
+    var aUnsat = 0L
+    var bUnsat = 0L
+    var i = 0
+    while (i < k / 2) {
+      val ab = a(i) & 0xFF
+      val bb = b(i) & 0xFF
+      val a0 = ab & 0x0F; val a1 = ab >>> 4
+      val b0 = bb & 0x0F; val b1 = bb >>> 4
+      if (a0 < 15 && b0 < 15) {
+        minSum += math.min(a0, b0); aUnsat += a0; bUnsat += b0
+      }
+      if (a1 < 15 && b1 < 15) {
+        minSum += math.min(a1, b1); aUnsat += a1; bUnsat += b1
+      }
+      i += 1
+    }
+    def total(s: Array[Byte]): Long =
+      (s(k / 2) & 0xFFL) | ((s(k / 2 + 1) & 0xFFL) << 8) |
+        ((s(k / 2 + 2) & 0xFFL) << 16) | ((s(k / 2 + 3) & 0xFFL) << 24)
+    val ta = total(a)
+    val tb = total(b)
+    val bound = minSum + math.min(ta - aUnsat, tb - bUnsat)
+    9L * bound >= 4L * (ta + tb)
+  }
+
   /** Two-pointer |a ∩ b| over sorted distinct long arrays — see
     * [[SortedIntersectCount]].
     */
@@ -471,6 +548,70 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object SortedIntersectCount {
   def of(a: Column, b: Column): Column =
     CB.column(SortedIntersectCount(CB.expression(a), CB.expression(b)))
+}
+
+/** `jaccard_sketch(shingles)` → binary(132): 256 nibble-packed 4-bit
+  * saturating bucket counts + the exact element count (LE int) — the
+  * compact per-doc summary for the conservative candidate screen.
+  *
+  * The screen (see [[JaccardSketchPass]]) upper-bounds |A ∩ B| from
+  * the two sketches: per-bucket intersection can't exceed the smaller
+  * count, and saturated buckets fall back to exact residual mass from
+  * the stored totals — so a pair is dropped ONLY when J < 0.8 is
+  * certain. 128 B ships where an 8 B/char shingle array (or the text
+  * itself) would otherwise ride the pair exchange, and a candidate
+  * culled here skips the verify stage's per-pair shingle recompute
+  * entirely (q30's sf100 bill: ~320 s verifying 67.8 M banded
+  * candidates of which ~99% sit at J 0.5-0.7 — measured by
+  * ProbeQ30b).
+  */
+case class JaccardSketchExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "jaccard_sketch"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Signatures.jaccardSketch(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.jaccardSketch($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): JaccardSketchExpr =
+    copy(child = newChild)
+}
+
+object JaccardSketchExpr {
+  def of(sh: Column): Column = CB.column(JaccardSketchExpr(CB.expression(sh)))
+}
+
+/** `jaccard_sketch_pass(a, b)` → boolean: false only if the sketches
+  * PROVE J(A,B) < 0.8 — see [[JaccardSketchExpr]]. Every J ≥ 0.8 pair
+  * passes (the bound dominates the true intersection), so screening
+  * with this predicate is output-invariant for an exact-verified
+  * pipeline.
+  */
+case class JaccardSketchPass(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "jaccard_sketch_pass"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Signatures.jaccardSketchPass(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.Signatures.jaccardSketchPass($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSketchPass =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSketchPass {
+  def of(a: Column, b: Column): Column =
+    CB.column(JaccardSketchPass(CB.expression(a), CB.expression(b)))
 }
 
 /** `word_window_hashes(text, w)` → sorted distinct array<bigint> of

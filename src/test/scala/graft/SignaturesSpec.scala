@@ -162,4 +162,52 @@ class SignaturesSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(edge(1) == 1, "identical 3-char texts share their single gram")
   }
+
+  test("jaccard sketch bound is conservative: pass=false proves J < 0.8") {
+    // the screen may only drop pairs exact verification would reject —
+    // check on random set pairs swept across the threshold, including
+    // saturation regimes (sets far larger than the 4-bit counters)
+    def sketch(xs: Seq[Long]) = Signatures.jaccardSketch(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray))
+    val rnd = new scala.util.Random(31)
+    var dropped = 0
+    var qualifying = 0
+    for (trial <- 0 until 2000) {
+      // three size regimes: tiny, fixture-like, saturating (n >> 15*256)
+      val m = Seq(1 + rnd.nextInt(6), 30 + rnd.nextInt(300),
+        8000 + rnd.nextInt(4000))(trial % 3)
+      val a = Seq.fill(m)(rnd.nextLong()).distinct
+      val d = rnd.nextInt(math.max(1, m / 3))
+      val b = (a.drop(d) ++ Seq.fill(d)(rnd.nextLong())).distinct
+      val inter = a.toSet.intersect(b.toSet).size
+      val pass = Signatures.jaccardSketchPass(sketch(a), sketch(b))
+      val qualifies = 9L * inter >= 4L * (a.size + b.size) // J >= 0.8 exactly
+      if (qualifies) {
+        qualifying += 1
+        assert(pass, s"trial $trial: qualifying pair dropped " +
+          s"(|A|=${a.size} |B|=${b.size} I=$inter)")
+      }
+      if (!pass) dropped += 1
+    }
+    assert(qualifying > 300, s"fixture too weak: $qualifying qualifying pairs")
+    assert(dropped > 300, s"screen never fires: $dropped dropped")
+  }
+
+  test("jaccard sketch expression equals the driver-side computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val texts = Seq("", "abc", "abcabcabc") ++
+      (1 to 20).map(_ => Seq.fill(5 + rnd.nextInt(200))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+    val got = texts.toDF("text").select(
+      graft.plans.JaccardSketchExpr.of(graft.plans.ShingleHashes.of(col("text")))
+        .as("sk")).collect().map(_.getAs[Array[Byte]](0))
+    texts.zip(got).foreach { case (t, sk) =>
+      val sh = Signatures.shingleHashes(UTF8String.fromString(t))
+      val want = Signatures.jaccardSketch(sh)
+      assert(java.util.Arrays.equals(sk, want), s"text '$t'")
+      // self-pass: any set passes against itself (J = 1)
+      assert(Signatures.jaccardSketchPass(sk, sk), s"self-pass '$t'")
+    }
+  }
 }

@@ -37,6 +37,28 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"q29 pairs missing from LSH: ${exact -- lsh}")
   }
 
+  test("q30 sketch screen is output-invariant (verified banded == verified screened)") {
+    // the r16 count-sketch screen may drop banded candidates ONLY when
+    // the sketches prove J < 0.8 — so exact verification over the raw
+    // banded pairs and over the screened pairs must emit the same set
+    val base = Tables.docsWithNearDups(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val banded = SimilarityOps.bandedCandidatePairs(base).localCheckpoint()
+    val screened = SimilarityOps.sketchScreen(base, banded).localCheckpoint()
+    val nBanded = banded.count()
+    val nScreened = screened.count()
+    assert(nScreened < nBanded,
+      s"screen never fires at $sfDir: $nScreened of $nBanded")
+    def verified(c: org.apache.spark.sql.DataFrame) =
+      TextOps.verifyJaccardPairs(base, c).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Double]("jaccard"))).toSet
+    val a = verified(banded)
+    val b = verified(screened)
+    assert(a == b, s"sym-diff: ${(a diff b) ++ (b diff a)}")
+    assert(a.nonEmpty)
+  }
+
   test("q31 SimHash finds exactly the pairs within hamming 3 (pigeonhole)") {
     val out = SimilarityOps.q31_simhash.run(spark, sfDir).collect()
     assert(out.forall(_.getAs[Int]("hamming") <= 3))
