@@ -146,6 +146,16 @@ object GraftConf {
   private def common(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.session.timeZone", "UTC")
+      // trust `sortBy` ordering when reading bucketed tables (r16):
+      // Spark 3+ stopped reporting bucket sort order by default
+      // because multi-file buckets are only sorted per-file — every
+      // graft bucketed layout repartitions onto the bucket hash before
+      // writing, so each bucket is exactly ONE file and the order is
+      // real. With the conf off, every sort-merge join against a
+      // bucketed fact re-sorted the pre-sorted side (at dedup scale:
+      // a corpus-wide text sort per verify run). BucketedJoinSpec
+      // asserts both the Sort-free plan and result equality.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

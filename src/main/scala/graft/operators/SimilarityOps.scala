@@ -95,7 +95,10 @@ object SimilarityOps {
     */
   private[graft] def minhashCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
-    val base = Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+    // bucketed corpus (r16): the sketch-screen joins key on doc_id, so
+    // the doc_id-bucketed layout feeds them exchange-free
+    val base = graft.BucketedTables.docsNearDups(s, dir)
+      .select(col("doc_id"), col("text"))
     sketchScreen(base, bandedCandidatePairs(base))
   }
 
@@ -183,7 +186,8 @@ object SimilarityOps {
       s: org.apache.spark.sql.SparkSession, dir: String,
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     TextOps.verifyJaccardPairs(
-      Tables.docsWithNearDups(s, dir).select(col("doc_id"), col("text")), pairs)
+      graft.BucketedTables.docsNearDups(s, dir)
+        .select(col("doc_id"), col("text")), pairs)
 
   val q30_minhash_lsh: GraftQuery = GraftQuery(
     "q30_minhash_lsh",
@@ -484,6 +488,33 @@ object SimilarityOps {
 
   private def embCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
     embCountCache.computeIfAbsent(dir, _ => Tables.table(s, dir, "embeddings").count())
+
+  /** Dir-keyed caches for the bounded kmeans-training sample and the
+    * driver-side Lloyd fits (r16, the embCountCache pattern): the IVF
+    * and PQ production paths — and q83, which runs BOTH plus their
+    * gates in one query — each re-ran the sample collect and the
+    * O(sample × cells × iters) driver Lloyd per plan construction.
+    * Pure functions of an immutable dir (sample is id-ordered, Lloyd
+    * is deterministic), so caching is semantically transparent; a
+    * warehouse would persist the fitted index at ingest.
+    */
+  private val embSampleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val ivfFitCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfIndex]()
+  private val pqFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqCodebook]()
+
+  private def embSampleFor(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    embSampleCache.computeIfAbsent(dir, _ => embSample(Tables.embeddings(s, dir)))
+
+  private def ivfFitFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val k = ivfCellsFor(embCount(s, dir))
+    ivfFitCache.computeIfAbsent((dir, k), _ => fitIvfK(embSampleFor(s, dir), k))
+  }
+
+  private def pqFitFor(s: org.apache.spark.sql.SparkSession, dir: String): PqCodebook =
+    pqFitCache.computeIfAbsent(dir, _ => fitPq(embSampleFor(s, dir)))
 
   /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
     * of the dot product matters). Components in [-0.5, 0.5).
@@ -842,8 +873,9 @@ object SimilarityOps {
   private def ivfCandidates(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
-    // corpus-scaled cells from the dir-memoized count (no extra job)
-    val idx = fitIvfK(embSample(e), ivfCellsFor(embCount(s, dir)))
+    // corpus-scaled cells from the dir-memoized count; sample and
+    // Lloyd fit are dir-memoized too (no extra job, no repeated fit)
+    val idx = ivfFitFor(s, dir)
     val assigned = idx.assignCell(e)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
     val qs = e.filter(col("vec_id") < 5)
@@ -952,9 +984,17 @@ object SimilarityOps {
     // lazy: materializes on the first ACTION and is then reused by the
     // band explode and both join sides — eager would run the aggregate
     // at plan-construction time (PlanAudit/explain would pay a full job)
+    // 8-byte domain keys (r16, the q66/q77 move): the bucket collect,
+    // pair expansion and both sketch joins ride xxhash64(link_domain)
+    // instead of the domain string — the string surfaces only in the
+    // final projection. A 64-bit key collision (~|domains|²/2⁶⁴, and
+    // it would take TWO colliding domains in one band bucket to emit a
+    // wrong pair) is the same modeled risk every hash-keyed family
+    // member documents.
     val sketches = links
       .groupBy(col("link_domain"))
       .agg(graft.plans.MinHashAgg.of(col("link_text"), MinhashHashes).as("sketch"))
+      .withColumn("did", xxhash64(col("link_domain")))
       .localCheckpoint(false)
     val bandStructs = (0 until SketchBands).map { b =>
       val ms = (0 until SketchRows)
@@ -962,16 +1002,18 @@ object SimilarityOps {
       s"named_struct('band_id', $b, 'band_hash', xxhash64($ms))"
     }.mkString(", ")
     val pairs = sketches
-      .select(col("link_domain").as("ids_src"), explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("did").as("ids_src"), explode(expr(s"array($bandStructs)")).as("b"))
       .groupBy(col("b.band_id"), col("b.band_hash"))
       .agg(graft.plans.BoundedCollectSet.of(col("ids_src"), MaxBucket).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
-      .select(col("p.a_id").as("a_domain"), col("p.b_id").as("b_domain"))
+      .select(col("p.a_id").as("a_did"), col("p.b_id").as("b_did"))
       .distinct()
     pairs
-      .join(sketches.select(col("link_domain").as("a_domain"), col("sketch").as("a_sk")), "a_domain")
-      .join(sketches.select(col("link_domain").as("b_domain"), col("sketch").as("b_sk")), "b_domain")
+      .join(sketches.select(col("did").as("a_did"), col("link_domain").as("a_dom"),
+        col("sketch").as("a_sk")), "a_did")
+      .join(sketches.select(col("did").as("b_did"), col("link_domain").as("b_dom"),
+        col("sketch").as("b_sk")), "b_did")
       .withColumn("n_agree",
         expr("size(filter(zip_with(a_sk, b_sk, (x, y) -> x = y), v -> v))"))
       // exact integer-over-constant division: bit-identical across
@@ -979,7 +1021,11 @@ object SimilarityOps {
       // STRICT > threshold: banding is lossless only above 24/48.
       .withColumn("est_jaccard", col("n_agree").cast("double") / lit(MinhashHashes.toDouble))
       .filter(col("n_agree") * 2 > MinhashHashes)
-      .select(col("a_domain"), col("b_domain"), col("est_jaccard"))
+      // re-orient on the STRING order the oracle uses (the hash-sorted
+      // expansion order is an internal detail)
+      .select(least(col("a_dom"), col("b_dom")).as("a_domain"),
+        greatest(col("a_dom"), col("b_dom")).as("b_domain"),
+        col("est_jaccard"))
   }
 
   /** Incremental (delta-vs-corpus) near-dup detection — the dedup
@@ -1352,9 +1398,10 @@ object SimilarityOps {
   private[graft] def pqShortlist(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val sample = embSample(e)
-    val ivf = fitIvfK(sample, ivfCellsFor(embCount(s, dir)))
-    val pq = fitPq(sample)
+    // dir-memoized fits: q73/q83 share the sample, IVF and PQ fits
+    // with q40's path instead of re-running them per plan construction
+    val ivf = ivfFitFor(s, dir)
+    val pq = pqFitFor(s, dir)
     // corpus side: (n_id, cell, codes) — the compact index frame.
     // Encode is the corpus-wide hot path: one codegen'd expression
     // (normalize + argmin per subspace in a single call), not HOF

@@ -196,11 +196,16 @@ object TextOps {
   /** The per-doc `(doc_id, n_chars, text)` frame q29's two spellings
     * share. Narrow ON PURPOSE — shingle arrays are recomputed from
     * text inside each stage's projection (see [[verifyJaccardPairs]]),
-    * never carried between stages.
+    * never carried between stages. Reads the doc_id-bucketed layout
+    * (r16, [[graft.BucketedTables.docsNearDups]]): the verify stage's
+    * text joins key on doc_id, so the bucketed corpus arrives
+    * pre-partitioned and pre-sorted — no corpus-wide text exchange per
+    * run, and the 32 single-file buckets replace the round-robin
+    * spread.
     */
   private def nearDupDocs(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame =
-    Tables.docsWithNearDups(s, dir)
+    graft.BucketedTables.docsNearDups(s, dir)
       .select(col("doc_id"), col("n_chars"), col("text"))
 
   /** The pre-r12 |block|² spelling (length-blocked all-pairs self-join)
@@ -284,6 +289,13 @@ object TextOps {
     * because PrefixShingles emits every rare token before any common
     * one.
     */
+  /** Bucket count of the mini-sketch riding each prefix-key row: 36
+    * bytes per key row (vs 132 for q30's join-shipped k=256) — sized
+    * so the keyed exchange stays light while the bound still kills
+    * the J ≲ 0.65 mass at this corpus's ~143-shingle docs.
+    */
+  private val KeySketchK = 64
+
   private[graft] def prefixKeys(docs: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
     val common = fitCommonTokens(docs)
@@ -292,9 +304,10 @@ object TextOps {
       (t, i) => struct(xxhash64(col("n_chars"), t).as("bk"), i.as("pos")))
     docs
       .select(col("doc_id"), size(sh).cast("long").as("sz"),
+        graft.plans.JaccardSketchExpr.of(sh, KeySketchK).as("sk"),
         explode(keyArr).as("kv"))
       .select(col("kv.bk").as("bk"), col("doc_id"), col("kv.pos").as("pos"),
-        col("sz"))
+        col("sz"), col("sk"))
   }
 
   /** Candidate pair generation: ONE prefix-key self-join, positionally
@@ -367,15 +380,34 @@ object TextOps {
     val emitOk =
       lit(9L) * (lit(1L) + least(col("a_sz") - col("a_pos") - 1,
         col("b_sz") - col("b_pos") - 1)) >= lit(4L) * (col("a_sz") + col("b_sz"))
+    // MINI-SKETCH SCREEN inside the self-join (r16): the positional
+    // bound alone stops being selective once the 3-gram token space
+    // saturates — at the 1000× point every length class holds ~10⁴
+    // docs and two RANDOM same-length docs share a "rare" prefix token
+    // with probability ~(|prefix|²/|tokens|) ≈ 4%, so screened-but-
+    // false emissions went quadratic: ProbeQ29e measured 2.6M distinct
+    // candidates at sf10 but 1.09 BILLION at sf100 (×419 for ×10 data
+    // — the regime change sf10 benchmarking cannot see). The 36-byte
+    // k=64 jaccard mini-sketch rides each key row and the join filter
+    // drops a match the moment the two sketches prove J < 0.8
+    // (plans.JaccardSketchPass — conservative by construction, so the
+    // blocking stays lossless). Evaluation order matters: the cheap
+    // positional bound runs first, the sketch loop only on its
+    // survivors, and nothing materializes until both pass — the
+    // verdict-r15 goal (intersect BEFORE the pair rows exist) without
+    // a second key stream or a per-pair witness join.
+    val sketchOk = graft.plans.JaccardSketchPass.of(col("a_sk"), col("b_sk"))
     // distinct (one exchange over two-long rows): a pair sharing
     // several screened prefix tokens must be verified once, not once
     // per shared token (verifyJaccardPairs checkpoints the result)
     k1.select(col("bk"), col("doc_id").as("a_id"),
-        col("pos").as("a_pos"), col("sz").as("a_sz")).hint("merge")
+        col("pos").as("a_pos"), col("sz").as("a_sz"), col("sk").as("a_sk"))
+      .hint("merge")
       .join(k1.select(col("bk"), col("doc_id").as("b_id"),
-        col("pos").as("b_pos"), col("sz").as("b_sz")).hint("merge"),
+        col("pos").as("b_pos"), col("sz").as("b_sz"), col("sk").as("b_sk"))
+        .hint("merge"),
         Seq("bk"))
-      .filter(col("a_id") < col("b_id") && emitOk)
+      .filter(col("a_id") < col("b_id") && emitOk && sketchOk)
       .select(col("a_id"), col("b_id"))
       .distinct()
   }

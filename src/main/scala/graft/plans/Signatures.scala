@@ -340,14 +340,14 @@ object Signatures {
     */
   val JaccardSketchK = 256
 
-  /** `jaccard_sketch(shingles)` → k/2 nibble-packed 4-bit saturating
-    * bucket counts (bucket = splitmix(x) mod k) followed by the exact
-    * element count as a little-endian int — the compact per-doc
-    * summary [[jaccardSketchPass]] screens candidate pairs with. See
-    * [[JaccardSketchExpr]] for the bound's proof.
+  /** `jaccard_sketch(shingles, k)` → k/2 nibble-packed 4-bit
+    * saturating bucket counts (bucket = splitmix(x) mod k) followed by
+    * the exact element count as a little-endian int — the compact
+    * per-doc summary [[jaccardSketchPass]] screens candidate pairs
+    * with (k is recovered from the sketch length). See
+    * [[JaccardSketchExpr]] for the bound's proof and the k trade-off.
     */
-  def jaccardSketch(sh: ArrayData): Array[Byte] = {
-    val k = JaccardSketchK
+  def jaccardSketch(sh: ArrayData, k: Int): Array[Byte] = {
     val out = new Array[Byte](k / 2 + 4)
     val n = sh.numElements()
     var i = 0
@@ -381,7 +381,7 @@ object Signatures {
     * because bound ≥ I.
     */
   def jaccardSketchPass(a: Array[Byte], b: Array[Byte]): Boolean = {
-    val k = JaccardSketchK
+    val k = (a.length - 4) * 2
     var minSum = 0L
     var aUnsat = 0L
     var bUnsat = 0L
@@ -565,23 +565,33 @@ object SortedIntersectCount {
   * candidates of which ~99% sit at J 0.5-0.7 — measured by
   * ProbeQ30b).
   */
-case class JaccardSketchExpr(child: Expression) extends UnaryExpression {
+case class JaccardSketchExpr(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def prettyName: String = "jaccard_sketch"
 
   override protected def nullSafeEval(input: Any): Any =
-    Signatures.jaccardSketch(input.asInstanceOf[ArrayData])
+    Signatures.jaccardSketch(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.jaccardSketch($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Signatures.jaccardSketch($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): JaccardSketchExpr =
     copy(child = newChild)
 }
 
 object JaccardSketchExpr {
-  def of(sh: Column): Column = CB.column(JaccardSketchExpr(CB.expression(sh)))
+  /** k trade-off: selectivity needs bucket load ≲ 1 (k ≈ typical
+    * shingle count). k=256 (132 B) bounds nearly exactly at this
+    * corpus's ~143-shingle docs — the join-shipped screen (q30).
+    * k=64 (36 B) still kills the J ≲ 0.65 mass and is cheap enough to
+    * RIDE THE KEY ROWS of a self-join (q29), where a 132 B payload
+    * per exploded key would dominate the exchange.
+    */
+  def of(sh: Column, k: Int = Signatures.JaccardSketchK): Column = {
+    require(k > 0 && k % 2 == 0, s"sketch bucket count must be even, got $k")
+    CB.column(JaccardSketchExpr(CB.expression(sh), k))
+  }
 }
 
 /** `jaccard_sketch_pass(a, b)` → boolean: false only if the sketches

@@ -71,4 +71,44 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bjs_orders")
     }
   }
+
+  test("bucketed docs_nd layout: identical rows, text joins without a corpus exchange") {
+    // row-set equality vs the derived frame (the layout is a
+    // materialization, never a semantic change)
+    val derived = Tables.docsWithNearDups(spark, sfDir, spread = false)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val bucketed = BucketedTables.docsNearDups(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    assert(bucketed.count() == derived.count())
+    assert(bucketed.exceptAll(derived).isEmpty && derived.exceptAll(bucketed).isEmpty)
+    // the dedup verify shape: a doc_id-keyed join against a small pair
+    // frame must not exchange the corpus side (only the pair side may
+    // shuffle to the bucket partitioning)
+    import spark.implicits._
+    val pairs = Seq((0L, 25L), (50L, 75L)).toDF("a_id", "b_id")
+    // GraftConf sessions set this globally; the shared test session is
+    // minimal, so pin it here (and restore) — the assertion below is
+    // the proof the conf actually removes the corpus-side Sort
+    val conf = spark.conf
+    val prevOrd = conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val joined = bucketed.select(col("doc_id").as("a_id"), col("text"))
+      .join(pairs.hint("merge"), "a_id")
+    try joined.collect()
+    finally conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+    // AQE plan strings print the Initial Plan too — grade the final one
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the corpus side must read its buckets directly, pre-sorted: no
+    // shuffle exchange and no re-Sort on its subtree (the pair side's
+    // one exchange + sort is fine). The scan's sortBy order is trusted
+    // because every bucket is a single file (GraftConf enables the
+    // sorted-bucket-scan conf; this assertion is its safety net).
+    val exchangeCount = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    val sortCount = plan.linesIterator.count(_.trim.matches("[:+\\- *()0-9]*Sort \\[.*"))
+    assert(exchangeCount <= 1, s"corpus side exchanged:\n$plan")
+    assert(sortCount <= 1, s"corpus side re-sorted:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
+  }
 }

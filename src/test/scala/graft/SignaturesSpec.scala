@@ -167,8 +167,8 @@ class SignaturesSpec extends SparkSpec {
     // the screen may only drop pairs exact verification would reject —
     // check on random set pairs swept across the threshold, including
     // saturation regimes (sets far larger than the 4-bit counters)
-    def sketch(xs: Seq[Long]) = Signatures.jaccardSketch(
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray))
+    def sketch(xs: Seq[Long], k: Int) = Signatures.jaccardSketch(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray), k)
     val rnd = new scala.util.Random(31)
     var dropped = 0
     var qualifying = 0
@@ -180,14 +180,16 @@ class SignaturesSpec extends SparkSpec {
       val d = rnd.nextInt(math.max(1, m / 3))
       val b = (a.drop(d) ++ Seq.fill(d)(rnd.nextLong())).distinct
       val inter = a.toSet.intersect(b.toSet).size
-      val pass = Signatures.jaccardSketchPass(sketch(a), sketch(b))
       val qualifies = 9L * inter >= 4L * (a.size + b.size) // J >= 0.8 exactly
-      if (qualifies) {
-        qualifying += 1
-        assert(pass, s"trial $trial: qualifying pair dropped " +
-          s"(|A|=${a.size} |B|=${b.size} I=$inter)")
+      for (k <- Seq(64, 256)) { // both deployed bucket counts
+        val pass = Signatures.jaccardSketchPass(sketch(a, k), sketch(b, k))
+        if (qualifies) {
+          qualifying += 1
+          assert(pass, s"trial $trial k=$k: qualifying pair dropped " +
+            s"(|A|=${a.size} |B|=${b.size} I=$inter)")
+        }
+        if (!pass) dropped += 1
       }
-      if (!pass) dropped += 1
     }
     assert(qualifying > 300, s"fixture too weak: $qualifying qualifying pairs")
     assert(dropped > 300, s"screen never fires: $dropped dropped")
@@ -204,7 +206,7 @@ class SignaturesSpec extends SparkSpec {
         .as("sk")).collect().map(_.getAs[Array[Byte]](0))
     texts.zip(got).foreach { case (t, sk) =>
       val sh = Signatures.shingleHashes(UTF8String.fromString(t))
-      val want = Signatures.jaccardSketch(sh)
+      val want = Signatures.jaccardSketch(sh, Signatures.JaccardSketchK)
       assert(java.util.Arrays.equals(sk, want), s"text '$t'")
       // self-pass: any set passes against itself (J = 1)
       assert(Signatures.jaccardSketchPass(sk, sk), s"self-pass '$t'")
