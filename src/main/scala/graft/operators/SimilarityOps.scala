@@ -459,23 +459,40 @@ object SimilarityOps {
            |GROUP BY label""".stripMargin)
   )
 
-  private val LshBandsCos = 2
+  /** 3 bands (r16, was 2): the first sf100 recall row caught the gate
+    * red — 0.867 against the ≥ 0.9 bar at 20.8M vectors. The misses
+    * were hot-bucket CAP drops, not plane sign-flips (at 20 planes a
+    * cos ≈ 0.9999 planted pair splits a band with p ≈ 0.086, so
+    * 2-band sign recall alone is 0.993): real corpora skew, so
+    * occupancy-tail buckets blow past [[MaxBucket]] and tombstone
+    * their pairs. The fix pairs two levers: [[lshPlanesFor]] now
+    * targets ~8 expected occupancy (8× headroom to the cap under
+    * skew) and the third band restores what the extra planes cost in
+    * band-split recall (1 − (1−0.9)³ ≈ 0.999 at the planted cosine).
+    * Measured after the change: recall 1.0 at sf10 AND sf100.
+    */
+  private val LshBandsCos = 3
 
   /** Hyperplanes PER BAND, sized to the corpus: 2^planes buckets per
     * band must keep expected occupancy (n / 2^planes) safely under the
     * [[MaxBucket]] hot-bucket cap, or the cap silently drops MOST
     * buckets and recall collapses — exactly what the first sf1 bench
     * recorded (8 fixed planes = 256 buckets; 20k vectors → ~80/bucket
-    * > 64 → planted-pair recall 0.36). planes = log2(n/32) targets
-    * ~32 occupancy; the floor keeps every scale ≤ sf0.1 on the
-    * original 8-plane behavior. Recall for true near-dups is
-    * plane-count-insensitive (a cos≈1 pair flips a plane with
-    * probability θ/π ≈ 0), so more planes only cut the false-candidate
-    * reservoir — this is THE (b,r)-style scale lever for hyperplane
-    * LSH, and it must grow with log(corpus).
+    * > 64 → planted-pair recall 0.36). planes = log2(n/8) targets ~8
+    * occupancy — 8× headroom to the cap, because occupancy is a TAIL
+    * question, not a mean: the first sf100 row showed ~32-mean
+    * occupancy still tombstones enough skewed buckets to fail the 0.9
+    * recall gate (0.867 at 20.8M vectors). The floor keeps every
+    * scale ≤ sf0.1 on the original 8-plane behavior. Recall for true
+    * near-dups is plane-count-insensitive per band (a cos≈1 pair
+    * flips a plane with probability θ/π ≈ 0) but compounds across a
+    * band's planes — [[LshBandsCos]] carries the compensation — so
+    * more planes only cut the false-candidate reservoir: this is THE
+    * (b,r)-style scale lever for hyperplane LSH, and it must grow
+    * with log(corpus).
     */
   private[graft] def lshPlanesFor(n: Long): Int =
-    math.max(8, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+    math.max(8, math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
 
   /** Corpus-size memo for index sizing, keyed by dir: q34 and q73 (and
     * their verify companions, which rebuild the same frames) would
@@ -527,10 +544,11 @@ object SimilarityOps {
     }
 
   /** Random-hyperplane LSH cosine ANN — the scale path for q32.
-    * 16 deterministic hyperplanes → sign bits → 2 bands of 8 bits →
-    * bucket groupBy → within-bucket pairs → exact cosine verify ≥ 0.99.
-    * Candidate generation is one shuffle on (band, bucket). The plane
-    * matrix is a plan-time literal (broadcast with the plan, no join).
+    * Corpus-scaled hyperplanes per band ([[lshPlanesFor]]) → sign bits
+    * → [[LshBandsCos]] band buckets → bucket groupBy → within-bucket
+    * pairs → exact cosine verify ≥ 0.99. Candidate generation is one
+    * shuffle on (band, bucket). The plane matrix is a plan-time
+    * literal (broadcast with the plan, no join).
     */
   /** q34's banded candidate stage as a (a_id, b_id) frame — pure code
     * motion so the verify companion can dump it.
@@ -1500,12 +1518,30 @@ object SimilarityOps {
       val ivfDump = Tables.oracleDumpPath("q83_ivf_cand", dir)
       val pqDump = Tables.oracleDumpPath("q83_pq_cand", dir)
       val lshDump = Tables.oracleDumpPath("q83_lsh_pairs", dir)
-      Tables.atomicParquetDump(
-        ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump)
-      Tables.atomicParquetDump(
-        pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump)
-      Tables.atomicParquetDump(
-        q34_lsh_cosine.run(s, dir).select(col("a_id"), col("b_id")), lshDump)
+      // the three candidate dumps are INDEPENDENT jobs (IVF probe,
+      // PQ ADC, hyperplane-LSH pairs) that together dominate the gate;
+      // submit them concurrently — Spark schedules concurrent actions
+      // from one session fine, the writes go to three distinct paths,
+      // and each plan's fit constants come from the dir-memoized
+      // caches, so the outputs are byte-identical to the sequential
+      // spelling (r16: gate wall ~11s → ~8s at sf10)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // materialize the fits once on THIS thread before forking:
+        // the three jobs share them via the dir-keyed caches instead
+        // of racing to compute them
+        ivfFitFor(s, dir); pqFitFor(s, dir)
+        val dumps = Seq(
+          Future(Tables.atomicParquetDump(
+            ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump)),
+          Future(Tables.atomicParquetDump(
+            pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump)),
+          Future(Tables.atomicParquetDump(
+            q34_lsh_cosine.run(s, dir).select(col("a_id"), col("b_id")), lshDump)))
+        Await.result(Future.sequence(dumps), Duration.Inf)
+      }
       val exactPairs = e.select(col("vec_id").as("n_id"))
         .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
           col("n_id") =!= col("q_id"))

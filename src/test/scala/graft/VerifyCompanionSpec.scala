@@ -75,17 +75,22 @@ class VerifyCompanionSpec extends SparkSpec {
   }
 
   test("corpus-scaled ANN parameters: floors pin every test SF, growth is logarithmic/linear") {
-    // the floors are a CONTRACT: every SF at or below sf0.1 must keep
-    // the pre-round-10 constants bit-identical (8 planes, 128 shortlist)
-    for (n <- Seq(200L, 2000L, 2080L /* sf0.1 embWithNearDups max */ ))
+    // the floor is a CONTRACT for the small gate SFs (sf0.01's corpus
+    // stays at 8 planes); the r16 recalibration moved the occupancy
+    // target from ~32 to ~8 after the first sf100 recall row failed
+    // the 0.9 gate (0.867 — skewed buckets past MaxBucket tombstone
+    // pairs; the MEAN was fine, the TAIL was not), so sf0.1's 2080
+    // vectors now sit one step past the floor
+    for (n <- Seq(200L, 2000L))
       assert(SimilarityOps.lshPlanesFor(n) == 8, s"floor broken at n=$n")
-    assert(SimilarityOps.lshPlanesFor(20000L) == 10)  // sf1
-    // bucket occupancy stays under the MaxBucket cap at every scale:
-    // n / 2^planes ≤ 64 is the invariant whose violation the first
-    // sf1 bench surfaced as recall collapse
+    assert(SimilarityOps.lshPlanesFor(2080L) == 9)  // sf0.1: first step past
+    assert(SimilarityOps.lshPlanesFor(20000L) == 12)  // sf1
+    // bucket occupancy stays ≤ 8 EXPECTED at every scale — 8× headroom
+    // to the MaxBucket=64 cap, because occupancy is a tail question:
+    // ~32-mean occupancy measurably failed the sf100 recall gate
     for (n <- Seq(20000L, 200000L, 2000000L, 200000000L))
-      assert(n.toDouble / (1L << SimilarityOps.lshPlanesFor(n)) <= 64.0,
-        s"bucket occupancy exceeds MaxBucket at n=$n")
+      assert(n.toDouble / (1L << SimilarityOps.lshPlanesFor(n)) <= 8.0,
+        s"expected bucket occupancy leaves no cap headroom at n=$n")
     assert(SimilarityOps.pqShortlistFor(200L) == 128)
     assert(SimilarityOps.pqShortlistFor(2000L) == 128)  // sf0.1 unchanged
     // sf1: cells scale too (r12) — 39 cells, 22 probes, ~5% of the
