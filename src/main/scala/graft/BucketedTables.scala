@@ -35,8 +35,30 @@ object BucketedTables {
   val Buckets = 32
   // bump when the layout (schema, sort, bucket count) changes: the
   // on-disk dirs outlive sessions, so a layout change must not silently
-  // re-attach stale files
+  // re-attach stale files. Staleness vs the SOURCE data is handled
+  // structurally, not by versioning: every layout path embeds a
+  // fingerprint of the source parquet files (name/length/mtime), so a
+  // regenerated testdata dir can never silently re-attach a layout
+  // built from the old bytes — the fresh fingerprint just builds a
+  // fresh layout and the stale one is orphaned.
   private val Root = "/tmp/graft_bucketed/v2"
+
+  /** Fingerprint of a source table's on-disk parquet (file or dir):
+    * 48 bits of an MD5 over sorted (name, length, mtime) triples —
+    * cheap (metadata only), and any rewrite of the source produces a
+    * different layout key. A content-identical rewrite with a new
+    * mtime costs one redundant ingest, never a wrong read.
+    */
+  private def fingerprint(dir: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(new java.io.File(dir, table + ".parquet")).foreach { f =>
+      md.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    }
+    md.digest().take(6).map(b => f"$b%02x").mkString
+  }
 
   /** Bucketed lineitem plus `rev_part = cast(l_extendedprice *
     * (1 - l_discount) as decimal(18,10))` materialized at ingest:
@@ -72,17 +94,18 @@ object BucketedTables {
     */
   def docsNearDups(spark: SparkSession, dir: String): DataFrame =
     derived(spark, dir, "docs_nd", "doc_id",
-      Tables.docsWithNearDups(spark, dir, spread = false))
+      Tables.docsWithNearDups(spark, dir, spread = false),
+      fingerprint(dir, "documents"))
 
   /** Like [[fact]] but for a DERIVED frame (no base table to re-read):
     * same dir-keyed location, `_SUCCESS`-guarded idempotent write,
     * metadata-only re-attach in later sessions.
     */
   private def derived(spark: SparkSession, dir: String, name: String,
-      bucketKey: String, source: => DataFrame): DataFrame = synchronized {
-    val tbl = s"graft_b_${name}_${dirKey(dir)}".replace('.', '_')
+      bucketKey: String, source: => DataFrame, fp: String): DataFrame = synchronized {
+    val tbl = s"graft_b_${name}_${dirKey(dir)}_$fp".replace('.', '_')
     if (!spark.catalog.tableExists(tbl)) {
-      val path = s"$Root/${dirKey(dir)}/$name"
+      val path = s"$Root/${dirKey(dir)}/$name-$fp"
       val done = new java.io.File(path, "_SUCCESS")
       val src = source
       if (done.isFile) {
@@ -117,5 +140,6 @@ object BucketedTables {
   private def fact(spark: SparkSession, dir: String, name: String,
       bucketKey: String,
       derive: DataFrame => DataFrame = identity): DataFrame =
-    derived(spark, dir, name, bucketKey, derive(Tables.table(spark, dir, name)))
+    derived(spark, dir, name, bucketKey,
+      derive(Tables.table(spark, dir, name)), fingerprint(dir, name))
 }
