@@ -43,18 +43,30 @@ object BucketedTables {
   // fresh layout and the stale one is orphaned.
   private val Root = "/tmp/graft_bucketed/v2"
 
-  /** Fingerprint of a source table's on-disk parquet (file or dir):
-    * 48 bits of an MD5 over sorted (name, length, mtime) triples —
-    * cheap (metadata only), and any rewrite of the source produces a
-    * different layout key. A content-identical rewrite with a new
-    * mtime costs one redundant ingest, never a wrong read.
+  /** Fingerprint of a source table's on-disk parquet (file or dir)
+    * PLUS the layout's derivation recipe: 48 bits of an MD5 over sorted
+    * (name, length, mtime) triples and the `derivation` token — cheap
+    * (metadata only), and any rewrite of the source OR change to the
+    * derivation expression produces a different layout key (previously
+    * a derivation change relied on a manual `Root` version bump; now
+    * the token carries the constants, so forgetting the bump can't
+    * re-attach stale bytes). A content-identical rewrite with a new
+    * mtime costs one redundant ingest, never a wrong read. A missing
+    * source path fails HERE with its name instead of hashing to a
+    * stable 'empty' fingerprint and deferring to an opaque read.
     */
-  private def fingerprint(dir: String, table: String): String = {
+  private def fingerprint(dir: String, table: String, derivation: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        require(kids != null, s"BucketedTables: cannot list ${f.getAbsolutePath}")
+        kids.sortBy(_.getName).toSeq.flatMap(walk)
+      } else Seq(f)
+    val src = new java.io.File(dir, table + ".parquet")
+    require(src.exists(), s"BucketedTables: source parquet missing: ${src.getAbsolutePath}")
     val md = java.security.MessageDigest.getInstance("MD5")
-    walk(new java.io.File(dir, table + ".parquet")).foreach { f =>
+    md.update(derivation.getBytes("UTF-8"))
+    walk(src).foreach { f =>
       md.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
     }
     md.digest().take(6).map(b => f"$b%02x").mkString
@@ -70,11 +82,16 @@ object BucketedTables {
     * fractional digits, and |rev| < 10^8 so precision 18 never
     * overflows).
     */
+  // materialized-column recipe; part of the fingerprint so changing it
+  // can never silently re-attach a layout built from the old expression
+  private val RevPartExpr =
+    "cast(l_extendedprice * (1 - l_discount) as decimal(18,10))"
+
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     fact(spark, dir, "lineitem", "l_orderkey",
       _.withColumn("rev_part",
-        org.apache.spark.sql.functions.expr(
-          "cast(l_extendedprice * (1 - l_discount) as decimal(18,10))")))
+        org.apache.spark.sql.functions.expr(RevPartExpr)),
+      derivation = s"rev_part=$RevPartExpr")
 
   def orders(spark: SparkSession, dir: String): DataFrame =
     fact(spark, dir, "orders", "o_orderkey")
@@ -95,7 +112,10 @@ object BucketedTables {
   def docsNearDups(spark: SparkSession, dir: String): DataFrame =
     derived(spark, dir, "docs_nd", "doc_id",
       Tables.docsWithNearDups(spark, dir, spread = false),
-      fingerprint(dir, "documents"))
+      fingerprint(dir, "documents",
+        // the injected-near-dup recipe (Z-variant every DupEvery-th id
+        // at +NearDupOffset) is part of the layout's identity
+        derivation = s"nd:Z2:${Tables.DupEvery}:${Tables.NearDupOffset}"))
 
   /** Like [[fact]] but for a DERIVED frame (no base table to re-read):
     * same dir-keyed location, `_SUCCESS`-guarded idempotent write,
@@ -103,9 +123,13 @@ object BucketedTables {
     */
   private def derived(spark: SparkSession, dir: String, name: String,
       bucketKey: String, source: => DataFrame, fp: String): DataFrame = synchronized {
-    val tbl = s"graft_b_${name}_${dirKey(dir)}_$fp".replace('.', '_')
+    // identifier charset is stricter than the PATH charset (dirKey
+    // keeps '.'/'-' for readable layout dirs; unquoted SQL identifiers
+    // allow neither)
+    val tbl = s"graft_b_${name}_${dirKey(dir)}_$fp".replaceAll("[^A-Za-z0-9_]", "_")
     if (!spark.catalog.tableExists(tbl)) {
       val path = s"$Root/${dirKey(dir)}/$name-$fp"
+      gcStaleSiblings(s"$Root/${dirKey(dir)}", name, fp)
       val done = new java.io.File(path, "_SUCCESS")
       val src = source
       if (done.isFile) {
@@ -134,12 +158,37 @@ object BucketedTables {
     spark.table(tbl)
   }
 
+  /** Delete superseded layouts for `name` under the dir key: any
+    * sibling named `name` (pre-fingerprint era) or `name-<otherfp>` is
+    * stale BY CONSTRUCTION — the fingerprint covers the source bytes
+    * and the derivation recipe, so a different fp means the source was
+    * rewritten or the recipe changed, and nothing can ever re-attach
+    * that dir again. Without this, every testdata regeneration orphans
+    * a full-size layout forever (a sf100 lineitem layout is ~15 GB,
+    * and this disk has hit ENOSPC twice).
+    */
+  private def gcStaleSiblings(parent: String, name: String, fp: String): Unit = {
+    val kids = Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
+    val stale = s"^${java.util.regex.Pattern.quote(name)}(-[0-9a-f]{12})?$$".r
+    kids.foreach { f =>
+      if (f.getName != s"$name-$fp" && stale.findFirstIn(f.getName).isDefined)
+        deleteRecursively(f)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   private def dirKey(dir: String): String =
     dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def fact(spark: SparkSession, dir: String, name: String,
       bucketKey: String,
-      derive: DataFrame => DataFrame = identity): DataFrame =
+      derive: DataFrame => DataFrame = identity,
+      derivation: String = ""): DataFrame =
     derived(spark, dir, name, bucketKey,
-      derive(Tables.table(spark, dir, name)), fingerprint(dir, name))
+      derive(Tables.table(spark, dir, name)), fingerprint(dir, name, derivation))
 }

@@ -550,10 +550,13 @@ object SimilarityOps {
     * shuffle on (band, bucket). The plane matrix is a plan-time
     * literal (broadcast with the plan, no join).
     */
-  /** q34's banded candidate stage as a (a_id, b_id) frame — pure code
-    * motion so the verify companion can dump it.
+  /** q34's banded BUCKET stage: hyperplane fold → (band, bucket) →
+    * capped id-set agg, plus the raw occupancy count per bucket (the
+    * cap-pressure numerator rides the same shuffle for free). Pure
+    * code motion so the verify companion and the q83 gate can share
+    * one frame for pairs AND pressure.
     */
-  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def lshBucketAgg(s: org.apache.spark.sql.SparkSession, dir: String)
   : org.apache.spark.sql.DataFrame = {
     // dim is part of the dataset contract (TESTDATA.md) — a plan-build
     // head() here would run a tiny job per plan construction. The
@@ -583,25 +586,61 @@ object SimilarityOps {
         .as(Seq("band_id", "bucket")))
     bands
       .groupBy(col("band_id"), col("bucket"))
-      .agg(graft.plans.BoundedCollectSet.of(col("vec_id"), MaxBucket).as("ids"))
+      .agg(graft.plans.BoundedCollectSet.of(col("vec_id"), MaxBucket).as("ids"),
+        count(lit(1)).as("occ"))
+  }
+
+  /** Pair expansion from the bucket-agg frame — tombstoned buckets
+    * (`ids` null, occupancy blew past [[MaxBucket]]) drop out here.
+    */
+  private def lshPairsFromBuckets(buckets: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    buckets
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
+
+  /** The CAP-PRESSURE rollup over the same bucket-agg frame — the r16
+    * recall incident (sf100 gate red at 0.867) was hot-bucket cap
+    * drops, invisible in the recall number until it crossed the bar;
+    * this surfaces the pressure as data BEFORE the dip: total buckets,
+    * tombstoned buckets, and the pair mass those tombstones dropped
+    * (occ·(occ−1)/2 per dead bucket). All integers, so the row rides
+    * the existing hash oracle via the dir-keyed dump.
+    */
+  private def lshPressure(buckets: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    buckets.groupBy().agg(
+      count(lit(1)).as("press_buckets"),
+      sum(col("ids").isNull.cast("bigint")).as("press_dropped_buckets"),
+      coalesce(sum(when(col("ids").isNull,
+          col("occ") * (col("occ") - 1) / 2).cast("bigint")), lit(0L))
+        .as("press_dropped_pairs"))
+
+  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame =
+    lshPairsFromBuckets(lshBucketAgg(s, dir))
+
+  /** Exact-cosine verification of an (a_id, b_id) candidate frame —
+    * shared by q34 and the q83 gate (which feeds it pairs from a
+    * persisted bucket frame instead of recomputing the fold).
+    */
+  private def lshVerified(s: org.apache.spark.sql.SparkSession, dir: String,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embWithNearDups(s, dir)
+    pairs
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("q_emb")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("n_emb")), "b_id")
+      .withColumn("cosine",
+        graft.plans.CosineSim.of(col("q_emb"), col("n_emb")))
+      .filter(col("cosine") >= 0.99)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
 
   val q34_lsh_cosine: GraftQuery = GraftQuery(
     "q34_lsh_cosine",
-    (s, dir) => {
-      val e = Tables.embWithNearDups(s, dir)
-      lshCandidatePairs(s, dir)
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("q_emb")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("n_emb")), "b_id")
-        .withColumn("cosine",
-          graft.plans.CosineSim.of(col("q_emb"), col("n_emb")))
-        .filter(col("cosine") >= 0.99)
-        .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
-    },
+    (s, dir) => lshVerified(s, dir, lshCandidatePairs(s, dir)),
     None // LSH bucketing not SQL-expressible; recall vs injected dups in SimilaritySpec
   )
 
@@ -1518,6 +1557,7 @@ object SimilarityOps {
       val ivfDump = Tables.oracleDumpPath("q83_ivf_cand", dir)
       val pqDump = Tables.oracleDumpPath("q83_pq_cand", dir)
       val lshDump = Tables.oracleDumpPath("q83_lsh_pairs", dir)
+      val pressDump = Tables.oracleDumpPath("q83_lsh_pressure", dir)
       // the three candidate dumps are INDEPENDENT jobs (IVF probe,
       // PQ ADC, hyperplane-LSH pairs) that together dominate the gate;
       // submit them concurrently — Spark schedules concurrent actions
@@ -1526,21 +1566,54 @@ object SimilarityOps {
       // caches, so the outputs are byte-identical to the sequential
       // spelling (r16: gate wall ~11s → ~8s at sf10)
       locally {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
         // materialize the fits once on THIS thread before forking:
         // the three jobs share them via the dir-keyed caches instead
         // of racing to compute them
         ivfFitFor(s, dir); pqFitFor(s, dir)
-        val dumps = Seq(
-          Future(Tables.atomicParquetDump(
-            ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump)),
-          Future(Tables.atomicParquetDump(
-            pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump)),
-          Future(Tables.atomicParquetDump(
-            q34_lsh_cosine.run(s, dir).select(col("a_id"), col("b_id")), lshDump)))
-        Await.result(Future.sequence(dumps), Duration.Inf)
+        // a dedicated 3-thread pool, not the global ForkJoinPool: the
+        // active session is set EXPLICITLY per task (global-pool
+        // workers only inherit the thread-local by accident of thread
+        // creation order), a shared job group lets the first failure
+        // CANCEL the sibling jobs instead of letting them run under a
+        // throwing gate, and the pool dies with the block
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val group = s"q83-gate-$dir"
+        def dump(df: => org.apache.spark.sql.DataFrame, path: String): Future[Unit] =
+          Future {
+            org.apache.spark.sql.SparkSession.setActiveSession(s)
+            s.sparkContext.setJobGroup(group, "q83 candidate dump",
+              interruptOnCancel = true)
+            try Tables.atomicParquetDump(df, path)
+            finally s.sparkContext.clearJobGroup()
+          }
+        // the LSH bucket frame is shared by the pairs dump AND the
+        // cap-pressure dump — persist it and materialize it via the
+        // (tiny-output) pressure rollup BEFORE forking, so the pairs
+        // job reads the cache instead of re-running the hyperplane
+        // fold. Wall is unchanged vs r16: the fold dominated the lsh
+        // dump's runtime either way; only its position moved.
+        val buckets = lshBucketAgg(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Tables.atomicParquetDump(lshPressure(buckets), pressDump)
+          val dumps = Seq(
+            dump(ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump),
+            dump(pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump),
+            dump(lshVerified(s, dir, lshPairsFromBuckets(buckets))
+              .select(col("a_id"), col("b_id")), lshDump))
+          try Await.result(Future.sequence(dumps), Duration.Inf)
+          catch {
+            case e: Throwable =>
+              s.sparkContext.cancelJobGroup(group)
+              throw e
+          }
+        } finally {
+          buckets.unpersist(false)
+          pool.shutdown()
+        }
       }
       val exactPairs = e.select(col("vec_id").as("n_id"))
         .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
@@ -1572,7 +1645,19 @@ object SimilarityOps {
           (col("vec_id") + Tables.EmbDupOffset).as("b_id"))
       val lshRow = recallRow("lsh", planted,
         s.read.parquet(lshDump), Seq("a_id", "b_id"))
-      gateRow(ivfDump, "ivf").unionAll(gateRow(pqDump, "pq")).unionAll(lshRow)
+      // cap-pressure columns (r17): zero for the cap-less methods, the
+      // dumped tombstone rollup on the LSH row — the leading indicator
+      // that fires BEFORE recall dips under the gate (the r16 incident
+      // went 0.993-predicted → 0.867-measured with no warning column)
+      val noPress = Seq("press_buckets", "press_dropped_buckets",
+        "press_dropped_pairs")
+      def zeroPress(df: org.apache.spark.sql.DataFrame) =
+        noPress.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
+      val lshWithPress = lshRow.crossJoin(broadcast(s.read.parquet(pressDump)))
+      val outCols = Seq("method", "n_exact", "hits", "recall_ok") ++ noPress
+      zeroPress(gateRow(ivfDump, "ivf")).select(outCols.map(col): _*)
+        .unionAll(zeroPress(gateRow(pqDump, "pq")).select(outCols.map(col): _*))
+        .unionAll(lshWithPress.select(outCols.map(col): _*))
     },
     Some {
       def topSql(candSrc: String): String =
@@ -1594,25 +1679,36 @@ object SimilarityOps {
         s"(SELECT q_id, n_id FROM read_parquet('${Tables.oracleDumpPath(name, Tables.VerifyDir)}/*.parquet'))"
       val lshDumpSql =
         s"read_parquet('${Tables.oracleDumpPath("q83_lsh_pairs", Tables.VerifyDir)}/*.parquet')"
+      val pressSql =
+        s"read_parquet('${Tables.oracleDumpPath("q83_lsh_pressure", Tables.VerifyDir)}/*.parquet')"
       s"""WITH exact AS (${topSql(exactCand)}),
          |ivf AS (${topSql(dumpCand("q83_ivf_cand"))}),
          |pq AS (${topSql(dumpCand("q83_pq_cand"))}),
          |lshp AS (SELECT a_id, b_id FROM $lshDumpSql),
+         |press AS (SELECT press_buckets, press_dropped_buckets, press_dropped_pairs
+         |  FROM $pressSql),
          |planted AS (
          |  SELECT vec_id AS a_id, vec_id + ${Tables.EmbDupOffset} AS b_id
          |  FROM embeddings WHERE vec_id % ${Tables.DupEvery} = 0),
          |rows_ AS (
-         |  SELECT 'ivf' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits
+         |  SELECT 'ivf' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits,
+         |    CAST(0 AS BIGINT) AS press_buckets, CAST(0 AS BIGINT) AS press_dropped_buckets,
+         |    CAST(0 AS BIGINT) AS press_dropped_pairs
          |  FROM ivf t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
          |  UNION ALL
-         |  SELECT 'pq' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits
+         |  SELECT 'pq' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits,
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |  FROM pq t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
          |  UNION ALL
-         |  SELECT 'lsh' AS method, (SELECT COUNT(*) FROM planted) AS n_exact, COUNT(*) AS hits
-         |  FROM lshp t JOIN planted e ON t.a_id = e.a_id AND t.b_id = e.b_id
+         |  SELECT 'lsh' AS method, (SELECT COUNT(*) FROM planted) AS n_exact,
+         |    (SELECT COUNT(*) FROM lshp t JOIN planted e
+         |       ON t.a_id = e.a_id AND t.b_id = e.b_id) AS hits,
+         |    p.press_buckets, p.press_dropped_buckets, p.press_dropped_pairs
+         |  FROM press p
          |)
          |SELECT method, n_exact, hits,
-         |  CAST(CASE WHEN hits * 10 >= n_exact * 9 THEN 1 ELSE 0 END AS INTEGER) AS recall_ok
+         |  CAST(CASE WHEN hits * 10 >= n_exact * 9 THEN 1 ELSE 0 END AS INTEGER) AS recall_ok,
+         |  press_buckets, press_dropped_buckets, press_dropped_pairs
          |FROM rows_""".stripMargin
     }
   )

@@ -381,6 +381,12 @@ object Signatures {
     * because bound ≥ I.
     */
   def jaccardSketchPass(a: Array[Byte], b: Array[Byte]): Boolean = {
+    // the widths in play differ by call site (k=64 key sketches vs
+    // k=256 join sketches) — a mixed-width compare would read b's
+    // totals from the wrong offset and silently DROP qualifying pairs,
+    // so fail loudly instead
+    require(a.length == b.length,
+      s"jaccardSketchPass: mismatched sketch widths ${a.length} vs ${b.length}")
     val k = (a.length - 4) * 2
     var minSum = 0L
     var aUnsat = 0L

@@ -111,4 +111,43 @@ class BucketedJoinSpec extends SparkSpec {
     assert(sortCount <= 1, s"corpus side re-sorted:\n$plan")
     assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
   }
+
+  test("superseded layouts are garbage-collected when the source is rewritten") {
+    // a source rewrite produces a new fingerprint → a new layout dir;
+    // the old one is stale by construction (nothing can re-attach it)
+    // and must NOT be orphaned — at sf100 a lineitem layout is ~15 GB
+    // and this disk has hit ENOSPC twice
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft-gc-src").toFile
+    val key = src.getAbsolutePath.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
+    val parent = new java.io.File("/tmp/graft_bucketed/v2/" + key)
+    def layouts(): Seq[String] =
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("docs_nd")).map(_.getName).toSeq.sorted
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "documents.parquet"),
+        java.nio.file.Paths.get(src.getAbsolutePath, "documents.parquet"))
+      assert(BucketedTables.docsNearDups(spark, src.getAbsolutePath).count() > 0)
+      val before = layouts()
+      assert(before.length == 1, s"expected one layout, got $before")
+      // simulate the testdata regeneration: same bytes, new mtime
+      val f = new java.io.File(src, "documents.parquet")
+      assert(f.setLastModified(f.lastModified() + 60000))
+      assert(BucketedTables.docsNearDups(spark, src.getAbsolutePath).count() > 0)
+      val after = layouts()
+      assert(after.length == 1, s"stale sibling layout not GC'd: $after")
+      assert(after != before, "rewrite must produce a new layout key")
+    } finally {
+      rmrf(src)
+      rmrf(parent)
+      val tblKey = s"graft_b_docs_nd_$key".replaceAll("[^A-Za-z0-9_]", "_")
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(tblKey))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    }
+  }
 }

@@ -193,6 +193,13 @@ class SignaturesSpec extends SparkSpec {
     }
     assert(qualifying > 300, s"fixture too weak: $qualifying qualifying pairs")
     assert(dropped > 300, s"screen never fires: $dropped dropped")
+    // mixed widths (k=64 key sketch vs k=256 join sketch) would read
+    // b's totals from the wrong offset and silently drop qualifying
+    // pairs — the compare must fail loudly instead
+    val xs = Seq.fill(50)(rnd.nextLong()).distinct
+    intercept[IllegalArgumentException] {
+      Signatures.jaccardSketchPass(sketch(xs, 64), sketch(xs, 256))
+    }
   }
 
   test("jaccard sketch expression equals the driver-side computation") {
