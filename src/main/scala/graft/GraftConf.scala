@@ -168,5 +168,14 @@ object GraftConf {
       // per-core share of a 4 GiB executor, and past it the fallback
       // sort is the designed spill path, not a cliff.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // when the child already satisfies the grouping order (bucketed
+      // sortBy scans: lineitem/orders by orderkey, docs_nd by doc_id),
+      // a streaming SortAggregate beats building a per-task hash map
+      // over millions of groups — the rule ONLY fires on satisfied
+      // ordering, so unsorted inputs keep hash aggregation (r17:
+      // ProbeQ02 measured the old q02 cascade 2.5 → 2.0s from this
+      // flag alone; it is the other half of the bucketed-sort trust
+      // the outputOrdering conf above establishes)
+      .config("spark.sql.execution.replaceHashWithSortAgg", "true")
       .config(Tables.NanosAsLong, "true")
 }

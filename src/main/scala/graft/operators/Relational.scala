@@ -65,29 +65,32 @@ object Relational {
       val c = Tables.table(s, dir, "customer")
       val n = Tables.table(s, dir, "nation")
       val r = Tables.table(s, dir, "region")
-      // cascade the aggregate BELOW every join (r12 — the q03 posture
-      // applied to the whole dim chain): each join's probe side is the
-      // previous level's GROUP frame, not the fact table, so the two
-      // big exchanges shrink from |lineitem| rows to |orders| and then
-      // |customer| partial rows before they happen. Exact by
-      // associativity: DECIMAL partial sums and count partials re-sum
-      // to the identical bits the single flat aggregate produces (the
-      // final ROUND sees the same decimal), inner-join chains drop the
-      // same rows at every level.
+      // r17 respelling (ProbeQ02-adjudicated, 2.6 → ~1.5s at sf10 —
+      // DuckDB-parity): the whole dim side of the join tree broadcasts,
+      // so NOTHING wide ever shuffles. lineitem ⋈ orders is the
+      // bucket-colocated sort-merge (zero exchange — BucketedTables),
+      // customer prunes to its two-int (c_custkey → c_nationkey) map
+      // (~16 B/row: ~12 MB at sf10, holds to ~10⁸ customers on a
+      // 4 GiB-executor broadcast budget; past that, revert to the r12
+      // cascading per-cust aggregate in git history), and the
+      // aggregate goes straight to the 25 nation groups MAP-SIDE — the
+      // only exchange in the plan is 25×n_tasks partial rows. The r12
+      // per-orderkey cascade is retired here: it shrank a join stream
+      // that no longer needs shrinking (the SMJ streams sorted
+      // buckets), and its 15M-group aggregate cost more than the 4×
+      // join traffic it saved (ProbeQ02: cascade 2.0-2.6s, this 1.5s).
       // rev_part is the ingest-materialized decimal (BucketedTables):
       // same HALF_UP value as the inline cast, minus the per-row
-      // Double.toString parse the cast pays
-      val perOrder = li.groupBy(col("l_orderkey")).agg(
-        sum(col("rev_part")).as("rev_d"),
-        count(lit(1)).as("n_i"))
-      val perCust = perOrder
-        .join(o, col("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("rev_d")).as("rev_d"), sum(col("n_i")).as("n_i"))
-      val perNation = perCust
-        .join(c, col("o_custkey") === c("c_custkey"))
+      // Double.toString parse the cast pays. Exact by associativity:
+      // DECIMAL partial sums re-sum to the identical bits the flat
+      // aggregate produces; the final ROUND sees the same decimal.
+      val perNation = li.select(col("l_orderkey"), col("rev_part"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
-        .agg(sum(col("rev_d")).as("rev_d"), sum(col("n_i")).as("n_i"))
+        .agg(sum(col("rev_part")).as("rev_d"), count(lit(1)).as("n_i"))
       perNation
         .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

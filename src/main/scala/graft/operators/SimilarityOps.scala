@@ -1048,7 +1048,18 @@ object SimilarityOps {
     // it would take TWO colliding domains in one band bucket to emit a
     // wrong pair) is the same modeled risk every hash-keyed family
     // member documents.
+    // distinct-first (r17, ProbeQ41): MinHash is SET semantics — min
+    // over duplicate elements is idempotent — so the aggregate runs
+    // over DISTINCT (domain, text) pairs (exactly the oracle's
+    // spelling) and the per-element md5 + 48 Carter-Wegman perms run
+    // once per unique pair instead of once per link row. Real anchor
+    // text is heavily repeated within a domain ("home", the brand
+    // name), so the map-side partial distinct collapses the stream
+    // before its exchange at crawl scale too; the worst case
+    // (all-unique texts) ships the same rows the aggregate's input
+    // had, minus the hashing it no longer does twice.
     val sketches = links
+      .select(col("link_domain"), col("link_text")).distinct()
       .groupBy(col("link_domain"))
       .agg(graft.plans.MinHashAgg.of(col("link_text"), MinhashHashes).as("sketch"))
       .withColumn("did", xxhash64(col("link_domain")))
