@@ -119,3 +119,30 @@ object ProbeQ02 {
     spark.stop()
   }
 }
+
+/** A/B of the r17 replaceHashWithSortAgg default on the dedup family
+  * (their corpus aggregates read doc_id-sorted buckets, so the rule
+  * fires there): regression guard for the global conf flip.
+  */
+object ProbeSortAgg {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val spark = graft.GraftConf.local(32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(what: String, reps: Int)(f: => Any): Unit =
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[probe] $what%-30s rep$r ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      }
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (q <- Seq("q30_minhash_lsh", "q36_dup_clusters", "q29_ngram_jaccard")) {
+      val fn = graft.SparkEntry.queries(q)
+      time(s"$q sortAgg=on", 3) { fn(spark, dir).count() }
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "false")
+      time(s"$q sortAgg=off", 3) { fn(spark, dir).count() }
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+    }
+    spark.stop()
+  }
+}
