@@ -21,9 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are written ONCE to a dir-keyed location, and later sessions
   * re-attach them with a metadata-only `CREATE TABLE … CLUSTERED BY`
   * over the existing files. The write is idempotent (guarded by the
-  * `_SUCCESS` marker) and races are harmless: `synchronized` within a
-  * JVM, and across JVMs the loser of a concurrent create re-reads the
-  * same files.
+  * `_GRAFT_DONE` marker written after the LAST ingest pass) and races
+  * are harmless: `synchronized` within a JVM, and across JVMs the
+  * loser of a concurrent create re-reads the same files.
   *
   * Bucket count: fixed per LAYOUT, not per session (a bucketed table's
   * file count is part of its on-disk identity). 32 here sizes sf10's
@@ -72,6 +72,17 @@ object BucketedTables {
     md.digest().take(6).map(b => f"$b%02x").mkString
   }
 
+  /** Total on-disk bytes of a source table's parquet — sizes the
+    * ingest pass split (metadata only, same walk as [[fingerprint]]).
+    */
+  private def sourceBytes(dir: String, table: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length
+    walk(new java.io.File(dir, table + ".parquet"))
+  }
+
   /** Bucketed lineitem plus `rev_part = cast(l_extendedprice *
     * (1 - l_discount) as decimal(18,10))` materialized at ingest:
     * Spark's double→decimal cast goes through `Double.toString` (a
@@ -115,14 +126,40 @@ object BucketedTables {
       fingerprint(dir, "documents",
         // the injected-near-dup recipe (Z-variant every DupEvery-th id
         // at +NearDupOffset) is part of the layout's identity
-        derivation = s"nd:Z2:${Tables.DupEvery}:${Tables.NearDupOffset}"))
+        derivation = s"nd:Z2:${Tables.DupEvery}:${Tables.NearDupOffset}"),
+      sourceBytes(dir, "documents"))
+
+  /** Transient-disk budget per ingest pass. The layout build's PEAK
+    * footprint is not the output (≈ source size): the repartition
+    * shuffle plus the per-task sortBy spill each hold a decoded copy
+    * of the stream in flight — r17 measured the single-pass sf100
+    * lineitem build (11 GB source) ENOSPC-ing a disk with ~55 GB
+    * free. Splitting the build into bucket-RANGE passes bounds the
+    * transient copy to ~budget bytes per pass while keeping the
+    * single-file-per-bucket invariant (each bucket is written by
+    * exactly one pass, and within a pass each task owns exactly one
+    * bucket). The trade is P source scans; an ingest is once per
+    * generation, and on a real cluster (distributed shuffle disk) the
+    * budget is simply set high enough that P = 1.
+    */
+  private def passBudgetBytes: Long =
+    sys.props.get("graft.layout.passBudgetBytes").map(_.toLong)
+      .getOrElse(3L * 1024 * 1024 * 1024)
 
   /** Like [[fact]] but for a DERIVED frame (no base table to re-read):
-    * same dir-keyed location, `_SUCCESS`-guarded idempotent write,
-    * metadata-only re-attach in later sessions.
+    * same dir-keyed location, completion-marker-guarded idempotent
+    * write, metadata-only re-attach in later sessions. `srcBytes`
+    * (source parquet size) sizes the pass split.
+    *
+    * Completion is marked by OUR `_GRAFT_DONE` file, not Hadoop's
+    * `_SUCCESS`: a multi-pass build leaves a `_SUCCESS` after its
+    * FIRST pass, so trusting it would re-attach a partial layout
+    * after a mid-build crash. `_GRAFT_DONE` is written only after
+    * every pass committed.
     */
   private def derived(spark: SparkSession, dir: String, name: String,
-      bucketKey: String, source: => DataFrame, fp: String): DataFrame = synchronized {
+      bucketKey: String, source: => DataFrame, fp: String,
+      srcBytes: Long): DataFrame = synchronized {
     // identifier charset is stricter than the PATH charset (dirKey
     // keeps '.'/'-' for readable layout dirs; unquoted SQL identifiers
     // allow neither)
@@ -130,7 +167,7 @@ object BucketedTables {
     if (!spark.catalog.tableExists(tbl)) {
       val path = s"$Root/${dirKey(dir)}/$name-$fp"
       gcStaleSiblings(s"$Root/${dirKey(dir)}", name, fp)
-      val done = new java.io.File(path, "_SUCCESS")
+      val done = new java.io.File(path, "_GRAFT_DONE")
       val src = source
       if (done.isFile) {
         // files exist from a previous session — metadata-only re-attach
@@ -139,20 +176,34 @@ object BucketedTables {
              |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) INTO $Buckets BUCKETS
              |LOCATION '$path'""".stripMargin)
       } else {
-        // repartition on the bucket key first: Spark's bucket id is the
-        // same Murmur3 pmod the repartition uses, so each task owns
-        // exactly one bucket and writes ONE file — the layout scans
-        // only trust `sortBy` ordering for single-file buckets, and the
-        // in-order buckets are what lets sort-merge joins on the key
-        // run with no Sort at read time.
-        src
-          .repartition(Buckets, org.apache.spark.sql.functions.col(bucketKey))
-          .write
-          .bucketBy(Buckets, bucketKey)
-          .sortBy(bucketKey)
-          .option("path", path)
-          .mode("overwrite")
-          .saveAsTable(tbl)
+        val passes = math.min(Buckets,
+          math.max(1, math.ceil(srcBytes.toDouble / passBudgetBytes).toInt))
+        (0 until passes).foreach { p =>
+          val lo = p * Buckets / passes
+          val hi = (p + 1) * Buckets / passes - 1
+          // the pass filter uses the exact bucket-id function
+          // (pmod(murmur3, n) — the same mapping `repartition(n, col)`
+          // and the bucketBy writer use), so each bucket's rows appear
+          // in exactly one pass. Within the pass, repartition on the
+          // bucket key makes each task own exactly one bucket and
+          // write ONE file — the layout scans only trust `sortBy`
+          // ordering for single-file buckets, and the in-order buckets
+          // are what lets sort-merge joins on the key run with no Sort
+          // at read time.
+          val part = if (passes == 1) src
+            else src.filter(org.apache.spark.sql.functions
+              .expr(s"pmod(hash($bucketKey), $Buckets)").between(lo, hi))
+          part
+            .repartition(Buckets, org.apache.spark.sql.functions.col(bucketKey))
+            .write
+            .bucketBy(Buckets, bucketKey)
+            .sortBy(bucketKey)
+            .option("path", path)
+            .mode(if (p == 0) "overwrite" else "append")
+            .saveAsTable(tbl)
+        }
+        val out = new java.io.FileOutputStream(done)
+        try out.write('1') finally out.close()
       }
     }
     spark.table(tbl)
@@ -190,5 +241,6 @@ object BucketedTables {
       derive: DataFrame => DataFrame = identity,
       derivation: String = ""): DataFrame =
     derived(spark, dir, name, bucketKey,
-      derive(Tables.table(spark, dir, name)), fingerprint(dir, name, derivation))
+      derive(Tables.table(spark, dir, name)), fingerprint(dir, name, derivation),
+      sourceBytes(dir, name))
 }

@@ -112,6 +112,67 @@ class BucketedJoinSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
   }
 
+  test("multi-pass layout ingest keeps single-file buckets and the exact row set") {
+    // the r17 constrained-disk ingest: a tiny pass budget forces the
+    // bucket-range pass split; the result must be indistinguishable
+    // from a single-pass build — one file per bucket (the sorted-scan
+    // trust), every row present exactly once, and per-file ordering
+    // real
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft-mp-src").toFile
+    val key = src.getAbsolutePath.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
+    val parent = new java.io.File("/tmp/graft_bucketed/v2/" + key)
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "documents.parquet"),
+        java.nio.file.Paths.get(src.getAbsolutePath, "documents.parquet"))
+      sys.props("graft.layout.passBudgetBytes") = "8192" // ~8 passes at sf0.001
+      val built =
+        try BucketedTables.docsNearDups(spark, src.getAbsolutePath)
+        finally sys.props.remove("graft.layout.passBudgetBytes")
+      val layoutDir = Option(parent.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.startsWith("docs_nd")).get
+      assert(new java.io.File(layoutDir, "_GRAFT_DONE").isFile)
+      val bucketFiles = layoutDir.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      // one file per NON-EMPTY bucket: multi-pass must never split a
+      // bucket across files (bucket ids live in the file names)
+      val byBucket = bucketFiles.groupBy(_.getName.split("_")(1).take(5))
+      assert(byBucket.values.forall(_.length == 1),
+        s"bucket written by more than one pass: ${bucketFiles.map(_.getName).toSeq}")
+      // exact row set vs the derived frame
+      val derived = Tables.docsWithNearDups(spark, src.getAbsolutePath, spread = false)
+      assert(built.count() == derived.count())
+      assert(built.exceptAll(derived).isEmpty && derived.exceptAll(built).isEmpty)
+      // per-file ordering is real (the sorted-bucket-scan trust):
+      // read each bucket file raw and check doc_id is non-decreasing
+      import spark.implicits._
+      bucketFiles.foreach { bf =>
+        val ids = spark.read.parquet(bf.getAbsolutePath)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"bucket file out of order: ${bf.getName}")
+      }
+      // the doc_id-keyed merge join must not re-sort or exchange the
+      // corpus side — same assertion as the single-pass spec above
+      val pairs = Seq((0L, 25L)).toDF("a_id", "b_id")
+      val joined = built.select(col("doc_id").as("a_id"), col("text"))
+        .join(pairs.hint("merge"), "a_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")) <= 1, plan)
+    } finally {
+      rmrf(src); rmrf(parent)
+      val tblKey = s"graft_b_docs_nd_$key".replaceAll("[^A-Za-z0-9_]", "_")
+      spark.catalog.listTables().collect().filter(_.name.startsWith(tblKey))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    }
+  }
+
   test("superseded layouts are garbage-collected when the source is rewritten") {
     // a source rewrite produces a new fingerprint → a new layout dir;
     // the old one is stale by construction (nothing can re-attach it)
