@@ -792,6 +792,10 @@ object Pipeline {
     // (pair frame ≪ corpus — near-dup density, not corpus size)
     val dupIds = operators.SimilarityOps.simhashPairs(gated)
       .select(greatest(col("a_id"), col("b_id")).as("doc_id")).distinct()
+      // near-dup-density-sized, consumed twice (export anti-join + the
+      // stats count) — pinning it keeps the stats pass from re-running
+      // the SimHash pair stage, the sf100 rehearsal's costliest recompute
+      .localCheckpoint(false)
     val deduped = gated.join(dupIds, Seq("doc_id"), "left_anti")
 
     // semantic dedup: q70 verdicts over the embedding table (vec_id =
@@ -808,6 +812,9 @@ object Pipeline {
       val dropIds = operators.SimilarityOps.semdedupVerdicts(
         idx.assignCell(emb), col("cell"))
         .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+        // same pin as dupIds: without it the stats count replays the
+        // entire within-cell pair compare over the embedding table
+        .localCheckpoint(false)
       deduped.join(dropIds, Seq("doc_id"), "left_anti")
     }
 

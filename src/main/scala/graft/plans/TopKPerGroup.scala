@@ -90,13 +90,26 @@ case class TopKPerGroupExec(
     val orderB = order
     val kB = k
     val withRank = rankAttr.isDefined
+    val partialB = partial
     val outputSchema = output.map(_.dataType).toArray
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupExprsB, childOutput)
       val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderB, childOutput)
       // max-heap: worst row on top, evicted when a better one arrives
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      // The partial instance is a best-effort pre-filter; when the group
+      // key is near-unique within a partition (orders/custkey: ~1 row
+      // per key per partition at sf100), every row survives the heap
+      // anyway, so the map is 150M hash ops + row copies of pure
+      // overhead — and its size is unbounded. Probe the distinct ratio
+      // and hand the rest of the partition through untouched; the final
+      // stage is exact either way.
+      val probeRows = 1 << 17
+      val maxKeys = 1 << 21
+      var seen = 0L
+      var bypass = false
+      while (it.hasNext && !bypass) {
+        val row = it.next()
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -110,14 +123,19 @@ case class TopKPerGroupExec(
           heap.dequeue()
           heap.enqueue(row.copy())
         }
+        seen += 1
+        if (partialB && seen >= probeRows &&
+            (heaps.size * 2 > seen || heaps.size >= maxKeys)) bypass = true
       }
       numGroups += heaps.size
       if (!withRank) {
-        heaps.valuesIterator.flatMap { h =>
+        val heaped = heaps.valuesIterator.flatMap { h =>
           val rows = h.dequeueAll.reverse // ascending by ord — deterministic
           numOutputRows += rows.size
           rows.iterator
         }
+        if (bypass) heaped ++ it.map { r => numOutputRows += 1; r }
+        else heaped
       } else {
         // rank falls out of the heap's ascending drain — no Window, no
         // per-group sort beyond the k-element heap itself

@@ -40,6 +40,25 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(joined.filter(col("o_totalprice") =!= col("best")).count() == 0)
   }
 
+  test("partial bypass at high group cardinality stays exact") {
+    // one fat partition whose first 131072+ keys are all distinct: the
+    // partial stage's probe must flip to pass-through, and the final
+    // stage must still be exact — keys repeat only AFTER the probe point
+    val df = spark.range(400000).select(
+      (col("id") % 200000).as("g"),
+      (col("id") * 37 % 1001).as("v"),
+      col("id"))
+      .repartition(1)
+    val viaCustom = TopKPerGroup(df,
+      Seq(col("g")), Seq(col("v").desc, col("id").asc), 2)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+    assert(viaCustom.count() == viaWindow.count())
+    assert(viaCustom.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaCustom).count() == 0)
+  }
+
   test("groups smaller than k pass through whole") {
     val k100 = TopKPerGroup(orders,
       Seq(col("o_custkey")), Seq(col("o_orderkey").asc), 100000)
