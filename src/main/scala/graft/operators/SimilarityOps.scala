@@ -1276,12 +1276,15 @@ object SimilarityOps {
       col("cluster"), col("nrm").as("a_nrm"))
     val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       col("cluster").as("b_cluster"), col("nrm").as("b_nrm"))
-    val pairDot =
-      "aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
-        "cast(0 as double), (acc, v) -> acc + v)"
     val dominated = a
       .join(b, col("cluster") === col("b_cluster") && col("b_id") < col("a_id"))
-      .withColumn("cosine", expr(pairDot) / (col("a_nrm") * col("b_nrm")))
+      // codegen'd dot (plans.VecDot, same left-to-right fold as the HOF
+      // spelling it replaced) over the corpus-quadratic pair frame —
+      // the sf100 export rehearsal spent its post-write hour in
+      // interpreted ZipWith/ArrayAggregate eval right here
+      .withColumn("cosine",
+        graft.plans.VecDot.of(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= SemDedupTau)
       .groupBy(col("a_id"))
       .agg(round(max(col("cosine")), 6).as("max_sim"))

@@ -40,6 +40,17 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Σ aᵢ·bᵢ (left-to-right — the `aggregate(zip_with(...))` fold
+    * order, bit-identical to the HOF spelling it replaces).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
   /** √Σ xᵢ² (left-to-right). */
   def norm(a: ArrayData): Double = {
     val n = a.numElements()
@@ -120,6 +131,28 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   def of(a: Column, b: Column): Column =
     CB.column(CosineSim(CB.expression(a), CB.expression(b)))
+}
+
+/** `vec_dot(a, b)` → double — for pair frames that carry precomputed
+  * per-row norms (SemDeDup): CosineSim would re-fold both norms per
+  * PAIR, tripling the flops on a corpus-quadratic frame.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  def of(a: Column, b: Column): Column =
+    CB.column(VecDot(CB.expression(a), CB.expression(b)))
 }
 
 /** `vec_norm(a)` → double. */
