@@ -799,18 +799,16 @@ object Pipeline {
     val deduped = gated.join(dupIds, Seq("doc_id"), "left_anti")
 
     // semantic dedup: q70 verdicts over the embedding table (vec_id =
-    // doc_id), centroid-cell clustered with k ∝ corpus (|cluster| held
-    // ~flat — semdedupCellsFor — so the within-cluster pair stage
-    // cannot grow quadratically with the corpus; ≥ 0.99 pairs share
-    // their argmax cell under any k, so true-near-dup verdicts are
-    // unchanged); only the drop-id frame (near-dup density, not corpus
+    // doc_id), clustered with |cluster| held ~flat at every scale —
+    // semdedupAssign subdivides cells past the driver-fit cap with
+    // row-local sign bits, so the within-cluster pair stage stays
+    // ~linear in the corpus (the un-subdivided cells went quadratic at
+    // sf100: ~8e11 pair dots); only the drop-id frame (near-dup
+    // density, not corpus
     // size) reaches the corpus-side anti-join
     val semdeduped = semdedupEmb.fold(deduped) { emb =>
-      val cells = operators.SimilarityOps.semdedupCellsFor(emb.count())
-      val idx = operators.SimilarityOps.fitIvfK(
-        operators.SimilarityOps.embSample(emb), cells)
       val dropIds = operators.SimilarityOps.semdedupVerdicts(
-        idx.assignCell(emb), col("cell"))
+        operators.SimilarityOps.semdedupAssign(emb, emb.count()), col("sd_cluster"))
         .filter(!col("kept")).select(col("vec_id").as("doc_id"))
         // same pin as dupIds: without it the stats count replays the
         // entire within-cell pair compare over the embedding table

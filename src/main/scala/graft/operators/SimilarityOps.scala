@@ -908,6 +908,49 @@ object SimilarityOps {
   private[graft] def semdedupCellsFor(n: Long): Int =
     math.max(IvfCells, math.min(IvfSample / 8, (n / 512L).toInt))
 
+  /** Production SemDeDup cluster assignment: argmax IVF cell, SUBDIVIDED
+    * by row-local hyperplane sign bits once the corpus outgrows the
+    * driver-Lloyd cell cap. Past [[semdedupCellsFor]]'s 256-cell cap,
+    * argmax cells grow ∝ n and the within-cell pair stage turns
+    * QUADRATIC — at sf100 (20.8M vectors, ~81k per cell) that is ~8e11
+    * pair dots, the export rehearsal's dominant cost. Sign-bit
+    * subdivision restores the k ∝ n posture without a bigger fit: p
+    * planes put expected |cluster| back at ~512, the key is computed in
+    * the scan stage from plan-literal planes (no fit, no shuffle, no
+    * size limit), and pair work returns to ~128·n — linear.
+    *
+    * Semantics trade, stated honestly: a cos ≥ τ pair splits across
+    * subcells with P = 1-(1-θ/π)^p — for the PLANTED near-dups (cos ≈
+    * 1-1e7) that is ~0.1% at p=8, for a τ-boundary 0.99 pair ~31%; the
+    * argmax-cell rule already had the same boundary character (a 0.99
+    * pair need not share its nearest centroid). p = 0 — key and
+    * verdicts BIT-IDENTICAL to the plain cell — whenever expected
+    * |cell| < 2·512, which holds at every test SF through sf1; the
+    * regime only engages past ~262k vectors. Planes are seeded apart
+    * from q34's LSH family so the two indexes never correlate.
+    */
+  private[graft] def semdedupAssign(df: org.apache.spark.sql.DataFrame,
+      n: Long, emb: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val cells = semdedupCellsFor(n)
+    val idx = fitIvfK(embSample(df), cells)
+    val assigned = idx.assignCell(df, emb)
+    val ratio = n.toDouble / (cells.toDouble * 512.0)
+    val p = if (ratio < 2.0) 0
+      else math.min(16, math.round(math.log(ratio) / math.log(2)).toInt)
+    if (p == 0) assigned.withColumn("sd_cluster", col("cell").cast("long"))
+    else {
+      val planes = (0 until p).map { q =>
+        (0 until Tables.EmbeddingDim).map { j =>
+          ((splitmix((q + 0x5DD0L) * 131071L + j) & Long.MaxValue) % 100000L) /
+            100000.0 - 0.5
+        }
+      }
+      assigned.withColumn("sd_cluster",
+        col("cell").cast("long") * (1L << p) +
+          element_at(graft.plans.HyperplaneBuckets.of(col(emb), planes, 1, p), 1))
+    }
+  }
+
   /** Row-local top-[[ivfProbesFor]] probe-cell explode for a
     * `(q_id, q_emb)` query frame — shared by q40, q73 and their verify
     * companions. Probe count derives from the index's own cell count,

@@ -232,8 +232,8 @@ class SimilaritySpec extends SparkSpec {
   test("q70 semdedup under the PRODUCTION centroid-cell clustering still kills near-dups") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embWithNearDups(spark, sfDir)
-    val idx = SimilarityOps.fitIvf(Tables.embeddings(spark, sfDir))
-    val verdicts = SimilarityOps.semdedupVerdicts(idx.assignCell(e), col("cell")).collect()
+    val verdicts = SimilarityOps.semdedupVerdicts(
+      SimilarityOps.semdedupAssign(e, e.count()), col("sd_cluster")).collect()
     val dropped = verdicts.filterNot(_.getAs[Boolean]("kept"))
       .map(_.getAs[Long]("vec_id")).toSet
     val planted = verdicts.map(_.getAs[Long]("vec_id"))
@@ -244,6 +244,42 @@ class SimilaritySpec extends SparkSpec {
     assert((dropped -- planted).isEmpty, s"false drops: ${dropped -- planted}")
     val recall = dropped.size.toDouble / planted.size
     assert(recall >= 0.9, s"centroid-cell semdedup recall $recall")
+  }
+
+  test("semdedup sign-bit subdivision: clusters shrink, near-dup recall holds") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embWithNearDups(spark, sfDir)
+    // claim a 2M-vector corpus so the subdivision regime engages on the
+    // small frame (p > 0), then re-check both the kill-set and the key
+    // arithmetic: every sd_cluster must reduce to its parent cell
+    val bigN = 2L * 1000 * 1000
+    val assigned = SimilarityOps.semdedupAssign(e, bigN)
+    val cells = SimilarityOps.semdedupCellsFor(bigN)
+    val p = math.round(math.log(bigN.toDouble / (cells * 512.0)) / math.log(2)).toInt
+    assert(p > 0, s"test premise broken: expected subdivision at n=$bigN")
+    val badParent = assigned.filter(
+      org.apache.spark.sql.functions.shiftright(col("sd_cluster"), p)
+        =!= col("cell").cast("long"))
+    assert(badParent.count() == 0, "sd_cluster does not decompose to (cell, bits)")
+    // isolate the sign-bit cost: verdicts over the SAME cell assignment
+    // with and without the subdivision bits. (Forcing bigN on a tiny
+    // frame makes the CELLS themselves unrealistically fine — ~8
+    // vectors each — so absolute recall here reflects cell-boundary
+    // flips, not the subdivision; the production test above covers the
+    // honest-n cell recall.) Planted pairs sit at cos ~ 1-1e-7, so a
+    // sign split needs |plane·v| < ~5e-4 — at most a whisker of loss.
+    val droppedOf = (cluster: org.apache.spark.sql.Column) =>
+      SimilarityOps.semdedupVerdicts(assigned, cluster).collect()
+        .filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val dropCell = droppedOf(col("cell"))
+    val dropSub = droppedOf(col("sd_cluster"))
+    assert(dropSub.subsetOf(dropCell), "subdivision can only lose pairs, never add")
+    val lost = dropCell -- dropSub
+    assert(lost.size <= math.max(1, dropCell.size / 20),
+      s"sign-bit subdivision lost ${lost.size} of ${dropCell.size} drops")
+    val planted = assigned.filter(col("vec_id") >= Tables.EmbDupOffset).count()
+    assert(dropCell.forall(_ >= Tables.EmbDupOffset), "false drops under cell key")
+    assert(planted > 0)
   }
 
   test("q35 multimodal rollup covers every source with sane metadata") {
