@@ -750,17 +750,25 @@ object Pipeline {
       boilerplate: Boolean = false,
       contamRatePct: Option[Int] = None,
       dsirTarget: Option[org.apache.spark.sql.Column] = None,
+      gate: Boolean = true,
       stats: Boolean = true): ExportStats = {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     val train = docs.filter(!evalPred)
 
-    // gate: row-local verdicts, corpus-side plan stays one scan
-    val keepIds = operators.TextOps.gopherVerdicts(train)
-      .filter(col("verdict") === "keep").select(col("doc_id"))
-      .join(operators.InferenceOps.scoredFrame(train)
-        .filter(col("keep") === 1).select(col("doc_id")), "doc_id")
-    val gated0 = train.join(keepIds, "doc_id")
+    // gate: row-local verdicts, corpus-side plan stays one scan.
+    // `gate = false` skips it — the recipe for pre-curated sources
+    // (and the rehearsal mode that drives the dedup/decontaminate
+    // stages at full corpus size: on the synthetic testdata the
+    // gopher gate keeps ~0.02%, so with it on nothing downstream
+    // ever sees a multi-million-doc frame)
+    val gated0 = (if (!gate) train else {
+      val keepIds = operators.TextOps.gopherVerdicts(train)
+        .filter(col("verdict") === "keep").select(col("doc_id"))
+        .join(operators.InferenceOps.scoredFrame(train)
+          .filter(col("keep") === 1).select(col("doc_id")), "doc_id")
+      train.join(keepIds, "doc_id")
+    })
       // gated is the input of THREE downstream plans (dedup pairs,
       // contamination grams, final join) — pin it once. TRADE: this
       // stores the gated corpus (text included) on executor-local

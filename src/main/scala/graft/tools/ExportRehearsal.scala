@@ -17,6 +17,11 @@ object ExportRehearsal {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf100")
     val out = if (args.length > 1) args(1) else "/tmp/graft_export_rehearsal/corpus"
+    // "nogate": skip the quality gate so the dedup/decontaminate/select
+    // stages compose at FULL corpus size (the synthetic docs fail the
+    // gopher gate ~99.98%, so the gated funnel never feeds them more
+    // than ~1k docs)
+    val gate = !args.contains("nogate")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = graft.GraftConf.local(cpus).getOrCreate()
@@ -33,10 +38,11 @@ object ExportRehearsal {
       semdedupEmb = Some(emb),
       lineDedup = true, boilerplate = true,
       contamRatePct = Some(10),
-      dsirTarget = Some(col("source").isin("src0", "src1")))
+      dsirTarget = Some(col("source").isin("src0", "src1")),
+      gate = gate)
     val wall = math.rint((System.nanoTime() - t0) / 1e7) / 100
     println(
-      s"""{"export_rehearsal":{"dir":"$dir","wall_s":$wall,"docs":$docs,""" +
+      s"""{"export_rehearsal":{"dir":"$dir","gate":$gate,"wall_s":$wall,"docs":$docs,""" +
       s""""mix_target":$mixTarget,"input":${st.input},"gated":${st.gated},""" +
       s""""boilerplated":${st.boilerplated},"line_deduped":${st.lineDeduped},""" +
       s""""deduped":${st.deduped},"semdeduped":${st.semdeduped},""" +

@@ -541,6 +541,25 @@ class PipelineSpec extends SparkSpec {
     assert(stats2 == stats)
   }
 
+  test("exportCorpus gate=false feeds the dedup stages the whole train split") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("export_ng").toString + "/corpus"
+    val stats = Pipeline.exportCorpus(spark, sfDir, out,
+      mixTarget = 40, docsPerShard = 10, gate = false)
+    val nTrain = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 50 =!= 7).count()
+    // no gate: the funnel's first stage sees EVERY train doc (the gated
+    // run keeps only the gopher∩classifier survivors)
+    assert(stats.gated == nTrain, s"gated ${stats.gated} != train $nTrain")
+    assert(stats.deduped <= stats.gated)
+    assert(stats.exported > 0 && stats.exported <= 40)
+    val gatedRun = Pipeline.exportCorpus(spark, sfDir,
+      Files.createTempDirectory("export_g").toString + "/corpus",
+      mixTarget = 40, docsPerShard = 10)
+    assert(gatedRun.gated < stats.gated,
+      "the gate must keep strictly fewer docs than no-gate")
+  }
+
   test("boilerplate stage composition strips planted chrome and drops all-chrome docs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
