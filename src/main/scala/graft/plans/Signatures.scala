@@ -46,9 +46,16 @@ object Signatures {
     (a, b)
   }
 
-  /** Single pass over the UTF-8 bytes: for each 3-byte shingle, one
-    * XXH64, then k running minima of (a_i*h32+b_i) mod p. O(len*k) with
-    * zero allocation beyond the signature array.
+  /** One XXH64 per 3-byte shingle position, then k running minima of
+    * (a_i*h32+b_i) mod p — computed once per DISTINCT shingle hash:
+    * duplicates produce identical permuted values, so min-ing them
+    * again is pure waste, and ProbeQ30c pinned the signature stage as
+    * q30's entire sf100 bill on corpora whose template text repeats
+    * trigrams heavily (r16: ~19.7k distinct in the whole token space).
+    * Collect-sort-unique over the position hashes costs O(len·log len)
+    * against the O(distinct·k) inner loop it saves; signatures are
+    * bit-identical to the per-position spelling by the idempotence of
+    * min.
     */
   def minhash(s: UTF8String, k: Int): ArrayData =
     new GenericArrayData(minhashArray(s, k))
@@ -60,11 +67,22 @@ object Signatures {
     val off = s.getBaseOffset
     val n = s.numBytes()
     val last = math.max(n - 3, 0)
+    val hashes = new Array[Long](last + 1)
+    var m = 0
     var i = 0
     while (i <= last) {
       val len = math.min(3, n - i)
       if (len > 0) {
-        val h = XXH64.hashUnsafeBytes(base, off + i, len, 42L) & 4294967295L
+        hashes(m) = XXH64.hashUnsafeBytes(base, off + i, len, 42L) & 4294967295L
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hashes, 0, m)
+    var p = 0
+    while (p < m) {
+      if (p == 0 || hashes(p) != hashes(p - 1)) {
+        val h = hashes(p)
         var j = 0
         while (j < k) {
           val v = (h * as(j) + bs(j)) % P32
@@ -72,7 +90,7 @@ object Signatures {
           j += 1
         }
       }
-      i += 1
+      p += 1
     }
     sig
   }
