@@ -20,10 +20,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * footer, and the default session catalog is in-memory — so the files
   * are written ONCE to a dir-keyed location, and later sessions
   * re-attach them with a metadata-only `CREATE TABLE … CLUSTERED BY`
-  * over the existing files. The write is idempotent (guarded by the
-  * `_GRAFT_DONE` marker written after the LAST ingest pass) and races
-  * are harmless: `synchronized` within a JVM, and across JVMs the
-  * loser of a concurrent create re-reads the same files.
+  * over the existing files. The build is crash- and race-safe by
+  * CONSTRUCTION, not by convention: all ingest passes write into a
+  * process-private `.tmp-<pid>` sibling under a throwaway catalog name,
+  * the `_GRAFT_DONE` marker lands inside the temp dir after the LAST
+  * pass, and only then does one atomic `rename` publish the layout —
+  * so the real catalog name and the final path can never name a
+  * partial layout (a failed build leaves only a temp dir, deleted in
+  * the failure path and swept by GC as a backstop). Across JVMs two
+  * concurrent builders each complete a private build; the rename loser
+  * detects the winner's sealed layout, discards its own bytes, and
+  * attaches the winner's files — interleaved multi-pass writes into a
+  * shared dir (duplicate rows, multi-file buckets that the
+  * sorted-single-file scan trust would silently misread) are
+  * impossible because no two processes ever write the same dir.
   *
   * Bucket count: fixed per LAYOUT, not per session (a bucketed table's
   * file count is part of its on-disk identity). 32 here sizes sf10's
@@ -164,18 +174,29 @@ object BucketedTables {
     // keeps '.'/'-' for readable layout dirs; unquoted SQL identifiers
     // allow neither)
     val tbl = s"graft_b_${name}_${dirKey(dir)}_$fp".replaceAll("[^A-Za-z0-9_]", "_")
-    if (!spark.catalog.tableExists(tbl)) {
-      val path = s"$Root/${dirKey(dir)}/$name-$fp"
-      gcStaleSiblings(s"$Root/${dirKey(dir)}", name, fp)
-      val done = new java.io.File(path, "_GRAFT_DONE")
-      val src = source
-      if (done.isFile) {
-        // files exist from a previous session — metadata-only re-attach
-        spark.sql(
-          s"""CREATE TABLE $tbl (${src.schema.toDDL}) USING PARQUET
-             |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) INTO $Buckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
-      } else {
+    val path = s"$Root/${dirKey(dir)}/$name-$fp"
+    val done = new java.io.File(path, "_GRAFT_DONE")
+    if (spark.catalog.tableExists(tbl)) {
+      // the catalog only ever names SEALED layouts (the temp-build
+      // scheme below), but the files outlive the catalog entry in the
+      // other direction too: another process's GC or a manual wipe can
+      // delete a layout behind a live entry. Verify the seal before
+      // trusting the fast path; on a miss, drop and rebuild.
+      if (done.isFile) { touch(done); return spark.table(tbl) }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    gcStaleSiblings(s"$Root/${dirKey(dir)}", name, fp)
+    val src = source
+    if (!done.isFile) {
+      // build in a process-private temp dir under a throwaway catalog
+      // name; publish with one atomic rename AFTER the seal marker is
+      // inside — a partial build can never be attached (any failure
+      // below leaves the final path untouched)
+      val tmpPath = s"$path.tmp-${ProcessHandle.current().pid()}"
+      val tmpTbl = s"${tbl}_build"
+      try {
+        deleteRecursively(new java.io.File(tmpPath))
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
         val passes = math.min(Buckets,
           math.max(1, math.ceil(srcBytes.toDouble / passBudgetBytes).toInt))
         (0 until passes).foreach { p =>
@@ -198,16 +219,55 @@ object BucketedTables {
             .write
             .bucketBy(Buckets, bucketKey)
             .sortBy(bucketKey)
-            .option("path", path)
+            .option("path", tmpPath)
             .mode(if (p == 0) "overwrite" else "append")
-            .saveAsTable(tbl)
+            .saveAsTable(tmpTbl)
         }
-        val out = new java.io.FileOutputStream(done)
+        val tmpDone = new java.io.File(tmpPath, "_GRAFT_DONE")
+        val out = new java.io.FileOutputStream(tmpDone)
         try out.write('1') finally out.close()
+        if (!new java.io.File(tmpPath).renameTo(new java.io.File(path))) {
+          // rename loser: a concurrent builder published first — its
+          // layout is sealed and byte-equivalent (same fp ⇒ same source
+          // bytes + recipe ⇒ same deterministic build); discard ours
+          require(done.isFile,
+            s"BucketedTables: rename $tmpPath -> $path failed with no sealed winner")
+        }
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl") // external: files unaffected
+        deleteRecursively(new java.io.File(tmpPath))
       }
     }
+    // metadata-only attach over the sealed files
+    spark.sql(
+      s"""CREATE TABLE $tbl (${src.schema.toDDL}) USING PARQUET
+         |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) INTO $Buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    touch(done)
     spark.table(tbl)
   }
+
+  /** Attach-time liveness signal for the GC grace window: bump the seal
+    * marker's mtime so a layout some session is actively reading is
+    * visibly "in use" to any concurrent process's [[gcStaleSiblings]].
+    */
+  private def touch(done: java.io.File): Unit = {
+    done.setLastModified(System.currentTimeMillis()): Unit
+  }
+
+  /** GC grace window: a stale sibling is deleted only once its seal
+    * marker's mtime (bumped at every attach — see `touch`) is older
+    * than this. A layout another LIVE session is reading was attached
+    * when that session started, so its marker is recent and the GC
+    * skips it; without the window, a bench run overlapping a testdata
+    * regeneration would get its parquet deleted mid-scan. The price is
+    * a superseded layout lingering up to one window after its last
+    * reader — bounded, unlike the unbounded orphan leak the GC exists
+    * to stop.
+    */
+  private def gcGraceMs: Long =
+    sys.props.get("graft.layout.gcGraceMs").map(_.toLong)
+      .getOrElse(2L * 60 * 60 * 1000)
 
   /** Delete superseded layouts for `name` under the dir key: any
     * sibling named `name` (pre-fingerprint era) or `name-<otherfp>` is
@@ -216,14 +276,26 @@ object BucketedTables {
     * rewritten or the recipe changed, and nothing can ever re-attach
     * that dir again. Without this, every testdata regeneration orphans
     * a full-size layout forever (a sf100 lineitem layout is ~15 GB,
-    * and this disk has hit ENOSPC twice).
+    * and this disk has hit ENOSPC twice). Deletion honors the
+    * [[gcGraceMs]] attach-recency window; crashed builders' orphan
+    * `.tmp-<pid>` dirs are swept on the same schedule (by dir mtime —
+    * they never have a seal marker).
     */
   private def gcStaleSiblings(parent: String, name: String, fp: String): Unit = {
     val kids = Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
-    val stale = s"^${java.util.regex.Pattern.quote(name)}(-[0-9a-f]{12})?$$".r
+    val q = java.util.regex.Pattern.quote(name)
+    val stale = s"^$q(-[0-9a-f]{12})?$$".r
+    val tmp = s"^$q-[0-9a-f]{12}\\.tmp-[0-9]+$$".r
+    val cutoff = System.currentTimeMillis() - gcGraceMs
     kids.foreach { f =>
-      if (f.getName != s"$name-$fp" && stale.findFirstIn(f.getName).isDefined)
-        deleteRecursively(f)
+      val isStale = f.getName != s"$name-$fp" && stale.findFirstIn(f.getName).isDefined
+      val isOrphanTmp = tmp.findFirstIn(f.getName).isDefined
+      if (isStale || isOrphanTmp) {
+        val marker = new java.io.File(f, "_GRAFT_DONE")
+        val lastUse = math.max(f.lastModified,
+          if (marker.isFile) marker.lastModified else 0L)
+        if (lastUse < cutoff) deleteRecursively(f)
+      }
     }
   }
 

@@ -613,7 +613,12 @@ object SimilarityOps {
   : org.apache.spark.sql.DataFrame =
     buckets.groupBy().agg(
       count(lit(1)).as("press_buckets"),
-      sum(col("ids").isNull.cast("bigint")).as("press_dropped_buckets"),
+      // both sums coalesce to 0L so an EMPTY bucket frame still emits a
+      // uniform all-integers row (the gate's oracle dump is hash-exact
+      // on integer columns; a NULL next to a 0 would be an inconsistent
+      // row shape)
+      coalesce(sum(col("ids").isNull.cast("bigint")), lit(0L))
+        .as("press_dropped_buckets"),
       coalesce(sum(when(col("ids").isNull,
           col("occ") * (col("occ") - 1) / 2).cast("bigint")), lit(0L))
         .as("press_dropped_pairs"))

@@ -60,6 +60,25 @@ object Signatures {
   def minhash(s: UTF8String, k: Int): ArrayData =
     new GenericArrayData(minhashArray(s, k))
 
+  // per-thread growable scratch for the position-hash collect-sort pass:
+  // the buffer is O(doc length) and this is a codegen hot path run once
+  // per corpus row, so a fresh 8·len-byte allocation per row would churn
+  // large short-lived arrays (and promote to the old gen under the
+  // sorted-unique pass) on multi-MB documents. Only [0, m) is ever read
+  // after the fill, so reuse across rows is safe; growth is amortized
+  // (next power of two, never shrinks within a task thread).
+  private val mhScratch = ThreadLocal.withInitial[Array[Long]](() => new Array[Long](4096))
+
+  private def mhBuffer(atLeast: Int): Array[Long] = {
+    val cur = mhScratch.get()
+    if (cur.length >= atLeast) cur
+    else {
+      val grown = new Array[Long](java.lang.Integer.highestOneBit(atLeast - 1) * 2)
+      mhScratch.set(grown)
+      grown
+    }
+  }
+
   def minhashArray(s: UTF8String, k: Int): Array[Long] = {
     val (as, bs) = MinHashSig.params(k)
     val sig = Array.fill(k)(Long.MaxValue)
@@ -67,7 +86,7 @@ object Signatures {
     val off = s.getBaseOffset
     val n = s.numBytes()
     val last = math.max(n - 3, 0)
-    val hashes = new Array[Long](last + 1)
+    val hashes = mhBuffer(last + 1)
     var m = 0
     var i = 0
     while (i <= last) {

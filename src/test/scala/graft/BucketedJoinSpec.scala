@@ -198,9 +198,27 @@ class BucketedJoinSpec extends SparkSpec {
       // simulate the testdata regeneration: same bytes, new mtime
       val f = new java.io.File(src, "documents.parquet")
       assert(f.setLastModified(f.lastModified() + 60000))
+      // under the default grace window the stale layout SURVIVES — it
+      // was attached moments ago, and a concurrent session could still
+      // be scanning it (the r17 ADVICE hazard: GC-at-attach deleting
+      // parquet out from under an overlapping bench run)
       assert(BucketedTables.docsNearDups(spark, src.getAbsolutePath).count() > 0)
-      val after = layouts()
-      assert(after.length == 1, s"stale sibling layout not GC'd: $after")
+      val during = layouts()
+      assert(during.length == 2,
+        s"recently-attached stale layout must outlive the grace window: $during")
+      assert(during.exists(!before.contains(_)), "rewrite must produce a new layout key")
+      // once the window passes (grace → 1ms here), the next attach
+      // sweeps it; drop the catalog entry so the attach path (where the
+      // GC lives) re-runs instead of short-circuiting
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(s"graft_b_docs_nd_$key".replaceAll("[^A-Za-z0-9_]", "_")))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      Thread.sleep(50)
+      sys.props("graft.layout.gcGraceMs") = "1"
+      val after =
+        try { assert(BucketedTables.docsNearDups(spark, src.getAbsolutePath).count() > 0); layouts() }
+        finally sys.props.remove("graft.layout.gcGraceMs")
+      assert(after.length == 1, s"stale sibling layout not GC'd after the grace window: $after")
       assert(after != before, "rewrite must produce a new layout key")
     } finally {
       rmrf(src)
