@@ -627,6 +627,14 @@ object SimilarityOps {
   : org.apache.spark.sql.DataFrame =
     lshPairsFromBuckets(lshBucketAgg(s, dir))
 
+  // dev-probe handles (tools.ProbeQ83) — not part of the query surface
+  private[graft] def probeLshBucketAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = lshBucketAgg(s, dir)
+  private[graft] def probeLshPairs(b: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = lshPairsFromBuckets(b)
+  private[graft] def probeLshPressure(b: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = lshPressure(b)
+
   /** Exact-cosine verification of an (a_id, b_id) candidate frame —
     * shared by q34 and the q83 gate (which feeds it pairs from a
     * persisted bucket frame instead of recomputing the fold).
@@ -1652,20 +1660,44 @@ object SimilarityOps {
             finally s.sparkContext.clearJobGroup()
           }
         // the LSH bucket frame is shared by the pairs dump AND the
-        // cap-pressure dump — persist it and materialize it via the
-        // (tiny-output) pressure rollup BEFORE forking, so the pairs
-        // job reads the cache instead of re-running the hyperplane
-        // fold. Wall is unchanged vs r16: the fold dominated the lsh
-        // dump's runtime either way; only its position moved.
-        val buckets = lshBucketAgg(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // cap-pressure dump. r17 PERSISTED it and materialized the
+        // cache via the pressure rollup BEFORE forking, claiming "wall
+        // unchanged vs r16" — ProbeQ83 (TRIALS_r18) measured that
+        // claim false and attributed the r17 verdict's +1.9-2.9s
+        // every-SF regression: at sf0.1 the persist-materialize costs
+        // ~1.2s where the plain fold costs ~0.3s (cache serialization
+        // of the ids arrays), reading pairs back from the cache is
+        // SLOWER than re-running the codegen'd fold (~0.75s vs
+        // ~0.45s), and the whole prefix sat sequentially ahead of the
+        // concurrent region. Measured end-to-end (TimeOne, warm): the
+        // no-persist respelling reads 2.5-3.4s vs 4.4s at sf0.1 and
+        // 9.6-10s vs 13-14s at sf10 — so the DEFAULT is now to fold
+        // twice (pressure job + pairs job, chained in one future that
+        // overlaps the IVF/PQ dumps); the residual ~0.6-1s over r16 is
+        // the gauge's own rollup job, the price of the leading
+        // indicator. The sys-prop escape hatch keeps the persist
+        // spelling testable at sf100 where the fold is a bigger share.
+        val persistBuckets =
+          sys.props.get("graft.q83.persist").exists(_.toBoolean)
+        val buckets =
+          if (persistBuckets)
+            lshBucketAgg(s, dir)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else lshBucketAgg(s, dir)
         try {
-          Tables.atomicParquetDump(lshPressure(buckets), pressDump)
           val dumps = Seq(
             dump(ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump),
             dump(pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump),
-            dump(lshVerified(s, dir, lshPairsFromBuckets(buckets))
-              .select(col("a_id"), col("b_id")), lshDump))
+            Future {
+              org.apache.spark.sql.SparkSession.setActiveSession(s)
+              s.sparkContext.setJobGroup(group, "q83 candidate dump",
+                interruptOnCancel = true)
+              try {
+                Tables.atomicParquetDump(lshPressure(buckets), pressDump)
+                Tables.atomicParquetDump(lshVerified(s, dir, lshPairsFromBuckets(buckets))
+                  .select(col("a_id"), col("b_id")), lshDump)
+              } finally s.sparkContext.clearJobGroup()
+            })
           try Await.result(Future.sequence(dumps), Duration.Inf)
           catch {
             case e: Throwable =>
@@ -1673,7 +1705,7 @@ object SimilarityOps {
               throw e
           }
         } finally {
-          buckets.unpersist(false)
+          if (persistBuckets) buckets.unpersist(false)
           pool.shutdown()
         }
       }
