@@ -525,9 +525,84 @@ object SimilarityOps {
   private def embSampleFor(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
     embSampleCache.computeIfAbsent(dir, _ => embSample(Tables.embeddings(s, dir)))
 
+  private val ivfFineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
   private def ivfFitFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
-    val k = ivfCellsFor(embCount(s, dir))
-    ivfFitCache.computeIfAbsent((dir, k), _ => fitIvfK(embSampleFor(s, dir), k))
+    val n = embCount(s, dir)
+    val k = ivfCellsFor(n)
+    val coarse = ivfFitCache.computeIfAbsent((dir, k), _ => fitIvfK(embSampleFor(s, dir), k))
+    if (!fineEngagedFor(n)) coarse
+    else ivfFineCache.computeIfAbsent(dir,
+      _ => coarse.copy(fine = Some(fitFineLevel(s, dir, coarse))))
+  }
+
+  /** The fine level engages once the corpus is 2× past the coarse
+    * cap's ~512-occupancy point (n > 2 · 256 · 512 ≈ 262k): below
+    * that, coarse cells are already ≤ ~1024 and the extra level buys
+    * nothing — and every SF ≤ sf1 keeps the r12-tuned single-level
+    * behavior bit-identical.
+    */
+  private[graft] def fineEngagedFor(n: Long): Boolean =
+    n / 512L > 2L * (IvfSample / 8) &&
+      sys.props.get("graft.ivf.fine").forall(_.toBoolean)
+
+  /** Stride for the fine fit's corpus sample: every 8th vector gives
+    * ~64 sample points per target fine cell (8× the driver-Lloyd
+    * ≥8-points/centroid quality bound), while keeping the fit's
+    * shuffle at n/8 rows — a bounded, deterministic training job, not
+    * a second corpus pass per query (dir-memoized like the coarse
+    * fit).
+    */
+  private val FineSampleStride = 8L
+  private val FineOccupancy = 512.0
+
+  /** Distributed per-coarse-cell spherical Lloyd — the k ∝ n fit the
+    * driver sample can't support (256 cells × ≥8 points caps k at
+    * 256; at sf100 that left 81k vectors per cell). Each coarse cell
+    * fits its own sub-quantizer with k_c = ceil(occupancy/512) over
+    * its members of the stride sample, independently and in parallel
+    * (mapGroups: ≤ ~10k sample rows per group at sf100). Determinism:
+    * the stride sample is id-keyed, groups sort by vec_id before the
+    * fit, and lloydCentroids is RNG-free — same corpus, same index.
+    * Coarse cells with no sample rows keep the coarse centroid as
+    * their single fine child, so assignment is total.
+    */
+  private def fitFineLevel(s: org.apache.spark.sql.SparkSession, dir: String,
+      coarse: IvfIndex): FineLevel =
+    fitFineLevelFrame(s, Tables.embeddings(s, dir), coarse)
+
+  private[graft] def fitFineLevelFrame(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, coarse: IvfIndex): FineLevel = {
+    import s.implicits._
+    val dim = coarse.cents.head.length
+    val sampled = e.filter(col("vec_id") % FineSampleStride === 0)
+    val fits = coarse.assignCell(sampled)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, rows) =>
+        val sample = rows.toArray.sortBy(_._2).map(_._3.map(_.toDouble))
+        val kc = math.min(sample.length,
+          math.max(1, math.ceil(sample.length * FineSampleStride /
+            FineOccupancy).toInt))
+        (cell, lloydCentroids(sample, kc).flatten)
+      }
+      .collect()
+      .map(f => f._1 -> f._2).toMap
+    val cents = Array.tabulate(coarse.n)(c =>
+      fits.getOrElse(c, coarse.cents(c).toArray))
+    val norms = cents.map { flat =>
+      val kc = flat.length / dim
+      Array.tabulate(kc) { j =>
+        var ss = 0.0
+        var i = 0
+        while (i < dim) { val v = flat(j * dim + i); ss += v * v; i += 1 }
+        math.sqrt(ss)
+      }
+    }
+    val offsets = norms.scanLeft(0)(_ + _.length).dropRight(1)
+    FineLevel(offsets, cents, norms)
   }
 
   private def pqFitFor(s: org.apache.spark.sql.SparkSession, dir: String): PqCodebook =
@@ -634,6 +709,35 @@ object SimilarityOps {
   : org.apache.spark.sql.DataFrame = lshPairsFromBuckets(b)
   private[graft] def probeLshPressure(b: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = lshPressure(b)
+
+  // dev-probe handles (tools.ProbeAnn) — fine-IVF recall/cost curves
+  private[graft] def probeIvfFit(s: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = ivfFitFor(s, dir)
+  private[graft] def probeTopK(e: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    quantizedTopK(e, cand)
+  /** q40's candidate frame with an EXPLICIT probe count (recall-curve
+    * sweeps); `probes <= 0` means the production law.
+    */
+  private[graft] def probeIvfCandidates(s: org.apache.spark.sql.SparkSession,
+      dir: String, probes: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx = ivfFitFor(s, dir)
+    val assigned = idx.assignCell(e)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = idx.fine match {
+      case Some(f) if probes > 0 =>
+        qs.withColumn("cell", explode(graft.plans.TopCells.of(col("q_emb"),
+            f.flatCents, f.flatNorms, math.min(probes, f.total),
+            idx.cents.head.length)))
+          .select(col("q_id"), col("q_emb"), col("cell"))
+      case _ => probeCells(idx, qs)
+    }
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+  }
 
   /** Exact-cosine verification of an (a_id, b_id) candidate frame —
     * shared by q34 and the q83 gate (which feeds it pairs from a
@@ -850,13 +954,50 @@ object SimilarityOps {
     * index serves lower probe fractions. The cells/probes ratio is the
     * tunable; the plan shape is scale-ready either way.
     */
+  /** The distributed FINE level of the two-level IVF quantizer (r18 —
+    * the fix for the driver-Lloyd 256-cell cap): per coarse cell, a
+    * spherical-Lloyd sub-quantizer fit on that cell's members of a
+    * corpus-wide stride sample, sized to ~512 expected occupancy per
+    * fine cell. Global fine-cell ids are `offsets(coarse) + j`, so the
+    * whole fine table is addressable flat (the probe side) while
+    * assignment stays hierarchical (the corpus side): coarse argmax
+    * over |coarse| centroids, then fine argmax over only the assigned
+    * cell's ~occupancy/512 children — O(|coarse| + occ/512) dots per
+    * row instead of the O(n/512) a flat k ∝ n index would cost
+    * (~2.7e13 FLOP corpus-wide at sf100).
+    */
+  private[graft] final case class FineLevel(offsets: Array[Int],
+      cents: Array[Array[Double]], norms: Array[Array[Double]]) {
+    val total: Int = offsets.last + norms.last.length
+    /** Flat [globalFineId][dim] view for the query-side probe ranking. */
+    lazy val flatCents: Array[Double] = {
+      val dim = cents.head.length / norms.head.length
+      val out = new Array[Double](total * dim)
+      var c = 0
+      var pos = 0
+      while (c < cents.length) {
+        System.arraycopy(cents(c), 0, out, pos, cents(c).length)
+        pos += cents(c).length
+        c += 1
+      }
+      out
+    }
+    lazy val flatNorms: Array[Double] = norms.flatten
+  }
+
   /** A fitted IVF coarse quantizer: centroids + norms as plan
     * LITERALS, with the row-local cell assignment / probe expressions.
     * Shared by q40 (ANN search) and the SemDeDup centroid-cluster
-    * variant (SimilaritySpec).
+    * variant (SimilaritySpec). When the corpus outgrows the
+    * driver-Lloyd quality cap, `fine` carries the distributed second
+    * level and `cell` becomes the GLOBAL fine-cell id — same literal
+    * interface, occupancy back at ~512.
     */
-  private[graft] final case class IvfIndex(cents: Seq[Seq[Double]], cnorms: Seq[Double]) {
+  private[graft] final case class IvfIndex(cents: Seq[Seq[Double]], cnorms: Seq[Double],
+      fine: Option[FineLevel] = None) {
     val n: Int = cents.length
+    /** Cell count of the level queries/probes actually key on. */
+    def searchCells: Int = fine.map(_.total).getOrElse(n)
     // score_i = dot(emb, c_i)/|c_i|: |emb| is a common positive factor,
     // so it drops out of both the argmax and the probe ordering
     def cellScore(emb: String): String =
@@ -867,14 +1008,20 @@ object SimilarityOps {
       df.withColumn("cs", typedLit(cents)).withColumn("cns", typedLit(cnorms))
     /** Row-local nearest-cell argmax (ties -> lowest cell) as a new
       * `cell` column; the centroid literals do not survive the return.
+      * With a fine level, `cell` is the global fine id (coarse argmax
+      * then within-cell fine argmax, both codegen'd).
       */
     def assignCell(df: org.apache.spark.sql.DataFrame,
-        emb: String = "embedding"): org.apache.spark.sql.DataFrame =
+        emb: String = "embedding"): org.apache.spark.sql.DataFrame = {
       // corpus-side hot path: codegen'd argmax (plans.NearestCell),
       // same tie rule (strict > keeps the lowest cell) as the
       // array_max-over-struct HOF it replaces
-      df.withColumn("cell", graft.plans.NearestCell.of(col(emb), cents, cnorms))
-        .drop("cs", "cns")
+      val coarse = graft.plans.NearestCell.of(col(emb), cents, cnorms)
+      val cell = fine.fold(coarse)(f =>
+        graft.plans.FineCell.of(col(emb), coarse, f.cents, f.norms,
+          f.offsets, cents.head.length))
+      df.withColumn("cell", cell).drop("cs", "cns")
+    }
   }
 
   /** ONE bounded driver-side collect (≤ [[IvfSample]] rows) feeding
@@ -964,21 +1111,58 @@ object SimilarityOps {
     }
   }
 
-  /** Row-local top-[[ivfProbesFor]] probe-cell explode for a
-    * `(q_id, q_emb)` query frame — shared by q40, q73 and their verify
-    * companions. Probe count derives from the index's own cell count,
-    * so callers cannot pair a scaled index with floor probes.
+  /** Fine-regime probe count, with the probe-fraction math re-derived
+    * against measurement (ProbeAnn at sf100, n=2M, 4030 fine cells —
+    * TRIALS_r18):
+    *
+    *   - candidate mass is now EXACTLY proportional to probes
+    *     (152k/310k/622k/1.25M/2.5M/5.0M candidates per query at
+    *     1/64..1/2 of cells — flat ~512 occupancy, no skew tail),
+    *     where the capped coarse index offered no mass control at all
+    *     (144/256 probes = 56.1% of the corpus, occupancy 7.8k and
+    *     growing ∝ n);
+    *   - recall@10 vs exact on THIS testdata reads 0.42/0.56/0.74/
+    *     0.80/0.84/1.00 along that sweep — the fraction for the 0.9
+    *     gate stays high (~1/2) because the embeddings are isotropic
+    *     in d=32, the documented ANN worst case: the nearest-centroid
+    *     angle shrinks only like arcsin(k^(-1/(d-1))) (≈57° at k=256
+    *     → ≈45° at k=4030), so rank-by-centroid-score gains little
+    *     signal from finer cells. Clustered real-world embeddings
+    *     concentrate neighbors in few cells and serve the SAME index
+    *     at far lower fractions (the planted-cluster rehearsal's
+    *     behavior); the law here buys the gate 1.0 recall at 0.50
+    *     corpus mass vs the coarse regime's 1.0 at 0.56 — equal
+    *     recall, slightly less work, and the occupancy/fit walls
+    *     removed.
+    */
+  private[graft] def fineProbesFor(totalFine: Int): Int =
+    math.max(IvfProbes, math.ceil(totalFine / 2.0).toInt)
+
+  /** Row-local top-probe-cell explode for a `(q_id, q_emb)` query
+    * frame — shared by q40, q73 and their verify companions. Probe
+    * count derives from the index's own cell count, so callers cannot
+    * pair a scaled index with floor probes. Single-level indexes keep
+    * the r12 HOF spelling bit-identically (≤ 256 cells, ≤ sf1); fine
+    * indexes rank the global fine table through the codegen'd
+    * [[graft.plans.TopCells]] (same (-score, id) total order).
     */
   private def probeCells(idx: IvfIndex,
-      qs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val probes = math.min(ivfProbesFor(idx.n), idx.n)
-    idx.withCentroids(qs)
-      .withColumn("cell", explode(expr(
-        s"transform(slice(array_sort(transform(sequence(0, ${idx.n - 1}), i -> " +
-          s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $probes), " +
-          "p -> p.cell)")))
-      .select(col("q_id"), col("q_emb"), col("cell"))
-  }
+      qs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idx.fine match {
+      case None =>
+        val probes = math.min(ivfProbesFor(idx.n), idx.n)
+        idx.withCentroids(qs)
+          .withColumn("cell", explode(expr(
+            s"transform(slice(array_sort(transform(sequence(0, ${idx.n - 1}), i -> " +
+              s"struct(-(${idx.cellScore("q_emb")}) as ns, i as cell))), 1, $probes), " +
+              "p -> p.cell)")))
+          .select(col("q_id"), col("q_emb"), col("cell"))
+      case Some(f) =>
+        val probes = math.min(fineProbesFor(f.total), f.total)
+        qs.withColumn("cell", explode(graft.plans.TopCells.of(col("q_emb"),
+            f.flatCents, f.flatNorms, probes, idx.cents.head.length)))
+          .select(col("q_id"), col("q_emb"), col("cell"))
+    }
 
   /** The IVF candidate frame (q_id, q_emb, n_id, n_emb): probed-cell
     * join, self-pairs dropped — everything in q40 upstream of scoring.
@@ -1403,6 +1587,19 @@ object SimilarityOps {
     math.max(PqShortlistFloor,
       (n * ivfProbesFor(cells) / cells / 20).toInt)
   }
+
+  /** Index-aware shortlist: in the fine regime the candidate stream is
+    * n · probes/totalFine (~n/8), so the ~5%-of-candidates rule reads
+    * off the index the query actually probes instead of the coarse
+    * law.
+    */
+  private[graft] def pqShortlistForIdx(n: Long, idx: IvfIndex): Int =
+    idx.fine match {
+      case None => pqShortlistFor(n)
+      case Some(f) =>
+        val probes = math.min(fineProbesFor(f.total), f.total)
+        math.max(PqShortlistFloor, (n * probes / f.total / 20).toInt)
+    }
   private val PqIters = 10
 
   /** Plain L2 Lloyd over a driver-side sample — the per-subspace PQ
@@ -1555,7 +1752,7 @@ object SimilarityOps {
       .withColumn("adc", graft.plans.PqAdc.of(col("lut"), col("codes"), pq.k))
     graft.plans.TopKPerGroup(adc,
       Seq(col("q_id")), Seq(col("adc").desc, col("n_id")),
-      pqShortlistFor(embCount(s, dir)))
+      pqShortlistForIdx(embCount(s, dir), ivf))
       .select(col("q_id"), col("q_emb"), col("n_id"))
   }
 

@@ -112,6 +112,68 @@ object VectorOps {
     }
     best
   }
+
+  /** Second level of the two-level IVF quantizer: within the already-
+    * assigned coarse cell, argmax over that cell's FINE centroids (same
+    * ⟨emb, c⟩/‖c‖ metric, same strict-> lowest-id tie rule), returned as
+    * a GLOBAL fine-cell id (`offsets(cell) + j`). Row-local: the per-
+    * coarse-cell centroid tables ride the plan as one reference object,
+    * so assignment cost is O(|coarse| + occupancy/512) dots per row —
+    * the flat argmax over k ∝ n cells would be O(n/512) dots per row,
+    * ~2.7e13 FLOP corpus-wide at sf100.
+    */
+  def fineCell(emb: ArrayData, cell: Int, fineCents: Array[Array[Double]],
+      fineNorms: Array[Array[Double]], offsets: Array[Int], dim: Int): Int = {
+    val cents = fineCents(cell)
+    val norms = fineNorms(cell)
+    var best = 0
+    var bs = Double.NegativeInfinity
+    var c = 0
+    while (c < norms.length) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += emb.getFloat(i).toDouble * cents(c * dim + i); i += 1 }
+      val s = dot / norms(c)
+      if (s > bs) { bs = s; best = c }
+      c += 1
+    }
+    offsets(cell) + best
+  }
+
+  /** Top-`m` cells by ⟨emb, c⟩/‖c‖ (the query-side probe set over the
+    * GLOBAL fine-cell table), ordered by (score desc, id asc) — the
+    * same total order as the struct(-score, id) array_sort HOF the
+    * coarse regime uses. Scores all k cells (k·dim FLOP — row-local,
+    * query-side only) then selection-sorts via one full argsort; k is
+    * ≤ ~n/512 and this runs once per QUERY row, so the sort is noise.
+    */
+  def topCells(emb: ArrayData, cents: Array[Double], cnorms: Array[Double],
+      m: Int, dim: Int): ArrayData = {
+    require(emb.numElements() == dim,
+      s"embedding dim ${emb.numElements()} != $dim")
+    val k = cnorms.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += emb.getFloat(i).toDouble * cents(c * dim + i); i += 1 }
+      scores(c) = dot / cnorms(c)
+      c += 1
+    }
+    val idx = new Array[Integer](k)
+    c = 0
+    while (c < k) { idx(c) = Integer.valueOf(c); c += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val d = java.lang.Double.compare(scores(b.intValue), scores(a.intValue))
+      if (d != 0) d else Integer.compare(a.intValue, b.intValue)
+    })
+    val take = math.min(m, k)
+    val out = new Array[Int](take)
+    c = 0
+    while (c < take) { out(c) = idx(c).intValue; c += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `cosine_sim(a, b)` → double. */
@@ -223,4 +285,55 @@ object NearestCell {
     CB.column(NearestCell(CB.expression(c), cents.flatten.toArray,
       cnorms.toArray, cents.head.length))
   }
+}
+
+/** `fine_cell(embedding, coarse_cell)` → int GLOBAL fine-cell id. */
+case class FineCell(left: Expression, right: Expression,
+    fineCents: Array[Array[Double]], fineNorms: Array[Array[Double]],
+    offsets: Array[Int], dim: Int) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "fine_cell"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.fineCell(a.asInstanceOf[ArrayData], b.asInstanceOf[Int],
+      fineCents, fineNorms, offsets, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("fineCents", fineCents, "double[][]")
+    val nRef = ctx.addReferenceObj("fineNorms", fineNorms, "double[][]")
+    val oRef = ctx.addReferenceObj("fineOffsets", offsets, "int[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorOps.fineCell($a, $b, $cRef, $nRef, $oRef, $dim)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FineCell =
+    copy(left = newLeft, right = newRight)
+}
+
+object FineCell {
+  def of(emb: Column, cell: Column, fineCents: Array[Array[Double]],
+      fineNorms: Array[Array[Double]], offsets: Array[Int], dim: Int): Column =
+    CB.column(FineCell(CB.expression(emb), CB.expression(cell),
+      fineCents, fineNorms, offsets, dim))
+}
+
+/** `top_cells(q_emb)` → array<int> of the m best global cell ids. */
+case class TopCells(child: Expression, cents: Array[Double],
+    cnorms: Array[Double], m: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.topCells(a.asInstanceOf[ArrayData], cents, cnorms, m, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("probeCents", cents, "double[]")
+    val nRef = ctx.addReferenceObj("probeNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.VectorOps.topCells($a, $cRef, $nRef, $m, $dim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+}
+
+object TopCells {
+  def of(c: Column, cents: Array[Double], cnorms: Array[Double],
+      m: Int, dim: Int): Column =
+    CB.column(TopCells(CB.expression(c), cents, cnorms, m, dim))
 }

@@ -291,4 +291,68 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("sum_width") >= 16 * r.getAs[Long]("n_images"))
     }
   }
+
+  test("two-level IVF: fine fit restores ~512 occupancy and ids decompose to their coarse parent") {
+    // 300k synthetic vectors put the corpus past the fine-engagement
+    // threshold (2 · 256 · 512) without touching the testdata dirs —
+    // the production path only engages at sf100 where no spec runs
+    val n = 300000L
+    val dim = Tables.EmbeddingDim
+    val e = spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "j -> cast(sin(id * 31.7d + j * 7.3d) as float))").as("embedding"))
+    assert(SimilarityOps.fineEngagedFor(n), "test premise: fine regime engages")
+    val coarse = SimilarityOps.fitIvfK(
+      SimilarityOps.embSample(e), SimilarityOps.ivfCellsFor(n))
+    val fine = SimilarityOps.fitFineLevelFrame(spark, e, coarse)
+    // the whole point of the level: cell count ∝ n again (the coarse
+    // cap froze it at 256), sized for ~512 expected occupancy
+    assert(fine.total > coarse.n, s"fine total ${fine.total} must exceed the cap ${coarse.n}")
+    val expect = n / 512.0
+    assert(math.abs(fine.total - expect) / expect < 0.35,
+      s"fine total ${fine.total}, expected ≈ $expect")
+    assert(fine.offsets.head == 0)
+    fine.offsets.indices.drop(1).foreach(c =>
+      assert(fine.offsets(c) == fine.offsets(c - 1) + fine.norms(c - 1).length,
+        s"offsets not a prefix sum at $c"))
+    // hierarchical assignment: every global fine id must fall in its
+    // coarse parent's id range (FineCell is keyed off NearestCell)
+    val idx = coarse.copy(fine = Some(fine))
+    val rows = idx.assignCell(e)
+      .select(col("cell"),
+        graft.plans.NearestCell.of(col("embedding"), coarse.cents, coarse.cnorms)
+          .as("parent"))
+      .groupBy(col("cell"), col("parent")).count().collect()
+    rows.foreach { r =>
+      val cell = r.getInt(0); val parent = r.getInt(1)
+      val lo = fine.offsets(parent)
+      assert(cell >= lo && cell < lo + fine.norms(parent).length,
+        s"fine id $cell outside parent $parent range")
+    }
+    // occupancy flat-ish: mean pinned by construction; the tail must
+    // not recreate the capped regime's unbounded cells
+    val occ = rows.groupBy(_.getInt(0)).map(_._2.map(_.getLong(2)).sum)
+    assert(occ.sum == n)
+    assert(occ.max < 20 * 512, s"hot fine cell at ${occ.max}")
+  }
+
+  test("TopCells probe ranking matches the (-score, id) driver-side order") {
+    val dim = Tables.EmbeddingDim
+    val cents = Array.tabulate(40)(c =>
+      Array.tabulate(dim)(j => math.sin(c * 13.3 + j * 2.7)))
+    val flat = cents.flatten
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val q = Array.tabulate(dim)(j => math.cos(j * 0.9).toFloat)
+    val df = spark.range(1).select(
+      typedLit(q.toSeq).cast("array<float>").as("q_emb"))
+    val got = df.select(graft.plans.TopCells.of(col("q_emb"), flat, norms, 7, dim))
+      .collect().head.getSeq[Int](0)
+    val scores = cents.indices.map { c =>
+      var dot = 0.0
+      (0 until dim).foreach(j => dot += q(j).toDouble * cents(c)(j))
+      (c, dot / norms(c))
+    }
+    val want = scores.sortBy { case (c, s) => (-s, c) }.take(7).map(_._1)
+    assert(got == want, s"got $got want $want")
+  }
 }
