@@ -815,9 +815,13 @@ object Pipeline {
     // density, not corpus
     // size) reaches the corpus-side anti-join
     val semdeduped = semdedupEmb.fold(deduped) { emb =>
+      // multi-probe assignment (r18): top-2 cells per vector close the
+      // argmax-boundary misses; the exploded frame double-counts a
+      // pair at worst (max-sim groupBy dedups) and the drop-id frame
+      // distincts before the anti-join
       val dropIds = operators.SimilarityOps.semdedupVerdicts(
-        operators.SimilarityOps.semdedupAssign(emb, emb.count()), col("sd_cluster"))
-        .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+        operators.SimilarityOps.semdedupAssignMulti(emb, emb.count()), col("sd_cluster"))
+        .filter(!col("kept")).select(col("vec_id").as("doc_id")).distinct()
         // same pin as dupIds: without it the stats count replays the
         // entire within-cell pair compare over the embedding table
         .localCheckpoint(false)

@@ -1093,8 +1093,44 @@ object SimilarityOps {
       n: Long, emb: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val cells = semdedupCellsFor(n)
     val idx = fitIvfK(embSample(df), cells)
-    val assigned = idx.assignCell(df, emb)
-    val ratio = n.toDouble / (cells.toDouble * 512.0)
+    withSdCluster(idx.assignCell(df, emb), cells, n, emb)
+  }
+
+  /** Multi-probe SemDeDup assignment (r18): each vector lands in its
+    * TOP-2 cells (one exploded row per cell), so a near-dup pair whose
+    * members straddle an argmax boundary still shares a cluster
+    * whenever either's runner-up cell is the other's argmax — the
+    * standard probe-style fix for the cluster rule's boundary
+    * character. Verdicts stay per-vector (the pair join may see a pair
+    * twice when both cells are shared; the max-sim groupBy dedups).
+    * Pair work stays ~linear: rows double, so the sign-bit subdivision
+    * is sized for 2n — expected |cluster| is unchanged and total pair
+    * mass ≈ 2× the single-probe bill. Measured on the planted cos≈1
+    * pattern at sf100 (ProbeSem, TRIALS_r18): single-probe assignment
+    * agreement is already 99.7% — the r17 "43% recall" note traced to
+    * a denominator artifact, not assignment loss — and multi-probe
+    * lifts shared-cluster coverage to ~100% of planted pairs.
+    */
+  private[graft] def semdedupAssignMulti(df: org.apache.spark.sql.DataFrame,
+      n: Long, emb: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val cells = semdedupCellsFor(n)
+    val idx = fitIvfK(embSample(df), cells)
+    val flat = idx.cents.flatten.toArray
+    val probed = df.withColumn("cell",
+      explode(graft.plans.TopCells.of(col(emb), flat, idx.cnorms.toArray,
+        2, idx.cents.head.length)))
+    // sized for the DOUBLED row mass so expected |cluster| stays ~512
+    withSdCluster(probed, cells, 2 * n, emb)
+  }
+
+  /** Sign-bit cluster subdivision shared by the single- and multi-probe
+    * assignments: past ~2·512 expected occupancy, p row-local planes
+    * bring |cluster| back to ~512 (see [[semdedupAssign]]'s scaladoc
+    * history); below, sd_cluster IS the cell.
+    */
+  private def withSdCluster(assigned: org.apache.spark.sql.DataFrame,
+      cells: Int, effN: Long, emb: String): org.apache.spark.sql.DataFrame = {
+    val ratio = effN.toDouble / (cells.toDouble * 512.0)
     val p = if (ratio < 2.0) 0
       else math.min(16, math.round(math.log(ratio) / math.log(2)).toInt)
     if (p == 0) assigned.withColumn("sd_cluster", col("cell").cast("long"))
@@ -1124,9 +1160,9 @@ object SimilarityOps {
     *   - recall@10 vs exact on THIS testdata reads 0.42/0.56/0.74/
     *     0.80/0.84/1.00 along that sweep — the fraction for the 0.9
     *     gate stays high (~1/2) because the embeddings are isotropic
-    *     in d=32, the documented ANN worst case: the nearest-centroid
-    *     angle shrinks only like arcsin(k^(-1/(d-1))) (≈57° at k=256
-    *     → ≈45° at k=4030), so rank-by-centroid-score gains little
+    *     in d=64, the documented ANN worst case: the nearest-centroid
+    *     angle shrinks only like arcsin(k^(-1/(d-1))) (≈66° at k=256
+    *     → ≈61° at k=4030), so rank-by-centroid-score gains little
     *     signal from finer cells. Clustered real-world embeddings
     *     concentrate neighbors in few cells and serve the SAME index
     *     at far lower fractions (the planted-cluster rehearsal's

@@ -292,6 +292,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semdedup multi-probe (top-2 cells) covers every single-probe drop and closes boundary misses") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embWithNearDups(spark, sfDir)
+    val n = e.count()
+    val droppedOf = (assigned: org.apache.spark.sql.DataFrame) =>
+      SimilarityOps.semdedupVerdicts(assigned, col("sd_cluster")).collect()
+        .filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val single = droppedOf(SimilarityOps.semdedupAssign(e, n))
+    val multi = droppedOf(SimilarityOps.semdedupAssignMulti(e, n))
+    // top-2 strictly widens the cluster overlap: every pair the argmax
+    // rule caught is still co-clustered (the argmax cell is probe #1
+    // for both members)... UNLESS the doubled row mass engages one
+    // extra sign-bit plane — at fixture scale it does not
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe drops: ${single -- multi}")
+    // and the production bar: near-total recall of the planted pattern
+    val planted = e.filter(col("vec_id") >= Tables.EmbDupOffset)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((multi -- planted).isEmpty, s"false drops: ${multi -- planted}")
+    assert(multi.size.toDouble / planted.size >= 0.9,
+      s"multi-probe recall ${multi.size.toDouble / planted.size}")
+    // verdicts are per-vector even on the exploded frame: no vec_id may
+    // carry two different keep verdicts
+    val verdicts = SimilarityOps.semdedupVerdicts(
+      SimilarityOps.semdedupAssignMulti(e, n), col("sd_cluster"))
+      .select(col("vec_id"), col("kept")).distinct()
+    val conflicting = verdicts.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    assert(conflicting == 0, "a vec_id carries conflicting verdicts")
+  }
+
   test("two-level IVF: fine fit restores ~512 occupancy and ids decompose to their coarse parent") {
     // 300k synthetic vectors put the corpus past the fine-engagement
     // threshold (2 · 256 · 512) without touching the testdata dirs —
@@ -334,6 +365,48 @@ class SimilaritySpec extends SparkSpec {
     val occ = rows.groupBy(_.getInt(0)).map(_._2.map(_.getLong(2)).sum)
     assert(occ.sum == n)
     assert(occ.max < 20 * 512, s"hot fine cell at ${occ.max}")
+  }
+
+  test("cap-pressure gauge fires BEFORE recall dips (the r16 incident replayed)") {
+    // constructed corpus: a 150-vector hot DIRECTION (near-identical,
+    // so every band funnels them into one bucket, blowing the
+    // MaxBucket=64 cap and tombstoning the bucket) that deliberately
+    // avoids the planted-pair ids — so the recall gate stays green
+    // while press_dropped_pairs records the dropped mass. This is the
+    // r16 sf100 incident (recall 0.867 with no warning column)
+    // replayed as a test: the leading indicator must LEAD.
+    val dim = Tables.EmbeddingDim
+    val dir = java.nio.file.Files.createTempDirectory("graft-press").toFile.getAbsolutePath
+    try {
+      val hot = (col("vec_id") % 25 =!= 0) && col("vec_id").between(1000, 1187)
+      spark.range(4000).select(col("id").as("vec_id"), lit("L0").as("label"))
+        .withColumn("embedding",
+          when(hot, expr(s"transform(sequence(0, ${dim - 1}), " +
+            "j -> cast(sin(j * 2.3d) + vec_id * 1e-6d as float))"))
+          // fract(sin(k)·43758.5453)-style hash noise — NOT a phase-
+          // shifted waveform (sin(id·a + j·b) spans only a 2-D
+          // subspace, which degenerates every LSH bucket)
+          .otherwise(expr(s"transform(sequence(0, ${dim - 1}), " +
+            "j -> cast(sin((vec_id * 1009 + j * 31) * 12.9898d) * 43758.5453d % 1.0d as float))")))
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = SimilarityOps.q83_ann_recall.run(spark, dir).collect()
+      val lsh = rows.find(_.getAs[String]("method") == "lsh").get
+      assert(lsh.getAs[Int]("recall_ok") == 1,
+        s"premise broken: recall dipped (${lsh.getAs[Long]("hits")}/${lsh.getAs[Long]("n_exact")})")
+      assert(lsh.getAs[Long]("press_dropped_buckets") > 0,
+        "hot direction failed to tombstone any bucket")
+      // the 150-wide hot set alone carries >= 150·149/2 dropped pairs
+      // per tombstoned band bucket
+      assert(lsh.getAs[Long]("press_dropped_pairs") >= 150L * 149 / 2,
+        s"dropped pair mass ${lsh.getAs[Long]("press_dropped_pairs")}")
+    } finally {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(dir))
+    }
   }
 
   test("TopCells probe ranking matches the (-score, id) driver-side order") {
