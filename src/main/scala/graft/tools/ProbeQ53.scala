@@ -45,7 +45,23 @@ object ProbeQ53 {
           .select(count(lit(1))).collect().head.getLong(0))
       val n3 = time(s"3 full q53 (rep $r)")(
         graft.SparkEntry.queries("q53_decontaminate")(spark, dir).count())
-      println(s"[probe-q53]   train_grams=$n1 eval_grams=$ne matched=$n2 out_docs=$n3")
+      // candidate respelling: two single-distinct subplans — no Expand
+      // (the multi-distinct plan doubles the 10B-row joined stream),
+      // and the per-doc shared-gram count joins the DISTINCT eval
+      // vocabulary so it needs a plain count, not a distinct at all
+      val evalG = grams(eval_).select(col("doc_id").as("eval_id"), col("g"))
+      val n4 = time(s"4 respelled q53 (rep $r)")({
+        val sharedGrams = grams(train)
+          .join(broadcast(evalG.select(col("g")).distinct()), "g")
+          .groupBy(col("doc_id"))
+          .agg(count(col("g")).cast("bigint").as("n_shared_grams"))
+        val evalDocs = grams(train)
+          .join(broadcast(evalG), "g")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("eval_id")).cast("bigint").as("n_eval_docs"))
+        evalDocs.join(sharedGrams, "doc_id").count()
+      })
+      println(s"[probe-q53]   train_grams=$n1 eval_grams=$ne matched=$n2 out_docs=$n3 respelled=$n4")
     }
     spark.stop()
   }
