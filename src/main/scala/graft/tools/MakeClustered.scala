@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Generate a CLUSTERED synthetic embeddings table (dev tool) — the
+  * counterpart to the isotropic testdata, for measuring how the
+  * two-level IVF serves clustered real-world-shaped data (ProbeAnn's
+  * recall/fraction curve on it backs the R18b scaladoc claim).
+  * 10k cluster centers (hash noise), 100 members each (center + 5%
+  * member noise), round-robin cluster ids so the id-ordered kmeans
+  * sample covers all clusters.
+  *
+  * {{{ tools/run_main.sh graft.tools.MakeClustered /tmp/graft_clustered 1000000 }}}
+  */
+object MakeClustered {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_clustered")
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val clusters = 10000L
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val spark = graft.GraftConf.local(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dim = graft.Tables.EmbeddingDim
+    spark.range(n).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+          s"sin((id % $clusters * 131 + j * 17) * 12.9898d) * 43758.5453d % 1.0d" +
+          s" + 0.05d * (sin((id * 7919 + j) * 78.233d) * 12543.21d % 1.0d)" +
+          " as float))").as("embedding"),
+        concat(lit("c"), (col("id") % clusters).cast("string")).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[make-clustered] wrote $n vectors, $clusters clusters -> $out")
+    spark.stop()
+  }
+}
