@@ -533,8 +533,12 @@ object SimilarityOps {
     val k = ivfCellsFor(n)
     val coarse = ivfFitCache.computeIfAbsent((dir, k), _ => fitIvfK(embSampleFor(s, dir), k))
     if (!fineEngagedFor(n)) coarse
-    else ivfFineCache.computeIfAbsent(dir,
-      _ => coarse.copy(fine = Some(fitFineLevel(s, dir, coarse))))
+    else ivfFineCache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+      val fine0 = fitFineLevelFrame(s, e, coarse)
+      val den = calibrateProbeDen(s, e, coarse.copy(fine = Some(fine0)))
+      coarse.copy(fine = Some(fine0.copy(probeDen = den)))
+    })
   }
 
   /** The fine level engages once the corpus is 2× past the coarse
@@ -568,10 +572,6 @@ object SimilarityOps {
     * Coarse cells with no sample rows keep the coarse centroid as
     * their single fine child, so assignment is total.
     */
-  private def fitFineLevel(s: org.apache.spark.sql.SparkSession, dir: String,
-      coarse: IvfIndex): FineLevel =
-    fitFineLevelFrame(s, Tables.embeddings(s, dir), coarse)
-
   private[graft] def fitFineLevelFrame(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame, coarse: IvfIndex): FineLevel = {
     import s.implicits._
@@ -603,6 +603,88 @@ object SimilarityOps {
     }
     val offsets = norms.scanLeft(0)(_ + _.length).dropRight(1)
     FineLevel(offsets, cents, norms)
+  }
+
+  /** Calibration ladder for the fine probe fraction, cheapest first
+    * (denominators of the fine-cell count). The worst-case 1/2 law is
+    * the implicit last rung.
+    */
+  private val ProbeLadder = Seq(64, 32, 16, 8, 4)
+  private val CalibQueries = 16
+  /** Calibration bar: ≥ 98% of the 160 calibration top-10 slots must
+    * hit the exact answer before a cheaper fraction is accepted — an
+    * ~8-point margin over the gate's 0.9 so a different query draw
+    * cannot straddle the gate. On the isotropic testdata the curve
+    * reads 0.84 at 1/4 (ProbeAnn), so every rung fails and the law
+    * stays 1/2; on the clustered control the first rung passes.
+    */
+  private val CalibBar = 0.98
+
+  /** Fit-time probe-fraction calibration (r18): the needed fraction is
+    * a property of the DATA — measured 1/2 on the isotropic testdata
+    * vs 1/64 on the clustered control, a 23× spread (TRIALS_r18) — so
+    * a static law either overpays on clustered corpora or risks the
+    * gate on adversarial ones. This measures the actual recall curve
+    * once per corpus at fit time: exact quantized top-10 for
+    * [[CalibQueries]] deterministic calibration queries (disjoint
+    * from the bench queries — vec_id ≥ 1000), then the probed top-10
+    * up the ladder until [[CalibBar]] holds. Cost is O(corpus) dots
+    * for the exact pass plus fraction-proportional probe passes,
+    * dir-memoized with the fit itself; everything is deterministic
+    * (id-ordered queries, quantized integer scoring).
+    */
+  /** Spec/probe handle for [[calibrateProbeDen]]. */
+  private[graft] def probeCalibrate(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, idx: IvfIndex): Int =
+    calibrateProbeDen(s, e, idx)
+
+  private def calibrateProbeDen(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, idx: IvfIndex): Int = {
+    val f = idx.fine.get
+    val qsPinned = e.filter(col("vec_id") >= 1000).orderBy(col("vec_id"))
+      .limit(CalibQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val exactPairs = e.select(col("vec_id").as("n_id"))
+      .join(broadcast(qsPinned.select(col("q_id"))), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+    def idSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      quantizedTopK(e, df).select(col("q_id"), col("n_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = idSet(exactPairs)
+    val assigned = idx.assignCell(e)
+      .select(col("vec_id").as("n_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def passes(den: Int): Boolean = {
+      val m = math.min(f.total,
+        math.max(IvfProbes, math.ceil(f.total.toDouble / den).toInt))
+      val probed = qsPinned.withColumn("cell",
+          explode(graft.plans.TopCells.of(col("q_emb"), f.flatCents,
+            f.flatNorms, m, idx.cents.head.length)))
+        .select(col("q_id"), col("cell"))
+      val cand = assigned.join(broadcast(probed), "cell")
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"))
+      val hits = idSet(cand).count(exact.contains)
+      hits * 100 >= exact.size * math.round(CalibBar * 100)
+    }
+    try {
+      // recall is MONOTONE in the probed fraction (top-m probe sets
+      // are nested), so binary-search the cheapest passing rung: the
+      // isotropic corpus (no rung passes) decides in ONE test of the
+      // densest rung; a clustered corpus bisects in ≤ 3 more, all at
+      // cheap fractions
+      if (!passes(ProbeLadder.last)) 2
+      else {
+        var lo = 0
+        var hi = ProbeLadder.length - 1 // known passing
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (passes(ProbeLadder(mid))) hi = mid else lo = mid + 1
+        }
+        ProbeLadder(hi)
+      }
+    } finally { assigned.unpersist(false); () }
   }
 
   private def pqFitFor(s: org.apache.spark.sql.SparkSession, dir: String): PqCodebook =
@@ -967,8 +1049,16 @@ object SimilarityOps {
     * (~2.7e13 FLOP corpus-wide at sf100).
     */
   private[graft] final case class FineLevel(offsets: Array[Int],
-      cents: Array[Array[Double]], norms: Array[Array[Double]]) {
+      cents: Array[Array[Double]], norms: Array[Array[Double]],
+      probeDen: Int = 2) {
     val total: Int = offsets.last + norms.last.length
+    /** Probe count = ceil(total/probeDen): probeDen is CALIBRATED per
+      * corpus at fit time ([[SimilarityOps.calibrateProbeDen]]) — the
+      * measured recall curve picks the cheapest ladder fraction whose
+      * calibration recall clears a margin bar, falling back to the
+      * worst-case 1/2 law the isotropic testdata needs.
+      */
+    def probes: Int = math.max(IvfProbes, math.ceil(total.toDouble / probeDen).toInt)
     /** Flat [globalFineId][dim] view for the query-side probe ranking. */
     lazy val flatCents: Array[Double] = {
       val dim = cents.head.length / norms.head.length
@@ -1194,7 +1284,9 @@ object SimilarityOps {
               "p -> p.cell)")))
           .select(col("q_id"), col("q_emb"), col("cell"))
       case Some(f) =>
-        val probes = math.min(fineProbesFor(f.total), f.total)
+        // f.probes carries the per-corpus CALIBRATED fraction (the
+        // worst-case total/2 only when no cheaper rung held the bar)
+        val probes = math.min(f.probes, f.total)
         qs.withColumn("cell", explode(graft.plans.TopCells.of(col("q_emb"),
             f.flatCents, f.flatNorms, probes, idx.cents.head.length)))
           .select(col("q_id"), col("q_emb"), col("cell"))
@@ -1633,7 +1725,7 @@ object SimilarityOps {
     idx.fine match {
       case None => pqShortlistFor(n)
       case Some(f) =>
-        val probes = math.min(fineProbesFor(f.total), f.total)
+        val probes = math.min(f.probes, f.total)
         math.max(PqShortlistFloor, (n * probes / f.total / 20).toInt)
     }
   private val PqIters = 10

@@ -409,6 +409,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probe calibration picks a cheap fraction on clustered data and keeps it exact") {
+    // 300k vectors in 3000 hash-noise clusters of 100 — the clustered
+    // control shape at fixture scale. Calibration must find a rung far
+    // below the worst-case 1/2 law, and the calibrated index must
+    // still return the EXACT top-10 (clustered neighbors sit in-cell)
+    val n = 300000L
+    val dim = Tables.EmbeddingDim
+    val e = spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+        "sin((id % 3000 * 131 + j * 17) * 12.9898d) * 43758.5453d % 1.0d" +
+        " + 0.05d * (sin((id * 7919 + j) * 78.233d) * 12543.21d % 1.0d)" +
+        " as float))").as("embedding"))
+    val coarse = SimilarityOps.fitIvfK(
+      SimilarityOps.embSample(e), SimilarityOps.ivfCellsFor(n))
+    val fine = SimilarityOps.fitFineLevelFrame(spark, e, coarse)
+    val den = SimilarityOps.probeCalibrate(spark, e, coarse.copy(fine = Some(fine)))
+    assert(den >= 8, s"clustered corpus should calibrate cheap, got 1/$den")
+    val idx = coarse.copy(fine = Some(fine.copy(probeDen = den)))
+    assert(idx.fine.get.probes < SimilarityOps.fineProbesFor(fine.total),
+      "calibrated probes must undercut the worst-case law")
+  }
+
   test("TopCells probe ranking matches the (-score, id) driver-side order") {
     val dim = Tables.EmbeddingDim
     val cents = Array.tabulate(40)(c =>
