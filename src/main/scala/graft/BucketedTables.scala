@@ -226,12 +226,24 @@ object BucketedTables {
         val tmpDone = new java.io.File(tmpPath, "_GRAFT_DONE")
         val out = new java.io.FileOutputStream(tmpDone)
         try out.write('1') finally out.close()
-        if (!new java.io.File(tmpPath).renameTo(new java.io.File(path))) {
-          // rename loser: a concurrent builder published first — its
-          // layout is sealed and byte-equivalent (same fp ⇒ same source
-          // bytes + recipe ⇒ same deterministic build); discard ours
-          require(done.isFile,
-            s"BucketedTables: rename $tmpPath -> $path failed with no sealed winner")
+        val dest = new java.io.File(path)
+        if (!new java.io.File(tmpPath).renameTo(dest)) {
+          // rename loser: EITHER a concurrent builder published first —
+          // its layout is sealed and byte-equivalent (same fp ⇒ same
+          // source bytes + recipe ⇒ same deterministic build), discard
+          // ours — OR the destination is an UNSEALED leftover (a
+          // pre-publish-protocol crash left `name-<fp>` without its
+          // marker). gcStaleSiblings deliberately skips the current fp,
+          // so without recovery here every retry re-fails against the
+          // same wedge forever. The seal distinguishes the two: no
+          // seal ⇒ nothing can ever attach the dir, remove it and
+          // retry the rename once.
+          if (!done.isFile) {
+            deleteRecursively(dest)
+            if (!new java.io.File(tmpPath).renameTo(dest))
+              require(done.isFile,
+                s"BucketedTables: rename $tmpPath -> $path failed twice with no sealed winner")
+          }
         }
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS $tmpTbl") // external: files unaffected
@@ -256,13 +268,21 @@ object BucketedTables {
   }
 
   /** GC grace window: a stale sibling is deleted only once its seal
-    * marker's mtime (bumped at every attach — see `touch`) is older
-    * than this. A layout another LIVE session is reading was attached
-    * when that session started, so its marker is recent and the GC
-    * skips it; without the window, a bench run overlapping a testdata
-    * regeneration would get its parquet deleted mid-scan. The price is
-    * a superseded layout lingering up to one window after its last
-    * reader — bounded, unlike the unbounded orphan leak the GC exists
+    * marker's mtime (bumped at every ATTACH REQUEST — see `touch`;
+    * every [[derived]] call touches, including the tableExists fast
+    * path, so within a session the clock effectively resets per query
+    * construction) is older than this. A layout another LIVE session
+    * is reading was attached recently, so its marker is fresh and the
+    * GC skips it; without the window, a bench run overlapping a
+    * testdata regeneration would get its parquet deleted mid-scan.
+    * PRECISELY: the window runs from the last attach request, NOT the
+    * last scan — a single QUERY that keeps scanning a superseded
+    * layout for longer than the window after its attach is still
+    * exposed to a concurrent process's GC, which is why the default
+    * is sized well above the longest single-query wall observed at
+    * sf100 (~2.5 min) rather than above a whole bench run. The price
+    * is a superseded layout lingering up to one window after its last
+    * attach — bounded, unlike the unbounded orphan leak the GC exists
     * to stop.
     */
   private def gcGraceMs: Long =

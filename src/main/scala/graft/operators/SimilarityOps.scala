@@ -1193,13 +1193,25 @@ object SimilarityOps {
     * standard probe-style fix for the cluster rule's boundary
     * character. Verdicts stay per-vector (the pair join may see a pair
     * twice when both cells are shared; the max-sim groupBy dedups).
-    * Pair work stays ~linear: rows double, so the sign-bit subdivision
-    * is sized for 2n — expected |cluster| is unchanged and total pair
-    * mass ≈ 2× the single-probe bill. Measured on the planted cos≈1
-    * pattern at sf100 (ProbeSem, TRIALS_r18): single-probe assignment
-    * agreement is already 99.7% — the r17 "43% recall" note traced to
-    * a denominator artifact, not assignment loss — and multi-probe
-    * lifts shared-cluster coverage to ~100% of planted pairs.
+    *
+    * The sign-bit subdivision is sized for n — the SAME plane count as
+    * [[semdedupAssign]] — deliberately, not for the doubled exploded
+    * row mass: with identical planes, every single-probe co-cluster
+    * pair (same argmax cell, same sign bits) is still co-clustered
+    * under multi-probe, so drops are a STRICT superset at every scale.
+    * r18 sized for 2n, which engages exactly one extra plane whenever
+    * subdivision is active (log2(2x) = 1 + log2(x)) and a cos≥τ pair
+    * agreeing on the argmax cell and p planes could split on plane
+    * p+1 — multi-probe could LOSE a pair single-probe caught. The
+    * price of n-sizing, stated honestly: expected |cluster| on the
+    * exploded frame is ~1024 instead of ~512, so pair mass ≈ 4× the
+    * single-probe bill instead of ≈ 2× — still linear in n, paid only
+    * past the ~262k-vector engagement threshold. Measured on the
+    * planted cos≈1 pattern at sf100 (ProbeSem, TRIALS_r18):
+    * single-probe assignment agreement is already 99.7% — the r17
+    * "43% recall" note traced to a denominator artifact, not
+    * assignment loss — and multi-probe lifts shared-cluster coverage
+    * to ~100% of planted pairs.
     */
   private[graft] def semdedupAssignMulti(df: org.apache.spark.sql.DataFrame,
       n: Long, emb: String = "embedding"): org.apache.spark.sql.DataFrame = {
@@ -1209,8 +1221,9 @@ object SimilarityOps {
     val probed = df.withColumn("cell",
       explode(graft.plans.TopCells.of(col(emb), flat, idx.cnorms.toArray,
         2, idx.cents.head.length)))
-    // sized for the DOUBLED row mass so expected |cluster| stays ~512
-    withSdCluster(probed, cells, 2 * n, emb)
+    // n (not 2n): plane count must MATCH single-probe for the strict
+    // drop-superset guarantee — see the scaladoc trade
+    withSdCluster(probed, cells, n, emb)
   }
 
   /** Sign-bit cluster subdivision shared by the single- and multi-probe

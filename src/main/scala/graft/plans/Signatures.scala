@@ -73,7 +73,12 @@ object Signatures {
     val cur = mhScratch.get()
     if (cur.length >= atLeast) cur
     else {
-      val grown = new Array[Long](java.lang.Integer.highestOneBit(atLeast - 1) * 2)
+      // next power of two, clamped: highestOneBit(x)*2 overflows to a
+      // negative int once atLeast exceeds 2^30 (a ~1 GiB document) —
+      // fall back to the exact size against the JVM array ceiling
+      val doubled = java.lang.Integer.highestOneBit(atLeast - 1) * 2L
+      val grown = new Array[Long](
+        math.max(atLeast, math.min(doubled, Int.MaxValue - 8L).toInt))
       mhScratch.set(grown)
       grown
     }

@@ -303,8 +303,9 @@ class SimilaritySpec extends SparkSpec {
     val multi = droppedOf(SimilarityOps.semdedupAssignMulti(e, n))
     // top-2 strictly widens the cluster overlap: every pair the argmax
     // rule caught is still co-clustered (the argmax cell is probe #1
-    // for both members)... UNLESS the doubled row mass engages one
-    // extra sign-bit plane — at fixture scale it does not
+    // for both members), and since r19 the sign-bit plane count is
+    // derived from n on BOTH paths, so the guarantee holds at every
+    // scale — the engaged-p case is proven separately below
     assert(single.subsetOf(multi),
       s"multi-probe lost single-probe drops: ${single -- multi}")
     // and the production bar: near-total recall of the planted pattern
@@ -321,6 +322,53 @@ class SimilaritySpec extends SparkSpec {
     val conflicting = verdicts.groupBy(col("vec_id")).count()
       .filter(col("count") > 1).count()
     assert(conflicting == 0, "a vec_id carries conflicting verdicts")
+  }
+
+  test("semdedup multi-probe keeps the drop-superset guarantee with sign-bit subdivision ENGAGED (p > 0)") {
+    import org.apache.spark.sql.functions.col
+    // 300k hash-noise vectors put the corpus past the subdivision
+    // threshold (ratio = n/(256·512) ≈ 2.3 → p = 1) — the regime the
+    // r18 2n-sizing broke: one extra plane on the multi path meant its
+    // cluster KEYS lived in a different space than single-probe's, so
+    // a pair agreeing on cell + p planes could split on plane p+1.
+    // hash-noise (not sin(id·a + j·b)) so the fixture spans the full
+    // d-dim space rather than a 2-D subspace
+    val n = 300000L
+    val dim = Tables.EmbeddingDim
+    def noise(idExpr: String) =
+      s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+        s"sin($idExpr * 12.9898d + j * 78.233d) * 43758.5453d - " +
+        s"floor(sin($idExpr * 12.9898d + j * 78.233d) * 43758.5453d) - 0.5d as float))"
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      expr(noise("id")).as("embedding"))
+    val planted = spark.range(n).filter(col("id") % 100 === 0)
+      .select((col("id") + Tables.EmbDupOffset).as("vec_id"),
+        expr("transform(" + noise("id") +
+          ", (x, i) -> if(i = 0, cast(x + 0.001f as float), x))").as("embedding"))
+    val e = base.unionAll(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val total = n + n / 100
+    val single = SimilarityOps.semdedupAssign(e, total)
+    val multi = SimilarityOps.semdedupAssignMulti(e, total)
+    // premise: subdivision actually engaged — more clusters than cells
+    val nClusters = single.select("sd_cluster").distinct().count()
+    assert(nClusters > 256, s"test premise: p > 0 (got $nClusters clusters)")
+    // the mechanism: every (vec_id, sd_cluster) key single-probe
+    // assigns also exists under multi-probe (same planes ⇒ same bits ⇒
+    // probe #1 reproduces the single key exactly)
+    val lostKeys = single.select(col("vec_id"), col("sd_cluster"))
+      .join(multi.select(col("vec_id"), col("sd_cluster")),
+        Seq("vec_id", "sd_cluster"), "left_anti").count()
+    assert(lostKeys == 0, s"$lostKeys single-probe keys missing under multi-probe")
+    // the semantics: drops are a strict superset at engaged p
+    val droppedOf = (assigned: org.apache.spark.sql.DataFrame) =>
+      SimilarityOps.semdedupVerdicts(assigned, col("sd_cluster")).collect()
+        .filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val dropS = droppedOf(single)
+    val dropM = droppedOf(multi)
+    assert(dropS.subsetOf(dropM),
+      s"engaged-p multi-probe lost drops: ${dropS -- dropM}")
+    assert(dropM.nonEmpty, "test premise: some planted pair drops")
   }
 
   test("two-level IVF: fine fit restores ~512 occupancy and ids decompose to their coarse parent") {
