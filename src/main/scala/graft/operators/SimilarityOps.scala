@@ -561,12 +561,52 @@ object SimilarityOps {
   private val FineSampleStride = 8L
   private val FineOccupancy = 512.0
 
+  /** Hot-cell guard budgets for the fine fit (r19 — the r18 verdict's
+    * one `weak`): the per-coarse-cell Lloyd sub-fit costs
+    * |trainRows| · kc · dim · iters inside ONE task, and both factors
+    * grow with the cell's corpus mass share — a cell holding fraction
+    * f of n pays ∝ f²·n², so a near-duplicate-heavy corpus that
+    * concentrates half its embedding mass in one coarse cell would
+    * wedge a single executor thread for hours while every other task
+    * finishes. The guard bounds both factors: kc ≤ [[FineKcCap]]
+    * (occupancy degrades gracefully — a cell only hits the cap past
+    * ~[[FineKcCap]]·512 = 2M members, where its fine cells then hold
+    * members/kc > 512 each) and training rows ≤ [[FineFitRowsCap]] =
+    * 8·kcCap (the ≥8-points-per-centroid driver-Lloyd quality floor at
+    * the cap; uncapped cells keep their full 64-points-per-centroid
+    * sample). Worst per-task bill is then ≤ 32768·4096·dim·10 ≈ 8.6e10
+    * flops — ~a minute, once, at fit time — independent of corpus
+    * size or skew. Neither bound engages below 32768 sample rows
+    * (262k members) in one cell, so every corpus whose mass spreads
+    * evenly — including all test SFs and the clustered control — fits
+    * bit-identically to the unguarded spelling.
+    */
+  private[graft] def FineKcCap: Int =
+    sys.props.get("graft.ivf.fineKcCap").map(_.toInt).getOrElse(4096)
+  private[graft] def FineFitRowsCap: Int = 8 * FineKcCap
+
+  /** Fit-side pressure gauge (the cap-pressure-gauge posture applied
+    * to the FIT path): how concentrated the coarse-cell masses were,
+    * recorded so an over-full cell is a visible number on q83's output
+    * before it is ever a wedged task. `cappedCells` counts cells whose
+    * training rows were decimated; `maxCellSample` is the hottest
+    * cell's stride-sample mass (share = maxCellSample/totalSample).
+    */
+  private[graft] final case class FitPressure(cells: Long, cappedCells: Long,
+      maxCellSample: Long, totalSample: Long)
+  private[graft] object FitPressure {
+    val zero: FitPressure = FitPressure(0L, 0L, 0L, 0L)
+  }
+
   /** Distributed per-coarse-cell spherical Lloyd — the k ∝ n fit the
     * driver sample can't support (256 cells × ≥8 points caps k at
     * 256; at sf100 that left 81k vectors per cell). Each coarse cell
     * fits its own sub-quantizer with k_c = ceil(occupancy/512) over
     * its members of the stride sample, independently and in parallel
-    * (mapGroups: ≤ ~10k sample rows per group at sf100). Determinism:
+    * (mapGroups: ≤ ~10k sample rows per group at sf100, and ≤
+    * [[FineFitRowsCap]] ALWAYS — the hot-cell guard decimates
+    * over-full cells before the group materializes, see
+    * [[FineKcCap]]). Determinism:
     * the stride sample is id-keyed, groups sort by vec_id before the
     * fit, and lloydCentroids is RNG-free — same corpus, same index.
     * Coarse cells with no sample rows keep the coarse centroid as
@@ -577,15 +617,46 @@ object SimilarityOps {
     import s.implicits._
     val dim = coarse.cents.head.length
     val sampled = e.filter(col("vec_id") % FineSampleStride === 0)
-    val fits = coarse.assignCell(sampled)
+    val assigned = coarse.assignCell(sampled)
       .select(col("cell"), col("vec_id"), col("embedding"))
+    // hot-cell guard, pass 1: per-cell stride-sample masses (≤ |coarse|
+    // rows — a bounded collect). Decimating OVER-FULL cells BEFORE the
+    // group materializes bounds both the Lloyd flops and the per-task
+    // memory (`rows.toArray` of an unguarded hot cell would hold that
+    // cell's whole sample in one task's heap). Thinning keeps every
+    // FineFitRowsCap-th stride row by the id the stride sample is
+    // keyed on — row-local, deterministic, and a no-op frame (not just
+    // a no-op filter) when no cell is over budget.
+    // budgets pinned driver-side once (sys-prop overrides must not be
+    // re-read inside the task closure on a real cluster)
+    val rowsCap = FineFitRowsCap
+    val kcCap = FineKcCap
+    val cellCounts: Map[Int, Long] = assigned.groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val strides: Map[Int, Int] = cellCounts.map { case (c, cnt) =>
+      c -> (1L + (cnt - 1) / rowsCap).toInt
+    }
+    val decimated =
+      if (strides.values.forall(_ == 1)) assigned
+      else assigned.filter(pmod(expr(s"vec_id div $FineSampleStride"),
+        element_at(typedLit(strides), col("cell"))) === 0)
+    val fits = decimated
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
       .mapGroups { (cell, rows) =>
-        val sample = rows.toArray.sortBy(_._2).map(_._3.map(_.toDouble))
-        val kc = math.min(sample.length,
-          math.max(1, math.ceil(sample.length * FineSampleStride /
-            FineOccupancy).toInt))
+        val all = rows.toArray.sortBy(_._2)
+        // exact in-group backstop: the modulo thinning above is only
+        // approximate when a hot cell's vec_ids are not uniform mod
+        // its stride — re-stride to the cap so the flop bound is hard
+        val st = 1 + (all.length - 1) / rowsCap
+        val kept = if (st == 1) all
+          else Array.tabulate((all.length + st - 1) / st)(i => all(i * st))
+        val sample = kept.map(_._3.map(_.toDouble))
+        // kc from the cell's TRUE sample mass (pre-decimation), so the
+        // ~512-occupancy sizing is unaffected by the training thinning
+        val kc = math.min(sample.length, math.min(kcCap,
+          math.max(1, math.ceil(cellCounts(cell) * FineSampleStride /
+            FineOccupancy).toInt)))
         (cell, lloydCentroids(sample, kc).flatten)
       }
       .collect()
@@ -602,7 +673,12 @@ object SimilarityOps {
       }
     }
     val offsets = norms.scanLeft(0)(_ + _.length).dropRight(1)
-    FineLevel(offsets, cents, norms)
+    val press =
+      if (cellCounts.isEmpty) FitPressure.zero
+      else FitPressure(cellCounts.size.toLong,
+        cellCounts.values.count(_ > rowsCap).toLong,
+        cellCounts.values.max, cellCounts.values.sum)
+    FineLevel(offsets, cents, norms, fitPress = press)
   }
 
   /** Calibration ladder for the fine probe fraction, cheapest first
@@ -1050,7 +1126,7 @@ object SimilarityOps {
     */
   private[graft] final case class FineLevel(offsets: Array[Int],
       cents: Array[Array[Double]], norms: Array[Array[Double]],
-      probeDen: Int = 2) {
+      probeDen: Int = 2, fitPress: FitPressure = FitPressure.zero) {
     val total: Int = offsets.last + norms.last.length
     /** Probe count = ceil(total/probeDen): probeDen is CALIBRATED per
       * corpus at fit time ([[SimilarityOps.calibrateProbeDen]]) — the
@@ -1966,6 +2042,7 @@ object SimilarityOps {
       val pqDump = Tables.oracleDumpPath("q83_pq_cand", dir)
       val lshDump = Tables.oracleDumpPath("q83_lsh_pairs", dir)
       val pressDump = Tables.oracleDumpPath("q83_lsh_pressure", dir)
+      val fitDump = Tables.oracleDumpPath("q83_fit_press", dir)
       // the three candidate dumps are INDEPENDENT jobs (IVF probe,
       // PQ ADC, hyperplane-LSH pairs) that together dominate the gate;
       // submit them concurrently — Spark schedules concurrent actions
@@ -1980,6 +2057,16 @@ object SimilarityOps {
         // the three jobs share them via the dir-keyed caches instead
         // of racing to compute them
         ivfFitFor(s, dir); pqFitFor(s, dir)
+        // fit-side pressure gauge (r19): the fine fit's coarse-cell
+        // mass concentration as recorded numbers — the leading
+        // indicator for the hot-cell guard, riding the gate the way
+        // the LSH cap-pressure columns do. Zeros whenever the fine
+        // level is not engaged (every SF ≤ sf10).
+        val fp = ivfFitFor(s, dir).fine.map(_.fitPress).getOrElse(FitPressure.zero)
+        Tables.atomicParquetDump(
+          s.createDataFrame(Seq((fp.cells, fp.cappedCells, fp.maxCellSample)))
+            .toDF("fit_cells", "fit_capped_cells", "fit_max_cell_sample"),
+          fitDump)
         // a dedicated 3-thread pool, not the global ForkJoinPool: the
         // active session is set EXPLICITLY per task (global-pool
         // workers only inherit the thread-local by accident of thread
@@ -2083,13 +2170,20 @@ object SimilarityOps {
       // went 0.993-predicted → 0.867-measured with no warning column)
       val noPress = Seq("press_buckets", "press_dropped_buckets",
         "press_dropped_pairs")
+      val fitCols = Seq("fit_cells", "fit_capped_cells", "fit_max_cell_sample")
       def zeroPress(df: org.apache.spark.sql.DataFrame) =
         noPress.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
+      def zeroFit(df: org.apache.spark.sql.DataFrame) =
+        fitCols.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
       val lshWithPress = lshRow.crossJoin(broadcast(s.read.parquet(pressDump)))
-      val outCols = Seq("method", "n_exact", "hits", "recall_ok") ++ noPress
-      zeroPress(gateRow(ivfDump, "ivf")).select(outCols.map(col): _*)
-        .unionAll(zeroPress(gateRow(pqDump, "pq")).select(outCols.map(col): _*))
-        .unionAll(lshWithPress.select(outCols.map(col): _*))
+      // the fit gauge rides the IVF row (it is the IVF index's fit)
+      val ivfWithFit = zeroPress(gateRow(ivfDump, "ivf"))
+        .crossJoin(broadcast(s.read.parquet(fitDump)))
+      val outCols = Seq("method", "n_exact", "hits", "recall_ok") ++
+        noPress ++ fitCols
+      ivfWithFit.select(outCols.map(col): _*)
+        .unionAll(zeroFit(zeroPress(gateRow(pqDump, "pq"))).select(outCols.map(col): _*))
+        .unionAll(zeroFit(lshWithPress).select(outCols.map(col): _*))
     },
     Some {
       def topSql(candSrc: String): String =
@@ -2113,34 +2207,44 @@ object SimilarityOps {
         s"read_parquet('${Tables.oracleDumpPath("q83_lsh_pairs", Tables.VerifyDir)}/*.parquet')"
       val pressSql =
         s"read_parquet('${Tables.oracleDumpPath("q83_lsh_pressure", Tables.VerifyDir)}/*.parquet')"
+      val fitSql =
+        s"read_parquet('${Tables.oracleDumpPath("q83_fit_press", Tables.VerifyDir)}/*.parquet')"
       s"""WITH exact AS (${topSql(exactCand)}),
          |ivf AS (${topSql(dumpCand("q83_ivf_cand"))}),
          |pq AS (${topSql(dumpCand("q83_pq_cand"))}),
          |lshp AS (SELECT a_id, b_id FROM $lshDumpSql),
          |press AS (SELECT press_buckets, press_dropped_buckets, press_dropped_pairs
          |  FROM $pressSql),
+         |fitp AS (SELECT fit_cells, fit_capped_cells, fit_max_cell_sample
+         |  FROM $fitSql),
          |planted AS (
          |  SELECT vec_id AS a_id, vec_id + ${Tables.EmbDupOffset} AS b_id
          |  FROM embeddings WHERE vec_id % ${Tables.DupEvery} = 0),
          |rows_ AS (
-         |  SELECT 'ivf' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits,
+         |  SELECT 'ivf' AS method, (SELECT COUNT(*) FROM exact) AS n_exact,
+         |    (SELECT COUNT(*) FROM ivf t JOIN exact e
+         |       ON t.q_id = e.q_id AND t.n_id = e.n_id) AS hits,
          |    CAST(0 AS BIGINT) AS press_buckets, CAST(0 AS BIGINT) AS press_dropped_buckets,
-         |    CAST(0 AS BIGINT) AS press_dropped_pairs
-         |  FROM ivf t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
+         |    CAST(0 AS BIGINT) AS press_dropped_pairs,
+         |    f.fit_cells, f.fit_capped_cells, f.fit_max_cell_sample
+         |  FROM fitp f
          |  UNION ALL
          |  SELECT 'pq' AS method, (SELECT COUNT(*) FROM exact) AS n_exact, COUNT(*) AS hits,
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |  FROM pq t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
          |  UNION ALL
          |  SELECT 'lsh' AS method, (SELECT COUNT(*) FROM planted) AS n_exact,
          |    (SELECT COUNT(*) FROM lshp t JOIN planted e
          |       ON t.a_id = e.a_id AND t.b_id = e.b_id) AS hits,
-         |    p.press_buckets, p.press_dropped_buckets, p.press_dropped_pairs
+         |    p.press_buckets, p.press_dropped_buckets, p.press_dropped_pairs,
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |  FROM press p
          |)
          |SELECT method, n_exact, hits,
          |  CAST(CASE WHEN hits * 10 >= n_exact * 9 THEN 1 ELSE 0 END AS INTEGER) AS recall_ok,
-         |  press_buckets, press_dropped_buckets, press_dropped_pairs
+         |  press_buckets, press_dropped_buckets, press_dropped_pairs,
+         |  fit_cells, fit_capped_cells, fit_max_cell_sample
          |FROM rows_""".stripMargin
     }
   )

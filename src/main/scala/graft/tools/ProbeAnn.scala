@@ -29,7 +29,8 @@ object ProbeAnn {
     val idx = time("index fit (coarse + fine if engaged)")(sim.probeIvfFit(spark, dir))
     println(s"[probe-ann] n=$n coarse=${idx.n} fine=${idx.fine.map(_.total)} " +
       s"searchCells=${idx.searchCells} engaged=${sim.fineEngagedFor(n)} " +
-      s"calibratedDen=${idx.fine.map(_.probeDen)} probes=${idx.fine.map(_.probes)}")
+      s"calibratedDen=${idx.fine.map(_.probeDen)} probes=${idx.fine.map(_.probes)} " +
+      s"fitPress=${idx.fine.map(_.fitPress)}")
     // exact ground truth (once)
     val exactPairs = e.select(col("vec_id").as("n_id"))
       .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),

@@ -415,6 +415,67 @@ class SimilaritySpec extends SparkSpec {
     assert(occ.max < 20 * 512, s"hot fine cell at ${occ.max}")
   }
 
+  test("fine fit hot-cell guard: bounded per-cell work + pressure recorded on a mass-concentrated corpus") {
+    // The r18 verdict's one weak row: the per-coarse-cell Lloyd
+    // sub-fit cost grows with the SQUARE of a cell's mass share
+    // inside one task, and neither test corpus could trigger it. This
+    // fixture can: half the vectors sit in one tight cluster (the
+    // near-duplicate-heavy-crawl shape), so one coarse cell holds
+    // ~50% of the stride sample. The budgets are shrunk via the
+    // sys-prop override so the guard ENGAGES at spec scale — the
+    // assertions then pin both bounds (kc ≤ cap, training rows
+    // decimated) and the recorded pressure gauge.
+    val prop = "graft.ivf.fineKcCap"
+    val saved = sys.props.get(prop)
+    sys.props(prop) = "16" // rowsCap = 128
+    try {
+      val n = 40000L
+      val dim = Tables.EmbeddingDim
+      // The tight cluster lives ONLY in ids ≥ 4096 — PAST the
+      // id-ordered kmeans sample. A concentration the fit sample can
+      // see attracts many centroids and dilutes itself (kmeans adapts);
+      // the hazard case is mass the fit never saw (near-dups arriving
+      // late in a crawl), which argmaxes wholesale into one cell.
+      val e = spark.range(n).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+          "CASE WHEN id >= 4096 AND id % 2 = 0" +
+          " THEN sin(j * 12.9898d) + 0.001d * (sin((id * 7919 + j) * 78.233d) * 12543.21d % 1.0d)" +
+          " ELSE sin((id * 131 + j * 17) * 12.9898d) * 43758.5453d % 1.0d" +
+          " END as float))").as("embedding"))
+      val coarse = SimilarityOps.fitIvfK(
+        SimilarityOps.embSample(e), SimilarityOps.ivfCellsFor(n))
+      val fine = SimilarityOps.fitFineLevelFrame(spark, e, coarse)
+      val press = fine.fitPress
+      // premise: the hot cell is really hot — one cell holds over a
+      // third of the stride sample, far past the (shrunk) row budget
+      assert(press.maxCellSample > n / 8 / 3,
+        s"fixture not concentrated: max cell ${press.maxCellSample} of ~${n / 8}")
+      assert(press.maxCellSample > SimilarityOps.FineFitRowsCap)
+      // the gauge records the event
+      assert(press.cappedCells >= 1, s"no capped cells recorded: $press")
+      assert(press.cells > 0 && press.totalSample > 0)
+      // bound 1: no cell fits more centroids than the kc cap
+      val kcMax = fine.norms.map(_.length).max
+      assert(kcMax <= SimilarityOps.FineKcCap,
+        s"kc cap violated: $kcMax > ${SimilarityOps.FineKcCap}")
+      // bound 2 engaged indirectly: the hot cell's kc hit the cap even
+      // though its uncapped sizing (mass·8/512) wanted more
+      assert(math.ceil(press.maxCellSample * 8 / 512.0).toInt >
+        SimilarityOps.FineKcCap, "fixture premise: uncapped kc would exceed cap")
+      // assignment stays total and hierarchical under the guard
+      assert(fine.offsets.head == 0)
+      fine.offsets.indices.drop(1).foreach(c =>
+        assert(fine.offsets(c) == fine.offsets(c - 1) + fine.norms(c - 1).length))
+      val assignedTotal = coarse.copy(fine = Some(fine)).assignCell(e).count()
+      assert(assignedTotal == n)
+    } finally {
+      saved match {
+        case Some(v) => sys.props(prop) = v
+        case None => sys.props.remove(prop): Unit
+      }
+    }
+  }
+
   test("cap-pressure gauge fires BEFORE recall dips (the r16 incident replayed)") {
     // constructed corpus: a 150-vector hot DIRECTION (near-identical,
     // so every band funnels them into one bucket, blowing the
