@@ -51,7 +51,7 @@ object BucketedTables {
   // regenerated testdata dir can never silently re-attach a layout
   // built from the old bytes — the fresh fingerprint just builds a
   // fresh layout and the stale one is orphaned.
-  private val Root = "/tmp/graft_bucketed/v2"
+  private[graft] val Root = "/tmp/graft_bucketed/v2"
 
   /** Fingerprint of a source table's on-disk parquet (file or dir)
     * PLUS the layout's derivation recipe: 48 bits of an MD5 over sorted
@@ -65,7 +65,7 @@ object BucketedTables {
     * source path fails HERE with its name instead of hashing to a
     * stable 'empty' fingerprint and deferring to an opaque read.
     */
-  private def fingerprint(dir: String, table: String, derivation: String): String = {
+  private[graft] def fingerprint(dir: String, table: String, derivation: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) {
         val kids = f.listFiles()
@@ -301,7 +301,7 @@ object BucketedTables {
     * `.tmp-<pid>` dirs are swept on the same schedule (by dir mtime —
     * they never have a seal marker).
     */
-  private def gcStaleSiblings(parent: String, name: String, fp: String): Unit = {
+  private[graft] def gcStaleSiblings(parent: String, name: String, fp: String): Unit = {
     val kids = Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
     val q = java.util.regex.Pattern.quote(name)
     val stale = s"^$q(-[0-9a-f]{12})?$$".r
@@ -319,13 +319,13 @@ object BucketedTables {
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  private def dirKey(dir: String): String =
+  private[graft] def dirKey(dir: String): String =
     dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def fact(spark: SparkSession, dir: String, name: String,

@@ -107,9 +107,68 @@ object ClusterRehearsal {
         println(f"[cluster-rehearsal] $master%-24s $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.1fs rows=$n")
         name -> n
       }.toMap
+      val annStats = annRehearsal(spark, master)
       val (responses, latencies) = servingRehearsal(spark, master)
-      (counts, responses, latencies)
+      (counts ++ annStats, responses, latencies)
     } finally spark.stop()
+  }
+
+  /** Stat keys the `_ANN_INDEX` rehearsal contributes to the parity
+    * check (same deterministic corpus content ⇒ same fine cell count,
+    * calibrated rung, and candidate rows on every master).
+    */
+  private val AnnStatKeys =
+    Seq("ann_fine_total", "ann_probe_den", "ann_cand_rows")
+
+  /** `_ANN_INDEX` fit-publish-load rehearsal (r19): builds a
+    * fine-engaged clustered corpus, fits + PUBLISHES the artifact on
+    * this master, drops every JVM fit memo (a fresh session), reloads
+    * from the STORE, and runs a probed candidate count whose plan
+    * ships the fine tables to the executor JVMs as Broadcasts (the
+    * r19 transport — on local-cluster the executors genuinely fetch
+    * the broadcast blocks; local mode short-circuits).
+    */
+  private def annRehearsal(spark: SparkSession, master: String): Map[String, Long] = {
+    val sim = operators.SimilarityOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-rehearsal").toString
+    try {
+      val n = 300000L
+      val dim = Tables.EmbeddingDim
+      val t0 = System.nanoTime()
+      spark.range(n).select(
+          org.apache.spark.sql.functions.col("id").as("vec_id"),
+          org.apache.spark.sql.functions.expr(
+            s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+              "sin((id % 3000 * 131 + j * 17) * 12.9898d) * 43758.5453d % 1.0d" +
+              " + 0.05d * (sin((id * 7919 + j) * 78.233d) * 12543.21d % 1.0d)" +
+              " as float))").as("embedding"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("c"),
+            (org.apache.spark.sql.functions.col("id") % 3000).cast("string"))
+            .as("label"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val fitted = sim.probeIvfFit(spark, dir)
+      require(fitted.fine.isDefined, "ann rehearsal premise: fine level engaged")
+      sim.dropFitMemosForTest(dir)
+      val loaded = sim.probeIvfFit(spark, dir)
+      require(loaded.fine.get.probeDen == fitted.fine.get.probeDen &&
+        loaded.fine.get.total == fitted.fine.get.total,
+        "loaded _ANN_INDEX diverges from the fitted index")
+      val cand = sim.probeIvfCandidates(spark, dir,
+        math.max(1, loaded.fine.get.total / 16)).count()
+      println(f"[cluster-rehearsal] $master%-24s ann_index (fit+publish+load+probe) " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.1fs fine=${loaded.fine.get.total} " +
+        s"den=${loaded.fine.get.probeDen} cand=$cand")
+      Map("ann_fine_total" -> loaded.fine.get.total.toLong,
+        "ann_probe_den" -> loaded.fine.get.probeDen.toLong,
+        "ann_cand_rows" -> cand)
+    } finally {
+      sim.dropFitMemosForTest(dir)
+      BucketedTables.deleteRecursively(new java.io.File(
+        s"${BucketedTables.Root}/${BucketedTables.dirKey(dir)}"))
+      BucketedTables.deleteRecursively(new java.io.File(dir))
+    }
   }
 
   // explicit timeouts: a request wedged in send() would otherwise keep
@@ -460,7 +519,8 @@ object ClusterRehearsal {
       try ingestRehearsal(s, "local-cluster[2,4,2048]") finally s.stop()
     }
     writeServingJson(Seq("local[8]" -> localLat, "local-cluster[2,4,2048]" -> clusterLat))
-    val diverged = queries.map(_._1).filter(n => local(n) != cluster(n))
+    val diverged = (queries.map(_._1) ++ AnnStatKeys)
+      .filter(n => local(n) != cluster(n))
       .map(n => s"$n: local=${local(n)} cluster=${cluster(n)}") ++
       servingParity(localServe, clusterServe)
     if (diverged.nonEmpty) {

@@ -287,21 +287,117 @@ object NearestCell {
   }
 }
 
-/** `fine_cell(embedding, coarse_cell)` → int GLOBAL fine-cell id. */
+/** One Broadcast per (JVM, table instance) — the index-table transport
+  * for [[FineCell]]/[[TopCells]] (r19, "broadcast from the read"):
+  * the fine centroid tables previously rode the plan as codegen
+  * reference objects, i.e. were SERIALIZED WITH EVERY TASK BINARY —
+  * ~2 MB per task at sf100 and O(n/512·dim) growth (~1 GB at 10⁹
+  * vectors, where per-task shipping is a non-starter). A Broadcast
+  * ships once per executor JVM and the task binary carries only the
+  * handle. Identity-keyed because every table comes from a
+  * dir-memoized fit (or the loaded `_ANN_INDEX` artifact), so plan
+  * reconstruction reuses one broadcast instead of leaking a new one
+  * per query.
+  */
+object BroadcastOnce {
+  // fast path: same INSTANCE → same broadcast. WeakHashMap + array
+  // reference-equality ⇒ identity keying that does not pin the arrays
+  // (a dropped fit result lets its key entries collect).
+  private val byId =
+    new java.util.WeakHashMap[AnyRef, org.apache.spark.broadcast.Broadcast[_]]()
+  // dedup path: same CONTENT → same broadcast. Callers build fresh
+  // arrays per plan construction (`cents.flatten.toArray`), so without
+  // a content key every query run would leak one broadcast. Bounded by
+  // distinct table contents (≈ one per fitted corpus per JVM).
+  private val byDigest =
+    new java.util.HashMap[String, org.apache.spark.broadcast.Broadcast[_]]()
+  // a Broadcast is only valid within the SparkContext that created it:
+  // sequential sessions in one JVM (ClusterRehearsal's local[8] →
+  // local-cluster legs, spec suites) would otherwise resolve a digest
+  // to a handle of a STOPPED context and fail executor-side with
+  // "Failed to get broadcast_N" — caught by the r19 rehearsal.
+  private var ctxTag: String = null
+
+  def of[T <: AnyRef](v: T): org.apache.spark.broadcast.Broadcast[T] =
+    synchronized {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val tag = s"${sc.applicationId}/${System.identityHashCode(sc)}"
+      if (tag != ctxTag) { byId.clear(); byDigest.clear(); ctxTag = tag }
+      val fast = byId.get(v)
+      if (fast != null) fast.asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+      else {
+        val key = digest(v)
+        val bc = byDigest.get(key) match {
+          case null =>
+            val fresh = org.apache.spark.sql.SparkSession.active.sparkContext
+              .broadcast(v)(scala.reflect.ClassTag[T](v.getClass))
+            byDigest.put(key, fresh): Unit
+            fresh
+          case hit => hit
+        }
+        byId.put(v, bc): Unit
+        bc.asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+      }
+    }
+
+  private def digest(v: AnyRef): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def doubles(a: Array[Double]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+      a.foreach(bb.putDouble(_): Unit)
+      md.update(bb.array())
+    }
+    v match {
+      case a: Array[Double] => md.update('d'.toByte); doubles(a)
+      case a: Array[Int] =>
+        md.update('i'.toByte)
+        val bb = java.nio.ByteBuffer.allocate(a.length * 4)
+        a.foreach(bb.putInt(_): Unit)
+        md.update(bb.array())
+      case a: Array[Array[Double]] =>
+        md.update('D'.toByte)
+        a.foreach { row => md.update(row.length.toByte); doubles(row) }
+      case other =>
+        // no structural key — fall back to identity (no cross-instance
+        // dedup, but still one broadcast per instance via byId)
+        md.update(System.identityHashCode(other).toString.getBytes)
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+}
+
+/** `fine_cell(embedding, coarse_cell)` → int GLOBAL fine-cell id.
+  * Centroid tables arrive via Broadcast ([[BroadcastOnce]]); codegen
+  * unwraps the handle ONCE per task instance into a plain field, so
+  * the per-row path reads an array field exactly as the literal
+  * spelling did.
+  */
 case class FineCell(left: Expression, right: Expression,
-    fineCents: Array[Array[Double]], fineNorms: Array[Array[Double]],
-    offsets: Array[Int], dim: Int) extends BinaryExpression {
+    fineCents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    fineNorms: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    offsets: org.apache.spark.broadcast.Broadcast[Array[Int]],
+    dim: Int) extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "fine_cell"
+  @transient private lazy val centsV = fineCents.value
+  @transient private lazy val normsV = fineNorms.value
+  @transient private lazy val offsetsV = offsets.value
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.fineCell(a.asInstanceOf[ArrayData], b.asInstanceOf[Int],
-      fineCents, fineNorms, offsets, dim)
+      centsV, normsV, offsetsV, dim)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("fineCents", fineCents, "double[][]")
-    val nRef = ctx.addReferenceObj("fineNorms", fineNorms, "double[][]")
-    val oRef = ctx.addReferenceObj("fineOffsets", offsets, "int[]")
+    val bcType = "org.apache.spark.broadcast.Broadcast"
+    val cBc = ctx.addReferenceObj("fineCentsBc", fineCents, bcType)
+    val nBc = ctx.addReferenceObj("fineNormsBc", fineNorms, bcType)
+    val oBc = ctx.addReferenceObj("fineOffsetsBc", offsets, bcType)
+    val cArr = ctx.addMutableState("double[][]", "fineCents",
+      v => s"$v = (double[][]) $cBc.value();")
+    val nArr = ctx.addMutableState("double[][]", "fineNorms",
+      v => s"$v = (double[][]) $nBc.value();")
+    val oArr = ctx.addMutableState("int[]", "fineOffsets",
+      v => s"$v = (int[]) $oBc.value();")
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.VectorOps.fineCell($a, $b, $cRef, $nRef, $oRef, $dim)")
+      s"graft.plans.VectorOps.fineCell($a, $b, $cArr, $nArr, $oArr, $dim)")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FineCell =
@@ -312,21 +408,33 @@ object FineCell {
   def of(emb: Column, cell: Column, fineCents: Array[Array[Double]],
       fineNorms: Array[Array[Double]], offsets: Array[Int], dim: Int): Column =
     CB.column(FineCell(CB.expression(emb), CB.expression(cell),
-      fineCents, fineNorms, offsets, dim))
+      BroadcastOnce.of(fineCents), BroadcastOnce.of(fineNorms),
+      BroadcastOnce.of(offsets), dim))
 }
 
-/** `top_cells(q_emb)` → array<int> of the m best global cell ids. */
-case class TopCells(child: Expression, cents: Array[Double],
-    cnorms: Array[Double], m: Int, dim: Int) extends UnaryExpression {
+/** `top_cells(q_emb)` → array<int> of the m best global cell ids.
+  * Same Broadcast transport as [[FineCell]].
+  */
+case class TopCells(child: Expression,
+    cents: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    cnorms: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    m: Int, dim: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "top_cells"
+  @transient private lazy val centsV = cents.value
+  @transient private lazy val cnormsV = cnorms.value
   override protected def nullSafeEval(a: Any): Any =
-    VectorOps.topCells(a.asInstanceOf[ArrayData], cents, cnorms, m, dim)
+    VectorOps.topCells(a.asInstanceOf[ArrayData], centsV, cnormsV, m, dim)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("probeCents", cents, "double[]")
-    val nRef = ctx.addReferenceObj("probeNorms", cnorms, "double[]")
+    val bcType = "org.apache.spark.broadcast.Broadcast"
+    val cBc = ctx.addReferenceObj("probeCentsBc", cents, bcType)
+    val nBc = ctx.addReferenceObj("probeNormsBc", cnorms, bcType)
+    val cArr = ctx.addMutableState("double[]", "probeCents",
+      v => s"$v = (double[]) $cBc.value();")
+    val nArr = ctx.addMutableState("double[]", "probeNorms",
+      v => s"$v = (double[]) $nBc.value();")
     defineCodeGen(ctx, ev, a =>
-      s"graft.plans.VectorOps.topCells($a, $cRef, $nRef, $m, $dim)")
+      s"graft.plans.VectorOps.topCells($a, $cArr, $nArr, $m, $dim)")
   }
   override protected def withNewChildInternal(newChild: Expression): TopCells =
     copy(child = newChild)
@@ -335,5 +443,6 @@ case class TopCells(child: Expression, cents: Array[Double],
 object TopCells {
   def of(c: Column, cents: Array[Double], cnorms: Array[Double],
       m: Int, dim: Int): Column =
-    CB.column(TopCells(CB.expression(c), cents, cnorms, m, dim))
+    CB.column(TopCells(CB.expression(c), BroadcastOnce.of(cents),
+      BroadcastOnce.of(cnorms), m, dim))
 }

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * round-robin — the DEGENERATE corpus for the fine fit's hot-cell
   * guard rehearsal (a near-duplicate-heavy crawl concentrates
   * embedding mass exactly like this; the unguarded r18 fit was
-  * quadratic in one cell's mass share inside one task).
+  * quadratic in one cell's mass share inside one task). The hot mass
+  * starts only PAST the id-ordered kmeans sample window (ids ≥ 4096):
+  * a concentration the coarse fit can SEE attracts ~proportionally
+  * many centroids and dilutes itself — the hazard is late-arriving
+  * mass the fit never sampled, which argmaxes wholesale into one
+  * cell (measured: a visible 50% cluster spread over ~128 cells,
+  * max cell share 1.6%; the invisible variant pins ~50% in one).
   *
   * {{{ tools/run_main.sh graft.tools.MakeClustered /tmp/graft_clustered 1000000 }}}
   * {{{ tools/run_main.sh graft.tools.MakeClustered /tmp/graft_hot 1000000 500 }}}
@@ -31,9 +37,10 @@ object MakeClustered {
     val spark = graft.GraftConf.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dim = graft.Tables.EmbeddingDim
-    // interleaving ids mod 1000 keeps BOTH populations covered by the
-    // id-ordered kmeans sample
-    val cid = s"(CASE WHEN id % 1000 < $hotPermille THEN 0 ELSE id % $clusters END)"
+    // hot mass only past the 2048-row id-ordered fit sample (see the
+    // scaladoc); the spread population interleaves throughout
+    val cid = s"(CASE WHEN id >= 4096 AND id % 1000 < $hotPermille" +
+      s" THEN 0 ELSE id % $clusters END)"
     spark.range(n).select(col("id").as("vec_id"),
         expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
           s"sin(($cid * 131 + j * 17) * 12.9898d) * 43758.5453d % 1.0d" +

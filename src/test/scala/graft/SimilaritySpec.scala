@@ -534,10 +534,17 @@ class SimilaritySpec extends SparkSpec {
       SimilarityOps.embSample(e), SimilarityOps.ivfCellsFor(n))
     val fine = SimilarityOps.fitFineLevelFrame(spark, e, coarse)
     val den = SimilarityOps.probeCalibrate(spark, e, coarse.copy(fine = Some(fine)))
+    // since r19 a den this cheap means the DISJOINT hold-out draw also
+    // cleared the bar at the chosen rung — one lucky 16-query draw can
+    // no longer pin the production probe fraction
     assert(den >= 8, s"clustered corpus should calibrate cheap, got 1/$den")
     val idx = coarse.copy(fine = Some(fine.copy(probeDen = den)))
     assert(idx.fine.get.probes < SimilarityOps.fineProbesFor(fine.total),
       "calibrated probes must undercut the worst-case law")
+    // and the whole calibration is deterministic: a second run over the
+    // same corpus lands on the same rung
+    assert(SimilarityOps.probeCalibrate(spark, e, coarse.copy(fine = Some(fine))) == den,
+      "calibration must be deterministic across runs")
   }
 
   test("TopCells probe ranking matches the (-score, id) driver-side order") {
