@@ -125,69 +125,74 @@ object GraphOps {
       tol: Option[Double] = None,
       init: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, Int) = {
-    // pre-partition the edges by src BEFORE the checkpoint: the
-    // checkpoint leaf keeps its output partitioning, so the
-    // share⨝edges join inside every iteration reuses it instead of
-    // re-shuffling the full edge set 10× — per iteration only the
-    // (one-row-per-host) rank side moves, which at 100 TB is the
-    // difference between shuffling the graph once and ten times
-    val e = edgeFrame.repartition(col("src")).localCheckpoint(false)
+    // r19: NO repartition(src) before the pin — measured (ProbeCkpt):
+    // a localCheckpoint leaf under AQE reports UnknownPartitioning, so
+    // the in-loop join never reused that exchange; it was a pure setup
+    // cost. (Re-establishing real exchange reuse at cluster scale needs
+    // a bucketed edge layout, not a checkpoint — see OPTIMIZATION_r19.)
+    val e = edgeFrame.localCheckpoint(false)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst")))
       .distinct()
       .localCheckpoint(false)
     val n = nodes.count().toDouble
-    // checkpointed: lazy frames re-derive per reference, and this one
-    // is referenced from inside the loop — without the pin each
-    // iteration re-runs the edges-wide degree aggregate
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(false)
-    var ranks = init.fold(nodes.withColumn("rank", lit(1.0))) { prev =>
+    // r19: out_deg rides the rank frame via ONE setup join — the old
+    // spelling re-joined ranks⨝outDeg inside every iteration, and the
+    // join subtree was EVALUATED TWICE per iteration (once under the
+    // dangling-mass broadcast, once under contribs)
+    val init0 = init.fold(nodes.withColumn("rank", lit(1.0))) { prev =>
       nodes.join(prev.select(col("host").as("ph"), col("rank").as("prank")),
         col("host") === col("ph"), "left")
         .select(col("host"), coalesce(col("prank"), lit(1.0)).as("rank"))
-        .localCheckpoint(false)
     }
+    var ranks = init0.join(outDeg, init0("host") === outDeg("src"), "left")
+      .select(init0("host"), col("out_deg"), col("rank"))
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
-      // mass of dangling hosts as a broadcast 1-row frame: folding it
-      // into the plan keeps each iteration at ONE job (the eager
-      // checkpoint) instead of a separate collect per iteration
-      val danglingMass = withDeg.filter(col("out_deg").isNull)
+      // mass of dangling hosts as a broadcast 1-row frame over the
+      // carried out_deg column — no join needed (the old spelling
+      // re-evaluated a ranks⨝outDeg subtree here), and folding it into
+      // the plan (rather than a driver-side scalar action) keeps each
+      // iteration at ONE query execution whose stages AQE overlaps —
+      // the scalar-action spelling was built and measured SLOWER
+      // (ProbeIter: q51 2.6→3.1s, the sync head() per iteration costs
+      // more than the BroadcastExchange it replaced)
+      val danglingMass = ranks.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      val contribs = withDeg.filter(col("out_deg").isNotNull)
+      val contribs = ranks.filter(col("out_deg").isNotNull)
         .select(col("host"), (col("rank") / col("out_deg")).as("share"))
         .join(e, col("host") === e("src"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("in_share"))
-      val next = ranks.select(col("host"))
+      val next = ranks
+        .select(col("host"), col("out_deg"), col("rank").as("prev"))
         .join(contribs, col("host") === col("dst"), "left")
         .crossJoin(broadcast(danglingMass))
-        .select(col("host"),
+        .select(col("host"), col("out_deg"),
           (lit(1 - Damping) + lit(Damping) *
-            (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"))
+            (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"),
+          col("prev"))
         // lazy: still truncates lineage (the optimizer sees a leaf),
         // but merely BUILDING the q51 plan (explain/PlanAudit) no
         // longer executes the iterations — only nodes.count() runs.
-        // (A sparser every-2nd-iteration cadence was measured at only
-        // ~6% — the per-iteration broadcast exchanges dominate, and an
-        // un-pinned step is recomputed by its two consumers — so the
-        // simple one-pin-per-iteration invariant stays.)
         .localCheckpoint(false)
+      iter += 1
       converged = tol.exists { t =>
-        // coalesce: sum over ZERO rows (empty graph) is null, and
-        // getDouble would NPE instead of reporting convergence
-        val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "host")
-          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)).as("l1"))
-          .head().getDouble(0)
-        delta < t
+        // r19: the L1 delta reads the carried prev column straight off
+        // the materialized checkpoint — the old spelling paid a full
+        // extra join job per iteration for it. coalesce: sum over ZERO
+        // rows (empty graph) is null, and getDouble would NPE instead
+        // of reporting convergence
+        next.agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)).as("l1"))
+          .head().getDouble(0) < t
       }
       ranks = next
-      iter += 1
     }
-    (ranks, iter) // FULL frame — reusable as the next run's `init`
+    // FULL frame — reusable as the next run's `init`
+    (ranks.select(col("host"), col("rank")), iter)
   }
 
   val q51_pagerank: GraftQuery = GraftQuery(
@@ -221,29 +226,34 @@ object GraphOps {
       .union(e.select(col("dst"))).distinct().localCheckpoint(false)
     val n = nodes.count()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(false)
     // warm start (q82_verify): previous (host, rank_scaled) seeds the
     // iteration; new hosts enter at the cold-start scale, vanished
     // hosts drop out via the projection onto the current node set —
     // the integer mirror of pageRankOnEdges' `init`
-    var ranks = init.fold(nodes.withColumn("r", lit(PrVerifyScale))) { prev =>
+    val init0 = init.fold(nodes.withColumn("r", lit(PrVerifyScale))) { prev =>
       nodes.join(prev.select(col("host").as("ph"), col("rank_scaled").as("pr")),
         col("host") === col("ph"), "left")
         .select(col("host"), coalesce(col("pr"), lit(PrVerifyScale)).as("r"))
-        .localCheckpoint(false)
     }
+    // r19: same restructure as pageRankOnEdges — out_deg rides the rank
+    // frame (one setup join, not a twice-evaluated per-iteration join);
+    // the dangling mass stays an in-plan broadcast (one execution per
+    // iteration, stages overlapped by AQE). Integer sums commute
+    // exactly, so the restructure is bit-identical by construction.
+    var ranks = init0.join(outDeg, init0("host") === outDeg("src"), "left")
+      .select(init0("host"), col("out_deg"), col("r"))
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, ranks("host") === outDeg("src"), "left")
-      val dmass = withDeg.filter(col("out_deg").isNull)
+      val dmass = ranks.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-      val contribs = withDeg.filter(col("out_deg").isNotNull)
+      val contribs = ranks.filter(col("out_deg").isNotNull)
         .select(col("host"), expr("r div out_deg").as("share"))
         .join(e, col("host") === e("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
-      ranks = ranks.select(col("host"))
+      ranks = ranks.select(col("host"), col("out_deg"))
         .join(contribs, col("host") === col("dst"), "left")
         .crossJoin(broadcast(dmass))
-        .select(col("host"),
+        .select(col("host"), col("out_deg"),
           (lit(15L * PrVerifyScale / 100) +
             expr(s"(85 * ((dmass div $n) + coalesce(in_share, CAST(0 AS BIGINT)))) div 100"))
             .as("r"))
@@ -486,10 +496,13 @@ object GraphOps {
   private[graft] def hitsOnEdges(
       edgeFrame: org.apache.spark.sql.DataFrame,
       iters: Int = HitsIters): org.apache.spark.sql.DataFrame = {
-    val eSrc = edgeFrame.repartition(col("src")).localCheckpoint(false)
-    // the dst-partitioned pin re-shuffles the ALREADY-PINNED copy, so
-    // the (possibly expensive) edge derivation itself runs exactly once
-    val eDst = eSrc.repartition(col("dst")).localCheckpoint(false)
+    // r19: ONE pinned edge copy. The old src- and dst-partitioned twin
+    // pins assumed the checkpoint leaf keeps its hash partitioning for
+    // the two join directions — measured false under AQE (ProbeCkpt:
+    // LogicalRDD reports UnknownPartitioning), so the second pin was a
+    // full extra exchange + copy buying nothing.
+    val eSrc = edgeFrame.localCheckpoint(false)
+    val eDst = eSrc
     val nodes = eSrc.select(col("src").as("host"))
       .union(eSrc.select(col("dst")))
       .distinct()
@@ -514,7 +527,10 @@ object GraphOps {
     // output join consume it
     auths = auths.localCheckpoint(false)
     // ONE normalization + host-set completion pass; greatest() guards
-    // the all-zero degenerate graph (0/0 → NaN)
+    // the all-zero degenerate graph (0/0 → NaN). In-plan broadcasts,
+    // not driver-side scalar actions — the scalar spelling was built
+    // and measured slower (ProbeIter; same finding as the pagerank
+    // dangling mass: a sync head() costs more than the exchange)
     def normScalar(f: org.apache.spark.sql.DataFrame) = f.agg(
       greatest(sqrt(sum(col("score") * col("score"))), lit(1e-12)).as("nrm"))
     val aN = normScalar(auths)

@@ -507,13 +507,16 @@ object TextOps {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // r19: carry the previous label through the checkpoint so the
+      // changed-count is a scan of the materialized frame — the old
+      // spelling paid a full extra join job per iteration for it
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
-          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"),
+          labels("label").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     // fail LOUDLY on non-convergence — a silent partial result would

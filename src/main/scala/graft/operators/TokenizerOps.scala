@@ -54,6 +54,25 @@ object TokenizerOps {
           .otherwise(concat(acc, array(x))))
   }
 
+  /** [[applyMerge]] behind a containment pre-check: the fold is an
+    * `aggregate` higher-order function (CodegenFallback — interpreted,
+    * O(len²) array rebuilding per word) while `array_contains` is a
+    * cheap scan, and a word lacking either symbol can't match the
+    * adjacent pair — the fold is the identity on it, so the guard is
+    * result-transparent (r19; TokenizerSpec pins the merge sequence).
+    *
+    * ONLY safe when `syms` is a plain attribute: the guard references
+    * the child THREE extra times, and interpreted eval has no common-
+    * subexpression elimination — guarding the 30-deep [[applyMerges]]
+    * encode chain (child = the previous merge's expression tree) would
+    * re-evaluate the prefix per reference, exponentially. [[bpeFit]]
+    * re-projects from a materialized column every step, so it qualifies.
+    */
+  private def applyMergeGuarded(syms: Column, l: String, r: String): Column =
+    when(array_contains(syms, lit(l)) && array_contains(syms, lit(r)),
+      applyMerge(syms, l, r))
+      .otherwise(syms)
+
   /** The learned merge table: (step, left, right, merged, pair_count).
     * Runs the driver loop over the vocab frame; `k` bounds the vocab
     * size like any BPE fit.
@@ -84,7 +103,7 @@ object TokenizerOps {
         step += 1
         merges += ((step, l, r, c))
         vocab = vocab
-          .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
+          .select(applyMergeGuarded(col("syms"), l, r).as("syms"), col("cnt"))
           .localCheckpoint(false)
       }
     }
