@@ -20,6 +20,25 @@ object Tables {
     */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Schema memo for the immutable base tables, keyed by file path.
+    * r19 (guide §1 measurement, ProbeRead): a bare
+    * `spark.read.parquet` pays eager footer schema-INFERENCE on every
+    * call — ~72 ms/table at sf0.1, and every registered query pays it
+    * for 1-3 tables in each bench pass. Supplying the schema skips
+    * inference (listing still happens; the scan reads the same files),
+    * ~8× cheaper per read call. This caches METADATA only — never
+    * rows, never plan fragments — exactly what a warehouse catalog
+    * provides at 100 TB; the testdata tables are immutable for a
+    * process lifetime.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readBase(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema))
+      .parquet(path)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
@@ -31,7 +50,7 @@ object Tables {
       // plan-build-time mutation when the session is already configured.
       if (spark.conf.get(NanosAsLong, "false") != "true")
         spark.conf.set(NanosAsLong, "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = readBase(spark, s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         // integer `div`, not `/`: epoch-nanos exceed double's exact range,
         // and `/` is double division. Floor-to-micros matches DuckDB's own
@@ -45,7 +64,7 @@ object Tables {
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readBase(spark, s"$dir/$name.parquet")
 
   /** Link fact table derived from orders x customer (dim join is a
     * broadcast at any scale: customer keys are recycled via modulo).
@@ -156,6 +175,15 @@ object Tables {
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
     deleteRecursively(old)
   }
+
+  /** Read a just-dumped directory back with the WRITTEN frame's own
+    * schema. r19 (ProbeRead): a bare read pays ~70 ms of footer schema
+    * inference per call; the write just fixed the schema, so supplying
+    * it is free and involves no caching at all. The parquet scan still
+    * reads the actual files — only the redundant inference is skipped.
+    */
+  def readBack(df: DataFrame, path: String): DataFrame =
+    df.sparkSession.read.schema(df.schema).parquet(path)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

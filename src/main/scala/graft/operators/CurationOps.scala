@@ -139,7 +139,7 @@ object CurationOps {
                 col("b"), col("cnt"), col("is_target"), DsirBuckets).as("fit")),
             path)
           val flat = obs.get("fit").asInstanceOf[scala.collection.Seq[Long]].toArray
-          (docs.sparkSession.read.parquet(path),
+          (graft.Tables.readBack(fb0, path),
             flat.take(DsirBuckets), flat.drop(DsirBuckets))
         case None =>
           // production (no-dump) plan, r12: the fit needs only the 256

@@ -217,9 +217,9 @@ object SimilarityOps {
     "q30_verify",
     (s, dir) => {
       val dump = q30CandidateDump(dir)
-      minhashCandidatePairs(s, dir)
-        .write.mode("overwrite").parquet(dump)
-      verifyJaccard(s, dir, s.read.parquet(dump))
+      val cand = minhashCandidatePairs(s, dir)
+      cand.write.mode("overwrite").parquet(dump)
+      verifyJaccard(s, dir, Tables.readBack(cand, dump))
     },
     Some(Tables.docsNearDupsCte +
       s""", shingled AS (
@@ -1102,9 +1102,10 @@ object SimilarityOps {
     "q34_verify",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q34_candidates", dir)
-      lshCandidatePairs(s, dir).write.mode("overwrite").parquet(dump)
+      val cand = lshCandidatePairs(s, dir)
+      cand.write.mode("overwrite").parquet(dump)
       val e = Tables.embWithNearDups(s, dir)
-      s.read.parquet(dump)
+      Tables.readBack(cand, dump)
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("q_emb")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("n_emb")), "b_id")
         .withColumn("cosq", cosqCol)
@@ -1162,8 +1163,9 @@ object SimilarityOps {
     "q35_multimodal",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q35_decoded", dir)
-      multimodalDecoded(s, dir).write.mode("overwrite").parquet(dump)
-      s.read.parquet(dump)
+      val decoded = multimodalDecoded(s, dir)
+      decoded.write.mode("overwrite").parquet(dump)
+      Tables.readBack(decoded, dump)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_images"),
@@ -1582,9 +1584,9 @@ object SimilarityOps {
     "q40_verify",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q40_candidates", dir)
-      ivfCandidates(s, dir).select(col("q_id"), col("n_id"))
-        .write.mode("overwrite").parquet(dump)
-      quantizedTopK(Tables.embeddings(s, dir), s.read.parquet(dump))
+      val cand = ivfCandidates(s, dir).select(col("q_id"), col("n_id"))
+      cand.write.mode("overwrite").parquet(dump)
+      quantizedTopK(Tables.embeddings(s, dir), Tables.readBack(cand, dump))
     },
     Some(
       s"""WITH cand AS (
@@ -2160,9 +2162,9 @@ object SimilarityOps {
     "q73_verify",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q73_shortlist", dir)
-      pqShortlist(s, dir).select(col("q_id"), col("n_id"))
-        .write.mode("overwrite").parquet(dump)
-      quantizedTopK(Tables.embeddings(s, dir), s.read.parquet(dump))
+      val cand = pqShortlist(s, dir).select(col("q_id"), col("n_id"))
+      cand.write.mode("overwrite").parquet(dump)
+      quantizedTopK(Tables.embeddings(s, dir), Tables.readBack(cand, dump))
     },
     Some(
       s"""WITH cand AS (
@@ -2210,7 +2212,9 @@ object SimilarityOps {
       // and each plan's fit constants come from the dir-memoized
       // caches, so the outputs are byte-identical to the sequential
       // spelling (r16: gate wall ~11s → ~8s at sf10)
-      locally {
+      // the dumped frames escape the block so the gate's read-backs can
+      // reuse their schemas (Tables.readBack — skips footer inference)
+      val (ivfCandF, pqCandF, lshPairsF, pressF, fitF) = locally {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         // materialize the fits once on THIS thread before forking:
@@ -2223,10 +2227,10 @@ object SimilarityOps {
         // the LSH cap-pressure columns do. Zeros whenever the fine
         // level is not engaged (every SF ≤ sf10).
         val fp = ivfFitFor(s, dir).fine.map(_.fitPress).getOrElse(FitPressure.zero)
-        Tables.atomicParquetDump(
+        val fitFrame =
           s.createDataFrame(Seq((fp.cells, fp.cappedCells, fp.maxCellSample)))
-            .toDF("fit_cells", "fit_capped_cells", "fit_max_cell_sample"),
-          fitDump)
+            .toDF("fit_cells", "fit_capped_cells", "fit_max_cell_sample")
+        Tables.atomicParquetDump(fitFrame, fitDump)
         // a dedicated 3-thread pool, not the global ForkJoinPool: the
         // active session is set EXPLICITLY per task (global-pool
         // workers only inherit the thread-local by accident of thread
@@ -2269,18 +2273,22 @@ object SimilarityOps {
             lshBucketAgg(s, dir)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else lshBucketAgg(s, dir)
+        val ivfCand = ivfCandidates(s, dir).select(col("q_id"), col("n_id"))
+        val pqCand = pqShortlist(s, dir).select(col("q_id"), col("n_id"))
+        val press = lshPressure(buckets)
+        val lshPairs = lshVerified(s, dir, lshPairsFromBuckets(buckets))
+          .select(col("a_id"), col("b_id"))
         try {
           val dumps = Seq(
-            dump(ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump),
-            dump(pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump),
+            dump(ivfCand, ivfDump),
+            dump(pqCand, pqDump),
             Future {
               org.apache.spark.sql.SparkSession.setActiveSession(s)
               s.sparkContext.setJobGroup(group, "q83 candidate dump",
                 interruptOnCancel = true)
               try {
-                Tables.atomicParquetDump(lshPressure(buckets), pressDump)
-                Tables.atomicParquetDump(lshVerified(s, dir, lshPairsFromBuckets(buckets))
-                  .select(col("a_id"), col("b_id")), lshDump)
+                Tables.atomicParquetDump(press, pressDump)
+                Tables.atomicParquetDump(lshPairs, lshDump)
               } finally s.sparkContext.clearJobGroup()
             })
           try Await.result(Future.sequence(dumps), Duration.Inf)
@@ -2293,6 +2301,7 @@ object SimilarityOps {
           if (persistBuckets) buckets.unpersist(false)
           pool.shutdown()
         }
+        (ivfCand, pqCand, lshPairs, press, fitFrame)
       }
       val exactPairs = e.select(col("vec_id").as("n_id"))
         .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
@@ -2311,9 +2320,11 @@ object SimilarityOps {
           lit(method).as("method"), col("n_exact"), col("hits"),
           (col("hits") * 10 >= col("n_exact") * 9).cast("int").as("recall_ok"))
       }
-      def gateRow(dumpPath: String, method: String): org.apache.spark.sql.DataFrame =
+      def gateRow(dumpPath: String, written: org.apache.spark.sql.DataFrame,
+          method: String): org.apache.spark.sql.DataFrame =
         recallRow(method, exact,
-          quantizedTopK(e, s.read.parquet(dumpPath)).select(col("q_id"), col("n_id")),
+          quantizedTopK(e, Tables.readBack(written, dumpPath))
+            .select(col("q_id"), col("n_id")),
           Seq("q_id", "n_id"))
       // q34's pair-detector recall: the planted (v, v + EmbDupOffset)
       // near-dups are the ground truth the fixture guarantees; the
@@ -2323,7 +2334,7 @@ object SimilarityOps {
         .select(col("vec_id").as("a_id"),
           (col("vec_id") + Tables.EmbDupOffset).as("b_id"))
       val lshRow = recallRow("lsh", planted,
-        s.read.parquet(lshDump), Seq("a_id", "b_id"))
+        Tables.readBack(lshPairsF, lshDump), Seq("a_id", "b_id"))
       // cap-pressure columns (r17): zero for the cap-less methods, the
       // dumped tombstone rollup on the LSH row — the leading indicator
       // that fires BEFORE recall dips under the gate (the r16 incident
@@ -2335,14 +2346,14 @@ object SimilarityOps {
         noPress.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
       def zeroFit(df: org.apache.spark.sql.DataFrame) =
         fitCols.foldLeft(df)((d, c) => d.withColumn(c, lit(0L)))
-      val lshWithPress = lshRow.crossJoin(broadcast(s.read.parquet(pressDump)))
+      val lshWithPress = lshRow.crossJoin(broadcast(Tables.readBack(pressF, pressDump)))
       // the fit gauge rides the IVF row (it is the IVF index's fit)
-      val ivfWithFit = zeroPress(gateRow(ivfDump, "ivf"))
-        .crossJoin(broadcast(s.read.parquet(fitDump)))
+      val ivfWithFit = zeroPress(gateRow(ivfDump, ivfCandF, "ivf"))
+        .crossJoin(broadcast(Tables.readBack(fitF, fitDump)))
       val outCols = Seq("method", "n_exact", "hits", "recall_ok") ++
         noPress ++ fitCols
       ivfWithFit.select(outCols.map(col): _*)
-        .unionAll(zeroFit(zeroPress(gateRow(pqDump, "pq"))).select(outCols.map(col): _*))
+        .unionAll(zeroFit(zeroPress(gateRow(pqDump, pqCandF, "pq"))).select(outCols.map(col): _*))
         .unionAll(zeroFit(lshWithPress).select(outCols.map(col): _*))
     },
     Some {

@@ -158,11 +158,11 @@ object StreamingBatchOps {
     "s07_verify",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("s07_shards", dir)
-      Tables.table(s, dir, "documents")
+      val shards = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           pmod(xxhash64(col("doc_id")), lit(StreamOps.ExportShards.toLong)).as("shard"))
-        .write.mode("overwrite").parquet(dump)
-      s.read.parquet(dump)
+      shards.write.mode("overwrite").parquet(dump)
+      Tables.readBack(shards, dump)
         .join(Tables.table(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
         .groupBy(col("shard"))
         .agg(
@@ -234,15 +234,15 @@ object StreamingBatchOps {
       val store = graft.sources.ManifestFixture.ingestedStore(s)
       val dump = Tables.oracleDumpPath("s09_segments", dir)
       val ids = graft.sources.SegmentManifest.completedSegments(s, store).sorted
-      ids.map { id =>
+      val segs = ids.map { id =>
           graft.sinks.LinkStore.read(s,
               s"${graft.sources.SegmentManifest.segmentDir(store, id)}/links")
             .select(lit(id).as("segment"), col("page_host"),
               col("link_domain"), col("qty"))
         }
         .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(dump)
-      s.read.parquet(dump)
+      segs.write.mode("overwrite").parquet(dump)
+      Tables.readBack(segs, dump)
         .groupBy(col("segment"))
         .agg(
           count(lit(1)).cast("bigint").as("n_rows"),

@@ -651,8 +651,9 @@ object TextOps {
     "q36_scale",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q36_scale_pairs", dir)
-      Tables.atomicParquetDump(lshVerifiedPairs(s, dir), dump)
-      clusterPairs(s.read.parquet(dump))
+      val pairs = lshVerifiedPairs(s, dir)
+      Tables.atomicParquetDump(pairs, dump)
+      clusterPairs(Tables.readBack(pairs, dump))
     },
     Some("WITH RECURSIVE " + pairComponentsSql("q36_scale_pairs") + "\n" +
       "SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src")
@@ -665,8 +666,9 @@ object TextOps {
     "q74_scale",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q74_scale_pairs", dir)
-      Tables.atomicParquetDump(lshVerifiedPairs(s, dir), dump)
-      val labels = clusterPairs(s.read.parquet(dump))
+      val pairs = lshVerifiedPairs(s, dir)
+      Tables.atomicParquetDump(pairs, dump)
+      val labels = clusterPairs(Tables.readBack(pairs, dump))
         .select(col("doc_id"), col("cluster_id"))
       Tables.docsWithNearDups(s, dir, spread = false)
         .select(col("doc_id"))
@@ -883,11 +885,11 @@ object TextOps {
     "q48_verify",
     (s, dir) => {
       val dump = Tables.oracleDumpPath("q48_ratios", dir)
-      Tables.table(s, dir, "documents")
+      val ratios = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.plans.CompressionRatio.of(col("text")).as("ratio"))
-        .write.mode("overwrite").parquet(dump)
-      s.read.parquet(dump)
+      ratios.write.mode("overwrite").parquet(dump)
+      Tables.readBack(ratios, dump)
         .groupBy(col("source"),
           floor(col("ratio") * 10).cast("int").as("ratio_decile"))
         .agg(count(lit(1)).as("n_docs"),

@@ -42,10 +42,10 @@ object WarcOps {
     "q59_verify",
     (s, dir) => {
       val dump = graft.Tables.oracleDumpPath("q59_links", dir)
-      WarcSource.links(s, Seq(WarcFixture.dir()))
+      val links = WarcSource.links(s, Seq(WarcFixture.dir()))
         .select(col("link_domain"), col("page_host"), col("link_path"), col("qty"))
-        .write.mode("overwrite").parquet(dump)
-      s.read.parquet(dump)
+      links.write.mode("overwrite").parquet(dump)
+      graft.Tables.readBack(links, dump)
         .groupBy(col("link_domain"))
         .agg(
           sum(col("qty")).cast("bigint").as("qty"),
