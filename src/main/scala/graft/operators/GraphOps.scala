@@ -151,43 +151,58 @@ object GraphOps {
       .localCheckpoint(false)
     var iter = 0
     var converged = false
+    // dangling mass over the carried out_deg column — no join needed
+    // (the old spelling re-evaluated a ranks⨝outDeg subtree for it).
+    // coalesce: sum over ZERO rows (empty graph) is null, and getDouble
+    // would NPE.
+    val dmCol = coalesce(sum(when(col("out_deg").isNull, col("rank"))), lit(0.0))
+    // tol mode pays ONE driver action per iteration anyway (the
+    // convergence decision), so the dangling mass for the NEXT round
+    // rides that same action as a second aggregate column — no
+    // per-iteration BroadcastExchange subtree at all. Fixed-iters mode
+    // has no action to ride and keeps the in-plan broadcast: a
+    // DEDICATED scalar action per iteration was built and measured
+    // SLOWER (ProbeIter: q51 2.6→3.1s — the sync head() costs more
+    // than the exchange it replaces; AQE overlaps in-plan stages).
+    var dmassScalar: Option[Double] =
+      if (tol.isDefined) Some(ranks.agg(dmCol).head().getDouble(0)) else None
     while (iter < maxIters && !converged) {
-      // mass of dangling hosts as a broadcast 1-row frame over the
-      // carried out_deg column — no join needed (the old spelling
-      // re-evaluated a ranks⨝outDeg subtree here), and folding it into
-      // the plan (rather than a driver-side scalar action) keeps each
-      // iteration at ONE query execution whose stages AQE overlaps —
-      // the scalar-action spelling was built and measured SLOWER
-      // (ProbeIter: q51 2.6→3.1s, the sync head() per iteration costs
-      // more than the BroadcastExchange it replaced)
-      val danglingMass = ranks.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       val contribs = ranks.filter(col("out_deg").isNotNull)
         .select(col("host"), (col("rank") / col("out_deg")).as("share"))
         .join(e, col("host") === e("src"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("in_share"))
-      val next = ranks
+      val joined = ranks
         .select(col("host"), col("out_deg"), col("rank").as("prev"))
         .join(contribs, col("host") === col("dst"), "left")
-        .crossJoin(broadcast(danglingMass))
-        .select(col("host"), col("out_deg"),
-          (lit(1 - Damping) + lit(Damping) *
-            (col("dmass") / n + coalesce(col("in_share"), lit(0.0)))).as("rank"),
-          col("prev"))
+      def update(dm: org.apache.spark.sql.Column) =
+        (lit(1 - Damping) + lit(Damping) *
+          (dm + coalesce(col("in_share"), lit(0.0)))).as("rank")
+      val next = dmassScalar
+        .fold {
+          val danglingMass = ranks.filter(col("out_deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+          joined.crossJoin(broadcast(danglingMass))
+            .select(col("host"), col("out_deg"),
+              update(col("dmass") / n), col("prev"))
+        } { dm =>
+          joined.select(col("host"), col("out_deg"),
+            update(lit(dm / n)), col("prev"))
+        }
         // lazy: still truncates lineage (the optimizer sees a leaf),
         // but merely BUILDING the q51 plan (explain/PlanAudit) no
         // longer executes the iterations — only nodes.count() runs.
         .localCheckpoint(false)
       iter += 1
-      converged = tol.exists { t =>
-        // r19: the L1 delta reads the carried prev column straight off
-        // the materialized checkpoint — the old spelling paid a full
-        // extra join job per iteration for it. coalesce: sum over ZERO
-        // rows (empty graph) is null, and getDouble would NPE instead
-        // of reporting convergence
-        next.agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)).as("l1"))
-          .head().getDouble(0) < t
+      tol.foreach { t =>
+        // the L1 delta reads the carried prev column straight off the
+        // materialized checkpoint — the old spelling paid a full extra
+        // join job per iteration for it
+        val g = next.agg(
+          coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)).as("l1"),
+          dmCol.as("dmass")).head()
+        converged = g.getDouble(0) < t
+        dmassScalar = Some(g.getDouble(1))
       }
       ranks = next
     }
@@ -346,7 +361,10 @@ object GraphOps {
   val q82_rank_delta: GraftQuery = GraftQuery(
     "q82_rank_delta",
     (s, dir) => {
-      val all = edges(s, dir)
+      // pinned once (r19): both phases re-checkpoint their own edge
+      // frame, so without this the links⨝customer+distinct derivation
+      // ran twice per query (q82_verify already pinned it)
+      val all = edges(s, dir).localCheckpoint(false)
       val (prev, prevIters) = pageRankOnEdges(all.filter(!edgeIsNew),
         maxIters = RankDeltaMaxIters, tol = Some(RankDeltaTol))
       val (warm, warmIters) = pageRankOnEdges(all,
