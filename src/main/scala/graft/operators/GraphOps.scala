@@ -494,10 +494,12 @@ object GraphOps {
     * the adjacency matrix.
     *
     * Scale shape mirrors [[pageRankOnEdges]]: the edge list is pinned
-    * TWICE — once partitioned by src (the auth-update join side), once
-    * by dst (the hub-update side) — so every iteration moves only the
-    * one-row-per-host score frames, never the graph; lineage truncates
-    * per iteration via lazy checkpoints. Two deliberate differences
+    * ONCE (r19 — the former src-/dst-partitioned twin pins assumed a
+    * checkpoint leaf keeps its hash partitioning for the two join
+    * directions; ProbeCkpt measured that false under AQE, so the
+    * second pin was a pure extra exchange+copy), the per-iteration
+    * score frames are one row per host, and lineage truncates per
+    * iteration via lazy checkpoints. Two deliberate differences
     * from the textbook loop, both exploiting that each update is
     * LINEAR in the scores:
     *   - normalization defers to ONE final pass (the unnormalized
