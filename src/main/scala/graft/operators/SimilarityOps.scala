@@ -2230,24 +2230,15 @@ object SimilarityOps {
         val fitFrame =
           s.createDataFrame(Seq((fp.cells, fp.cappedCells, fp.maxCellSample)))
             .toDF("fit_cells", "fit_capped_cells", "fit_max_cell_sample")
-        Tables.atomicParquetDump(fitFrame, fitDump)
         // a dedicated 3-thread pool, not the global ForkJoinPool: the
         // active session is set EXPLICITLY per task (global-pool
         // workers only inherit the thread-local by accident of thread
         // creation order), a shared job group lets the first failure
         // CANCEL the sibling jobs instead of letting them run under a
         // throwing gate, and the pool dies with the block
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         val group = s"q83-gate-$dir"
-        def dump(df: => org.apache.spark.sql.DataFrame, path: String): Future[Unit] =
-          Future {
-            org.apache.spark.sql.SparkSession.setActiveSession(s)
-            s.sparkContext.setJobGroup(group, "q83 candidate dump",
-              interruptOnCancel = true)
-            try Tables.atomicParquetDump(df, path)
-            finally s.sparkContext.clearJobGroup()
-          }
         // the LSH bucket frame is shared by the pairs dump AND the
         // cap-pressure dump. r17 PERSISTED it and materialized the
         // cache via the pressure rollup BEFORE forking, claiming "wall
@@ -2273,25 +2264,45 @@ object SimilarityOps {
             lshBucketAgg(s, dir)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else lshBucketAgg(s, dir)
-        val ivfCand = ivfCandidates(s, dir).select(col("q_id"), col("n_id"))
-        val pqCand = pqShortlist(s, dir).select(col("q_id"), col("n_id"))
-        val press = lshPressure(buckets)
-        val lshPairs = lshVerified(s, dir, lshPairsFromBuckets(buckets))
-          .select(col("a_id"), col("b_id"))
+        // frame CONSTRUCTION stays inside the futures (r19: hoisting it
+        // to this thread serialized the IVF probe-calibration jobs that
+        // ivfCandidates' first build runs ahead of the whole concurrent
+        // region — TimeOne sf10 read ~+1.5s for it); the typed futures
+        // hand the dumped frames back out so the gate's read-backs can
+        // reuse their schemas (Tables.readBack)
+        def dumped(mk: => org.apache.spark.sql.DataFrame, path: String)
+            : Future[org.apache.spark.sql.DataFrame] =
+          Future {
+            org.apache.spark.sql.SparkSession.setActiveSession(s)
+            s.sparkContext.setJobGroup(group, "q83 candidate dump",
+              interruptOnCancel = true)
+            try { val df = mk; Tables.atomicParquetDump(df, path); df }
+            finally s.sparkContext.clearJobGroup()
+          }
+        // the 3-row fit-pressure gauge write is a full parquet-commit
+        // round-trip; it rides the pool (r19) instead of running
+        // sequentially ahead of the region
+        val fitDumpF = dumped(fitFrame, fitDump)
+        val ivfF = dumped(
+          ivfCandidates(s, dir).select(col("q_id"), col("n_id")), ivfDump)
+        val pqF = dumped(
+          pqShortlist(s, dir).select(col("q_id"), col("n_id")), pqDump)
+        val lshF = Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(s)
+          s.sparkContext.setJobGroup(group, "q83 candidate dump",
+            interruptOnCancel = true)
+          try {
+            val press = lshPressure(buckets)
+            Tables.atomicParquetDump(press, pressDump)
+            val pairs = lshVerified(s, dir, lshPairsFromBuckets(buckets))
+              .select(col("a_id"), col("b_id"))
+            Tables.atomicParquetDump(pairs, lshDump)
+            (press, pairs)
+          } finally s.sparkContext.clearJobGroup()
+        }
         try {
-          val dumps = Seq(
-            dump(ivfCand, ivfDump),
-            dump(pqCand, pqDump),
-            Future {
-              org.apache.spark.sql.SparkSession.setActiveSession(s)
-              s.sparkContext.setJobGroup(group, "q83 candidate dump",
-                interruptOnCancel = true)
-              try {
-                Tables.atomicParquetDump(press, pressDump)
-                Tables.atomicParquetDump(lshPairs, lshDump)
-              } finally s.sparkContext.clearJobGroup()
-            })
-          try Await.result(Future.sequence(dumps), Duration.Inf)
+          try Await.result(
+            Future.sequence(Seq[Future[Any]](fitDumpF, ivfF, pqF, lshF)), Duration.Inf)
           catch {
             case e: Throwable =>
               s.sparkContext.cancelJobGroup(group)
@@ -2301,7 +2312,10 @@ object SimilarityOps {
           if (persistBuckets) buckets.unpersist(false)
           pool.shutdown()
         }
-        (ivfCand, pqCand, lshPairs, press, fitFrame)
+        // all three completed above; zero-wait reads of the typed results
+        val (press, lshPairs) = Await.result(lshF, Duration.Zero)
+        (Await.result(ivfF, Duration.Zero), Await.result(pqF, Duration.Zero),
+          lshPairs, press, fitFrame)
       }
       val exactPairs = e.select(col("vec_id").as("n_id"))
         .join(broadcast(e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))),
