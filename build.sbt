@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver scrapes the LAST ~2000 chars of stdout for a
+// bare one-line JSON. sbt's default LoggedOutput re-emits the forked
+// process's stdout as "[info] ..." lines, and that prefix has defeated
+// the driver's parse in every round (BENCH_r*.json: parsed=null since
+// r01). StdoutOutput hands the forked JVM sbt's own stdout/stderr
+// directly — the JSON line lands unprefixed; Spark's log4j chatter
+// stays on stderr either way.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

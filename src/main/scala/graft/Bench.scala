@@ -11,6 +11,19 @@ object Bench {
     val spark = (if (sys.props.contains("spark.master")) GraftConf.submitted(cpus)
                  else GraftConf.local(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // _ANN_INDEX provenance (r20, VERDICT item 7): whether a sealed
+    // cross-session ANN index artifact pre-existed at RUN START, so a
+    // fit-included draw and a load-path draw are distinguishable from
+    // the artifact alone (the fit leaves the timed ANN rows after first
+    // touch at SFs where the fine level engages). Recorded before any
+    // query runs — this run's own publish must not count.
+    val annIndexPreexisting = {
+      val parent = new java.io.File(
+        s"${BucketedTables.Root}/${BucketedTables.dirKey(sfDir)}")
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .exists(d => d.getName.startsWith("annindex-") &&
+          new java.io.File(d, "_GRAFT_DONE").isFile)
+    }
     // one trivial action first so JVM/codegen warm-up isn't billed to
     // whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -86,6 +99,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       recallJson.fold("")(r => s""""recall":$r,""") +
       s""""sf":"$sfDir","master":"${spark.sparkContext.master}",""" +
+      s""""ann_index_preexisting":$annIndexPreexisting,""" +
       s""""parallelism":${spark.sparkContext.defaultParallelism}}"""
     recallJson.foreach(r => java.nio.file.Files.writeString(
       java.nio.file.Paths.get("RECALL.json"), r))
@@ -110,6 +124,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$shortQs,""" +
       recallJson.fold("")(r => s""""recall":$r,""") +
       s""""sf":"$sfDir","master":"${spark.sparkContext.master}",""" +
+      s""""ann_index_preexisting":$annIndexPreexisting,""" +
       s""""parallelism":${spark.sparkContext.defaultParallelism},"full_names":"BENCH.json"}"""
     // belt-and-braces for the driver's stdout scrape (r1/r2 both lost the
     // line to sbt prefixing): the same JSON also lands in a file — and in

@@ -139,6 +139,42 @@ object BucketedTables {
         derivation = s"nd:Z2:${Tables.DupEvery}:${Tables.NearDupOffset}"),
       sourceBytes(dir, "documents"))
 
+  /** The host link-graph edge list ([[graft.operators.GraphOps.edgesOf]]
+    * over the links derivation) bucketed AND sorted by `src` — plus its
+    * dual bucketed by `dst` — the r20 ingest-time layout for the
+    * iterative graph family (q51/q78/q79/q82/q52 and their verify
+    * companions). Two r19 findings drive it (guide §2.4/§6):
+    *   - a `localCheckpoint` edge pin reports UnknownPartitioning under
+    *     AQE (ProbeCkpt), so at any scale where the edge side is not
+    *     broadcast the per-iteration contribs join RE-SHUFFLES it —
+    *     ×10 iterations for PageRank, ×8 for HITS. Bucketed by the join
+    *     key, the edge side arrives exchange-free AND pre-sorted in
+    *     every iteration.
+    *   - the edge DERIVATION (orders ⨝ customer + distinct over the
+    *     full fact stream) was re-paid per graph query per run, while
+    *     the distinct edge set itself changes only with the source
+    *     data — exactly the once-per-generation ingest decision the
+    *     lineitem/orders/docs_nd layouts already encode. The dual
+    *     layout serves the dst-keyed consumers (q78's hub step, q52's
+    *     in-degree aggregate) the same way.
+    * Row set is IDENTICAL to the derived frame; the fingerprint covers
+    * both source tables and the edge recipe, so a regenerated testdata
+    * dir can never re-attach stale edges.
+    */
+  def hostEdgesBySrc(spark: SparkSession, dir: String): DataFrame =
+    hostEdges(spark, dir, "src")
+
+  def hostEdgesByDst(spark: SparkSession, dir: String): DataFrame =
+    hostEdges(spark, dir, "dst")
+
+  private def hostEdges(spark: SparkSession, dir: String, key: String): DataFrame = {
+    val fp = fingerprint(dir, "orders",
+      s"hostedges:$key:v1:" + fingerprint(dir, "customer", ""))
+    derived(spark, dir, s"host_edges_$key", key,
+      graft.operators.GraphOps.edgesOf(Tables.links(spark, dir)),
+      fp, sourceBytes(dir, "orders") + sourceBytes(dir, "customer"))
+  }
+
   /** Transient-disk budget per ingest pass. The layout build's PEAK
     * footprint is not the output (≈ source size): the repartition
     * shuffle plus the per-task sortBy spill each hold a decoded copy

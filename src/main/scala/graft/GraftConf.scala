@@ -114,12 +114,47 @@ object GraftConf {
     */
   def local(cpus: Int): SparkSession.Builder = {
     require(cpus >= 1, s"cpus must be >= 1, got $cpus")
-    common(SparkSession.builder())
+    val b = common(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initialPartitions(cpus).toString)
       .config("spark.ui.enabled", "false")
+    localScratchDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
+
+  /** Shuffle/spill scratch DECOUPLED from the table disk (r20; the
+    * standing single-disk instrument band, documented since r16):
+    * `spark.local.dir` defaults to /tmp, which on this class of box is
+    * the SAME device the parquet tables live on, so every shuffle write
+    * competes with table scans for one disk's queue — measured ±40%
+    * total swings on identical code. Preference order:
+    *   1. `GRAFT_LOCAL_DIR` env / `-Dgraft.localDir` — explicit scratch
+    *      (set it to `default` to force Spark's own default back, e.g.
+    *      for sf100 sweeps whose spill exceeds RAM-backed scratch);
+    *   2. a RAM-backed tmpfs (/dev/shm) when it is writable with
+    *      comfortable headroom — local-mode shuffles at the bench SFs
+    *      are MBs-to-low-GBs, far under the guard;
+    *   3. none — Spark's default.
+    * Only the [[local]] profile does this: on a cluster the site's
+    * spark-submit owns local-dir placement (real executors get
+    * dedicated scratch disks there, which is exactly what this
+    * emulates). `SPARK_LOCAL_DIRS`, when set, overrides all of it
+    * (Spark's own precedence).
+    */
+  private def localScratchDir: Option[String] = {
+    val explicit = sys.env.get("GRAFT_LOCAL_DIR")
+      .orElse(sys.props.get("graft.localDir")).map(_.trim).filter(_.nonEmpty)
+    explicit match {
+      case Some("default") => None
+      case Some(d) => Some(d)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        val minFree = 32L * 1024 * 1024 * 1024
+        if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > minFree)
+          Some(new java.io.File(shm, "graft-scratch").getAbsolutePath)
+        else None
+    }
   }
 
   /** Like [[local]] but WITHOUT a master: for mains launched via

@@ -39,6 +39,14 @@ object Tables {
       .schema(schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema))
       .parquet(path)
 
+  /** NOTE (schema memo restriction, r20/ADVICE): base-table schemas are
+    * memoized per path for the JVM lifetime with NO invalidation —
+    * correct because every `dir` passed here is an immutable testdata /
+    * warehouse generation for the life of a process. An in-process
+    * REWRITE of a base-table path with a different schema would read
+    * with the stale one; regenerate into a fresh dir (the MakeScale
+    * convention) or restart the JVM instead.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet has shipped as TIMESTAMP(NANOS) in some testdata

@@ -2230,7 +2230,7 @@ object SimilarityOps {
         val fitFrame =
           s.createDataFrame(Seq((fp.cells, fp.cappedCells, fp.maxCellSample)))
             .toDF("fit_cells", "fit_capped_cells", "fit_max_cell_sample")
-        // a dedicated 3-thread pool, not the global ForkJoinPool: the
+        // a dedicated 4-thread pool, not the global ForkJoinPool: the
         // active session is set EXPLICITLY per task (global-pool
         // workers only inherit the thread-local by accident of thread
         // creation order), a shared job group lets the first failure
@@ -2312,7 +2312,7 @@ object SimilarityOps {
           if (persistBuckets) buckets.unpersist(false)
           pool.shutdown()
         }
-        // all three completed above; zero-wait reads of the typed results
+        // all four futures completed above; zero-wait reads of the typed results
         val (press, lshPairs) = Await.result(lshF, Duration.Zero)
         (Await.result(ivfF, Duration.Zero), Await.result(pqF, Duration.Zero),
           lshPairs, press, fitFrame)

@@ -27,15 +27,26 @@ object ProbeAll {
     })
     spark.range(1000).selectExpr("sum(id)").collect()
     val named = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    // NonFatal only (r20, ADVICE): an OOM/interrupt must abort the
+    // census, and a query that merely failed should say WHY next to its
+    // -1 marker instead of masking the exception entirely
+    import scala.util.control.NonFatal
     // warm pass first so the census pass sees steady-state costs
-    named.foreach { case (_, fn) =>
-      try fn(spark, dir).count() catch { case _: Throwable => }
+    named.foreach { case (name, fn) =>
+      try { fn(spark, dir).count(); () } catch {
+        case NonFatal(e) =>
+          println(s"[probeall] $name warm-pass failed: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     named.foreach { case (name, fn) =>
       jobs.set(0); tasks.set(0); shuf.set(0)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, dir).count(); true }
-      catch { case _: Throwable => false }
+      catch {
+        case NonFatal(e) =>
+          println(s"[probeall] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(120)
       println(f"[probeall] $name%-24s ${if (ok) secs else -1.0}%7.2fs" +

@@ -23,6 +23,11 @@ object ProbeIter {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val shufW = new java.util.concurrent.atomic.AtomicLong
     val shufR = new java.util.concurrent.atomic.AtomicLong
+    // r20 (guide §5, VERDICT item 5): spill is the signal the heavy LSH
+    // rows need auditing for at 100× — report it per rep alongside the
+    // shuffle bill so "zero-spill" is a recorded number, not a guess
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -33,6 +38,8 @@ object ProbeIter {
         shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufR.addAndGet(m.shuffleReadMetrics.remoteBytesRead +
           m.shuffleReadMetrics.localBytesRead)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
       }
     }
     if (a.length > 3 && a(3) == "noaqe")
@@ -43,13 +50,15 @@ object ProbeIter {
     spark.sparkContext.addSparkListener(listener)
     (1 to reps).foreach { r =>
       jobs.set(0); stages.set(0); tasks.set(0); shufW.set(0); shufR.set(0)
+      spillMem.set(0); spillDisk.set(0)
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let the listener bus drain
       println(f"[probeiter] $name rep$r $secs%.2fs rows=$n jobs=${jobs.get}" +
         f" stages=${stages.get} tasks=${tasks.get}" +
-        f" shufWriteMB=${shufW.get / 1e6}%.1f shufReadMB=${shufR.get / 1e6}%.1f")
+        f" shufWriteMB=${shufW.get / 1e6}%.1f shufReadMB=${shufR.get / 1e6}%.1f" +
+        f" spillMemMB=${spillMem.get / 1e6}%.1f spillDiskMB=${spillDisk.get / 1e6}%.1f")
     }
     spark.stop()
   }
