@@ -27,8 +27,28 @@ object GraphOps {
           col("link_domain")).as("dst"))
       .distinct()
 
+  /** The registered graph queries read the host edge list from the
+    * r20 bucketed ingest layout (BucketedTables.hostEdgesBySrc/Dst —
+    * same row set as [[edgesOf]] over the links derivation, persisted
+    * once per source generation):
+    *   - the in-loop joins key the edge side on `src` (contribs) or
+    *     `dst` (HITS' hub step); a bucketed scan supplies that
+    *     distribution exchange-free and pre-sorted at ANY scale,
+    *     whereas the old `localCheckpoint` pin reports
+    *     UnknownPartitioning under AQE (r19 ProbeCkpt) and re-shuffles
+    *     per iteration wherever the edge side is too big to broadcast;
+    *   - the links ⨝ customer + distinct derivation — the only
+    *     corpus-wide work in these queries — moves to the layout build
+    *     instead of being re-paid by every graph query per run.
+    * Store-fed paths (Pipeline.foldSegments) keep [[edgesOf]] + the
+    * checkpoint pin: their edges derive from the live store, not a
+    * fingerprinted base table.
+    */
   private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    edgesOf(Tables.links(s, dir))
+    graft.BucketedTables.hostEdgesBySrc(s, dir)
+
+  private def edgesDst(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.BucketedTables.hostEdgesByDst(s, dir)
 
   /** In-degree distribution — the power-law histogram every link-graph
     * audit starts with: for each in-degree (distinct linking hosts),
@@ -39,7 +59,9 @@ object GraphOps {
   val q52_degree_dist: GraftQuery = GraftQuery(
     "q52_degree_dist",
     (s, dir) =>
-      edges(s, dir)
+      // dst-bucketed layout: the first aggregate's grouping key IS the
+      // bucket key, so the per-host count needs no exchange at all
+      edgesDst(s, dir)
         .groupBy(col("dst"))
         .agg(count(lit(1)).cast("bigint").as("in_degree"))
         .groupBy(col("in_degree"))
@@ -113,24 +135,34 @@ object GraphOps {
       tol: Option[Double] = None,
       init: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, Int) =
-    pageRankOnEdges(edges(s, dir), maxIters, tol, init)
+    pageRankOnEdges(edges(s, dir), maxIters, tol, init, pinEdges = false)
 
   /** Core power method over an arbitrary (src, dst) edge frame — the
     * incremental path feeds it the CURRENT store's edges and the
     * PREVIOUS run's ranks.
     */
+  /** `pinEdges = false` (r20) is for edge frames that are CHEAP TO
+    * RE-SCAN and already carry the join distribution — the bucketed
+    * host_edges layout: a checkpoint pin would trade the bucket
+    * partitioning (exchange-free in-loop joins, r19 ProbeCkpt:
+    * checkpoint leaves report UnknownPartitioning) for an in-memory
+    * copy the loop re-shuffles every iteration at cluster scale.
+    * Derived/store edge frames keep the default pin so the derivation
+    * isn't re-run per iteration.
+    */
   private[graft] def pageRankOnEdges(
       edgeFrame: org.apache.spark.sql.DataFrame,
       maxIters: Int = PageRankIters,
       tol: Option[Double] = None,
-      init: Option[org.apache.spark.sql.DataFrame] = None)
+      init: Option[org.apache.spark.sql.DataFrame] = None,
+      pinEdges: Boolean = true)
       : (org.apache.spark.sql.DataFrame, Int) = {
     // r19: NO repartition(src) before the pin — measured (ProbeCkpt):
     // a localCheckpoint leaf under AQE reports UnknownPartitioning, so
     // the in-loop join never reused that exchange; it was a pure setup
-    // cost. (Re-establishing real exchange reuse at cluster scale needs
-    // a bucketed edge layout, not a checkpoint — see OPTIMIZATION_r19.)
-    val e = edgeFrame.localCheckpoint(false)
+    // cost. (r20: real exchange reuse comes from the bucketed edge
+    // layout, which passes pinEdges = false.)
+    val e = if (pinEdges) edgeFrame.localCheckpoint(false) else edgeFrame
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst")))
       .distinct()
@@ -235,8 +267,9 @@ object GraphOps {
   private[graft] def pageRankExact(
       edgeFrame: org.apache.spark.sql.DataFrame,
       iters: Int = VerifyIters,
-      init: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
-    val e = edgeFrame.localCheckpoint(false)
+      init: Option[org.apache.spark.sql.DataFrame] = None,
+      pinEdges: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val e = if (pinEdges) edgeFrame.localCheckpoint(false) else edgeFrame
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(false)
     val n = nodes.count()
@@ -303,7 +336,7 @@ object GraphOps {
 
   val q51_verify: GraftQuery = GraftQuery(
     "q51_verify",
-    (s, dir) => pageRankExact(edges(s, dir))
+    (s, dir) => pageRankExact(edges(s, dir), pinEdges = false)
       .orderBy(col("rank_scaled").desc, col("host").asc),
     Some(Tables.linksCte +
       """, e AS (
@@ -361,14 +394,16 @@ object GraphOps {
   val q82_rank_delta: GraftQuery = GraftQuery(
     "q82_rank_delta",
     (s, dir) => {
-      // pinned once (r19): both phases re-checkpoint their own edge
-      // frame, so without this the links⨝customer+distinct derivation
-      // ran twice per query (q82_verify already pinned it)
-      val all = edges(s, dir).localCheckpoint(false)
+      // r20: the bucketed layout replaces the r19 checkpoint pin — the
+      // derivation it deduplicated now lives in the layout build, and
+      // an unpinned scan keeps the bucket distribution both phases'
+      // in-loop joins key on (a checkpoint leaf loses it, ProbeCkpt)
+      val all = edges(s, dir)
       val (prev, prevIters) = pageRankOnEdges(all.filter(!edgeIsNew),
-        maxIters = RankDeltaMaxIters, tol = Some(RankDeltaTol))
+        maxIters = RankDeltaMaxIters, tol = Some(RankDeltaTol), pinEdges = false)
       val (warm, warmIters) = pageRankOnEdges(all,
-        maxIters = RankDeltaMaxIters, tol = Some(RankDeltaTol), init = Some(prev))
+        maxIters = RankDeltaMaxIters, tol = Some(RankDeltaTol), init = Some(prev),
+        pinEdges = false)
       top100(warm)
         .withColumn("iters_prev", lit(prevIters))
         .withColumn("iters_warm", lit(warmIters))
@@ -390,9 +425,11 @@ object GraphOps {
   val q82_verify: GraftQuery = GraftQuery(
     "q82_verify",
     (s, dir) => {
-      val all = edges(s, dir).localCheckpoint(false)
-      val prevRanks = pageRankExact(all.filter(!edgeIsNew), DeltaVerifyIters)
-      pageRankExact(all, DeltaVerifyIters, init = Some(prevRanks))
+      val all = edges(s, dir)
+      val prevRanks = pageRankExact(all.filter(!edgeIsNew), DeltaVerifyIters,
+        pinEdges = false)
+      pageRankExact(all, DeltaVerifyIters, init = Some(prevRanks),
+        pinEdges = false)
         .orderBy(col("rank_scaled").desc, col("host").asc)
     },
     Some(Tables.linksCte +
@@ -521,8 +558,22 @@ object GraphOps {
     // the two join directions — measured false under AQE (ProbeCkpt:
     // LogicalRDD reports UnknownPartitioning), so the second pin was a
     // full extra exchange + copy buying nothing.
-    val eSrc = edgeFrame.localCheckpoint(false)
-    val eDst = eSrc
+    val e = edgeFrame.localCheckpoint(false)
+    hitsCore(e, e, iters)
+  }
+
+  /** The loop body over an explicit (src-keyed, dst-keyed) edge-frame
+    * pair. r20: what the r17/r18 twin checkpoint pins TRIED to be —
+    * per-direction join distributions — the bucketed host_edges layouts
+    * actually deliver (src-bucketed for the auth step's join, the dst
+    * dual for the hub step), with no pin at all: each iteration scans
+    * 32 single-file sorted buckets, exchange-free on the edge side.
+    * Same rows in both frames, so results are the single-pin spelling's.
+    */
+  private def hitsCore(
+      eSrc: org.apache.spark.sql.DataFrame,
+      eDst: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
     val nodes = eSrc.select(col("src").as("host"))
       .union(eSrc.select(col("dst")))
       .distinct()
@@ -579,7 +630,7 @@ object GraphOps {
   val q78_hits: GraftQuery = GraftQuery(
     "q78_hits",
     (s, dir) =>
-      hitsOnEdges(edges(s, dir))
+      hitsCore(edges(s, dir), edgesDst(s, dir), HitsIters)
         .orderBy(round(col("auth"), 6).desc, col("host").asc)
         .limit(100)
         .select(col("host"), round(col("auth"), 6).as("auth"),
@@ -602,14 +653,26 @@ object GraphOps {
   private[graft] def hitsExact(edgeFrame: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val e = edgeFrame.localCheckpoint(false)
-    val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst"))).distinct()
+    hitsExactCore(e, e)
+  }
+
+  /** Dual-frame core, mirroring [[hitsCore]]: the dst-keyed frame feeds
+    * the steps that join/aggregate on `dst`, the src-keyed one the
+    * others — bucketed inputs make each exchange-free on the edge side.
+    */
+  private def hitsExactCore(
+      eSrc: org.apache.spark.sql.DataFrame,
+      eDst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nodes = eSrc.select(col("src").as("host"))
+      .union(eSrc.select(col("dst"))).distinct()
     def step(scores: org.apache.spark.sql.DataFrame,
-        joinOn: String, groupTo: String): org.apache.spark.sql.DataFrame =
+        joinOn: String, groupTo: String): org.apache.spark.sql.DataFrame = {
+      val e = if (joinOn == "dst") eDst else eSrc
       e.join(scores.withColumnRenamed("host", "jh"), col(joinOn) === col("jh"))
         .groupBy(col(groupTo)).agg(sum(col("s")).as("s"))
         .withColumnRenamed(groupTo, "host")
-    val a1 = e.groupBy(col("dst")).agg(count(lit(1)).cast("bigint").as("s"))
+    }
+    val a1 = eDst.groupBy(col("dst")).agg(count(lit(1)).cast("bigint").as("s"))
       .withColumnRenamed("dst", "host") // auth₁ = in-degree (hub₀ = 1)
     val h1 = step(a1, "dst", "src")
     val a2 = step(h1, "src", "dst").localCheckpoint(false)
@@ -632,7 +695,7 @@ object GraphOps {
 
   val q78_verify: GraftQuery = GraftQuery(
     "q78_verify",
-    (s, dir) => hitsExact(edges(s, dir))
+    (s, dir) => hitsExactCore(edges(s, dir), edgesDst(s, dir))
       .orderBy(col("auth_scaled").desc, col("host").asc),
     Some(Tables.linksCte +
       s""", e AS (
