@@ -76,36 +76,51 @@ object TokenizerOps {
   /** The learned merge table: (step, left, right, merged, pair_count).
     * Runs the driver loop over the vocab frame; `k` bounds the vocab
     * size like any BPE fit.
+    *
+    * r20 (VERDICT item 4; guide §2.3/§2.4): the per-merge argmax RIDES
+    * the action that materializes the vocab iterate. The old spelling
+    * paid, per merge, a dedicated explode → groupBy(pair) → TakeOrdered
+    * action — one (pair, count) SHUFFLE plus ~2 AQE stage-jobs — while
+    * the merged vocab materialized as that action's side effect. Now
+    * the merge projection is checkpointed EAGERLY (one narrow job over
+    * the previous in-memory iterate, no shuffle at all) and
+    * [[graft.plans.BpePairArgmax]] computes the next argmax as an
+    * `observe()` metric of that same job. Merge selection is
+    * bit-identical by construction (exact integer counts, same
+    * count-desc/l/r UTF8-binary tie-break — TokenizerSpec pins the
+    * sequence, q71_verify hash-gates it cross-engine).
     */
   private[graft] def bpeFit(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
-    var vocab = wordFreq(docs)
+    import org.apache.spark.sql.Observation
+    def fused(df: DataFrame): (DataFrame, Option[(String, String, Long)]) = {
+      val obs = Observation()
+      // eager checkpoint = the ONE job per merge round; the argmax of
+      // the just-materialized iterate arrives as its observed metric
+      val pinned = df
+        .observe(obs, graft.plans.BpePairArgmax.of(col("syms"), col("cnt")).as("top"))
+        .localCheckpoint()
+      val top = Option(obs.get("top").asInstanceOf[org.apache.spark.sql.Row])
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      (pinned, top)
+    }
+    var (vocab, top) = fused(wordFreq(docs)
       .withColumn("syms", split(col("w"), ""))
-      .select(col("syms"), col("cnt"))
-      .localCheckpoint(false)
+      .select(col("syms"), col("cnt")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
-    var done = false
-    while (step < k && !done) {
-      // adjacent pairs weighted by word count; map-side combined sum
-      val top = vocab
-        .select(col("cnt"), explode(expr(
-          // single-symbol words emit no pairs (sequence(1, 0) would
-          // DESCEND in Spark, not return empty)
-          "if(size(syms) < 2, array(), transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r)))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .head(1)
-      if (top.isEmpty) done = true // every word fully merged
-      else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        step += 1
-        merges += ((step, l, r, c))
-        vocab = vocab
-          .select(applyMergeGuarded(col("syms"), l, r).as("syms"), col("cnt"))
-          .localCheckpoint(false)
-      }
+    // a None argmax means every word is fully merged — stop early
+    while (step < k && top.isDefined) {
+      val (l, r, c) = top.get
+      step += 1
+      merges += ((step, l, r, c))
+      if (step < k) {
+        // apply the merge and observe the NEXT round's argmax on the
+        // same materializing job
+        val next = fused(vocab
+          .select(applyMergeGuarded(col("syms"), l, r).as("syms"), col("cnt")))
+        vocab = next._1
+        top = next._2
+      } else top = None // k-th merge chosen: the k-th iterate is never needed
     }
     merges.result()
   }
