@@ -410,7 +410,18 @@ final class LinkApiServer(
   private def withStoreRetry[T](f: => T): T = {
     val t0 = System.nanoTime()
     val missingRootAttempts = 2
+    // r20 (the 1-in-~100 swap-window 500): failures whose text carries
+    // NO recognizable stale-store marker also get a bounded
+    // rebind-and-retry — a swap can surface through exception shapes
+    // the signature list can't enumerate (deep cause chains, engine
+    // rewordings), and one rebind against the settled store resolves
+    // them. BOUNDED attempts, unlike the stale path's request-clock
+    // budget: a deterministic store bug must keep failing fast as the
+    // usual 500, not burn 61 s per request (which would let a modest
+    // request rate pin the worker pool).
+    val unknownAttempts = 3
     var attempt = 1
+    var unknown = 0
     while (true) {
       try return f
       catch {
@@ -423,6 +434,15 @@ final class LinkApiServer(
           // (Hadoop-FileSystem renames never invalidate it) — the
           // binder must refresh its paths (Pipeline.serveLinkApi wires
           // spark.catalog.refreshByPath here)
+          onStale()
+          Thread.sleep(math.min(25L * attempt, 400L))
+        case e: Exception if unknown < unknownAttempts &&
+            // never swallow the deadline's interrupt (or an interrupted
+            // Spark await wrapping it) — that is the 504 path
+            !causeChainText(e).contains("InterruptedException") &&
+            (System.nanoTime() - t0) / 1000000L < queryBudgetMs =>
+          unknown += 1
+          attempt += 1
           onStale()
           Thread.sleep(math.min(25L * attempt, 400L))
       }

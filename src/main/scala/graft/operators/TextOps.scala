@@ -507,15 +507,19 @@ object TextOps {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // r19: carry the previous label through the checkpoint so the
-      // changed-count is a scan of the materialized frame — the old
-      // spelling paid a full extra join job per iteration for it
+      // r19 carried the previous label through the checkpoint so the
+      // changed-count was a scan of the materialized frame; r20 removes
+      // even that scan — the count RIDES the checkpoint materialization
+      // itself as an observe() metric (the bpeFit pattern), so each
+      // iteration is exactly ONE action with no follow-up job
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"),
           labels("label").as("old"))
+        .observe(obs, count(when(col("label") =!= col("old"), lit(1))).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

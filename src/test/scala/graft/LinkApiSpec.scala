@@ -426,6 +426,46 @@ class LinkApiSpec extends SparkSpec {
     } finally { release.countDown(); srv.stop() }
   }
 
+  test("a transient failure without a stale-store signature retries within the request") {
+    // the swap-window flake class (r20): an exception whose text carries
+    // none of isStaleStore's markers — the bounded unknown-failure
+    // retry must rebind and succeed instead of surfacing a 500
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rebinds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky: String => LinkDb = { _ =>
+      if (calls.incrementAndGet() <= 2)
+        throw new RuntimeException("store hiccup with an unrecognizable message")
+      db
+    }
+    val srv = new LinkApiServer(flaky, port = 0,
+      onStale = () => { rebinds.incrementAndGet(); () }).start()
+    try {
+      val resp = post(srv.boundPort, """{"domain":"d3.com","limit":5}""")
+      assert(resp.statusCode() == 200, resp.body())
+      assert(calls.get() == 3) // two failures, then the rebind succeeded
+      assert(rebinds.get() == 2) // each retry refreshed the binding
+    } finally srv.stop()
+  }
+
+  test("a persistent unknown failure still fails fast as 500, not a budget burn") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val broken: String => LinkDb = { _ =>
+      calls.incrementAndGet()
+      throw new RuntimeException("deterministic store bug")
+    }
+    val srv = new LinkApiServer(broken, port = 0).start()
+    try {
+      val t0 = System.nanoTime()
+      val resp = post(srv.boundPort, """{"domain":"d3.com","limit":5}""")
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(resp.statusCode() == 500, resp.body())
+      assert(resp.body().contains("ErrorFailedLinks"))
+      // bounded attempts (1 + unknownAttempts), nowhere near the 61 s budget
+      assert(calls.get() == 4, s"attempts=${calls.get()}")
+      assert(elapsedMs < 10000, s"took ${elapsedMs}ms")
+    } finally srv.stop()
+  }
+
   test("a store read inside the budget is unaffected by the deadline") {
     val srv = new LinkApiServer(_ => db, port = 0, queryBudgetMs = 61000).start()
     try {
